@@ -1,0 +1,326 @@
+"""Table catalog: declared schemas + primary keys for every table.
+
+Mirrors the reference's ``TableConfig`` registry
+(crypto_data_pipeline_duckdb.py:1270-1480 and the ClickHouse superset
+crypto_data_pipline_clickhouse.py:1390-1694) as a Spark-native
+``TableSpec``: explicit ``StructType`` (never inferSchema on the
+storage path), primary-key column list (enforced by the keep-last
+upsert writer, since Spark has no PK constraint), an event-time
+column for incremental/watermark logic, and a lookback duration for
+late-data re-fetch (crypto_data_pipeline_duckdb.py:1612-1629).
+
+Storage layout decisions are made here because they are the scale
+story: fact tables are partitioned by a low-cardinality derived date
+column (`ds`) so time-range predicates become partition pruning at
+100 TB, and bucketed-by-symbol sorted-by-time layout keeps the
+premium join and all per-symbol windows shuffle-light.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_TYPES = {
+    "string": T.StringType(),
+    "double": T.DoubleType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def _schema(cols: dict[str, str]) -> T.StructType:
+    return T.StructType([T.StructField(name, _TYPES[t], True) for name, t in cols.items()])
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """Declared schema + keys + incremental policy for one table."""
+
+    name: str
+    primary_keys: tuple[str, ...]
+    schema: T.StructType
+    kind: str  # 'dim' | 'fact' | 'derived'
+    needs_incremental: bool = True
+    time_column: str | None = None  # watermark column for incremental fetch
+    lookback: str | None = None  # e.g. '8 hours' — late-data re-fetch buffer
+    # columns whose date partitions prune time-range scans at scale
+    partition_date_source: str | None = None
+
+    @property
+    def columns(self) -> list[str]:
+        return [f.name for f in self.schema.fields]
+
+    def empty(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame([], self.schema)
+
+    def align(self, df: DataFrame) -> DataFrame:
+        """Pad missing columns with NULL, cast, and reorder to the declared
+        schema — the write-side contract of the reference
+        (crypto_data_pipeline_duckdb.py:1553-1559)."""
+        from pyspark.sql import functions as F
+
+        out = df
+        existing = set(df.columns)
+        for f in self.schema.fields:
+            if f.name in existing:
+                out = out.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            else:
+                out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return out.select(*self.columns)
+
+
+_OHLCV = {
+    "symbol": "string",
+    "exchange": "string",
+    "type": "string",
+    "interval": "string",
+    "timestamp": "timestamp",
+    "close_time": "timestamp",
+    "open": "double",
+    "high": "double",
+    "low": "double",
+    "close": "double",
+    "volume": "double",
+    "quote_volume": "double",
+    "taker_buy_volume": "double",
+    "taker_buy_quote_volume": "double",
+    "trades_count": "int",
+}
+
+_SYMBOL_FILTER_COLS = {
+    "min_price": "double",
+    "max_price": "double",
+    "tick_size": "double",
+    "min_qty": "double",
+    "max_qty": "double",
+    "step_size": "double",
+}
+
+TABLES: dict[str, TableSpec] = {}
+
+
+def _register(spec: TableSpec) -> TableSpec:
+    TABLES[spec.name] = spec
+    return spec
+
+
+BN_SPOT_SYMBOLS = _register(
+    TableSpec(
+        name="bn_spot_symbols",
+        primary_keys=("symbol", "exchange"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "base_asset": "string",
+                "quote_asset": "string",
+                "exchange": "string",
+                "type": "string",
+                "status": "string",
+                "is_spot_trading_allowed": "boolean",
+                "is_margin_trading_allowed": "boolean",
+                "base_precision": "int",
+                "quote_precision": "int",
+                **_SYMBOL_FILTER_COLS,
+            }
+        ),
+        kind="dim",
+        needs_incremental=False,
+    )
+)
+
+BN_PERP_SYMBOLS = _register(
+    TableSpec(
+        name="bn_perp_symbols",
+        primary_keys=("symbol", "exchange"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "base_asset": "string",
+                "quote_asset": "string",
+                "margin_asset": "string",
+                "exchange": "string",
+                "type": "string",
+                "underlyingSubType": "string",
+                "status": "string",
+                "onboard_date": "timestamp",
+                "delivery_date": "timestamp",
+                "price_precision": "int",
+                "quantity_precision": "int",
+                **_SYMBOL_FILTER_COLS,
+            }
+        ),
+        kind="dim",
+        needs_incremental=False,
+    )
+)
+
+BN_OPTION_SYMBOLS_ACTIVE = _register(
+    TableSpec(
+        name="bn_option_symbols_active",
+        primary_keys=("symbol", "exchange"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "underlying": "string",
+                "quoteAsset": "string",
+                "unit": "int",
+                "exchange": "string",
+                "type": "string",
+                "expiryDate": "timestamp",
+                "strikePrice": "double",
+                "side": "string",
+                "minPrice": "double",
+                "maxPrice": "double",
+                "tickSize": "double",
+                "priceScale": "int",
+                "minQty": "double",
+                "maxQty": "double",
+                "stepSize": "double",
+                "quantityScale": "int",
+                "makerFeeRate": "double",
+                "takerFeeRate": "double",
+                "liquidationFeeRate": "double",
+                "initialMargin": "double",
+                "maintenanceMargin": "double",
+                "minInitialMargin": "double",
+                "minMaintenanceMargin": "double",
+            }
+        ),
+        kind="dim",
+        needs_incremental=False,
+    )
+)
+
+BN_OPTION_SYMBOLS_EXERCISED = _register(
+    TableSpec(
+        name="bn_option_symbols_exercised",
+        primary_keys=("symbol", "exchange"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "exchange": "string",
+                "type": "string",
+                "underlying": "string",
+                "expiryDate": "timestamp",
+                "strikePrice": "double",
+                "realStrikePrice": "double",
+                "strikeResult": "string",
+            }
+        ),
+        kind="fact",
+        needs_incremental=True,
+        time_column="expiryDate",
+        lookback="8 hours",
+        partition_date_source="expiryDate",
+    )
+)
+
+BN_SPOT_KLINES = _register(
+    TableSpec(
+        name="bn_spot_klines",
+        primary_keys=("symbol", "exchange", "interval", "timestamp"),
+        schema=_schema(_OHLCV),
+        kind="fact",
+        needs_incremental=True,
+        time_column="timestamp",
+        lookback="2 hours",
+        partition_date_source="timestamp",
+    )
+)
+
+BN_PERP_KLINES = _register(
+    TableSpec(
+        name="bn_perp_klines",
+        primary_keys=("symbol", "exchange", "interval", "timestamp"),
+        schema=_schema(_OHLCV),
+        kind="fact",
+        needs_incremental=True,
+        time_column="timestamp",
+        lookback="2 hours",
+        partition_date_source="timestamp",
+    )
+)
+
+BN_OPTION_KLINES = _register(
+    TableSpec(
+        name="bn_option_klines",
+        primary_keys=("symbol", "exchange", "interval", "timestamp"),
+        schema=_schema(_OHLCV),
+        kind="fact",
+        needs_incremental=True,
+        time_column="timestamp",
+        lookback="2 hours",
+        partition_date_source="timestamp",
+    )
+)
+
+BN_PREMIUM = _register(
+    TableSpec(
+        name="bn_premium",
+        primary_keys=("symbol", "exchange", "timestamp"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "exchange": "string",
+                "timestamp": "timestamp",
+                "close_time": "timestamp",
+                "premium": "double",
+                "wma120_premium": "double",
+            }
+        ),
+        kind="derived",
+        needs_incremental=True,
+        time_column="timestamp",
+        lookback="2 hours",
+        partition_date_source="timestamp",
+    )
+)
+
+BN_FUNDING_RATES = _register(
+    TableSpec(
+        name="bn_funding_rates",
+        primary_keys=("symbol", "exchange", "fundingTime"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "exchange": "string",
+                "type": "string",
+                "fundingTime": "timestamp",
+                "fundingRate": "double",
+                "markPrice": "double",
+            }
+        ),
+        kind="fact",
+        needs_incremental=True,
+        time_column="fundingTime",
+        lookback="8 hours",
+        partition_date_source="fundingTime",
+    )
+)
+
+BN_MARGIN_INTEREST_RATES = _register(
+    TableSpec(
+        name="bn_margin_interest_rates",
+        primary_keys=("asset", "exchange", "timestamp"),
+        schema=_schema(
+            {
+                "asset": "string",
+                "exchange": "string",
+                "type": "string",
+                "timestamp": "timestamp",
+                "dailyInterestRate": "double",
+                "vipLevel": "int",
+            }
+        ),
+        kind="fact",
+        needs_incremental=True,
+        time_column="timestamp",
+        lookback="8 hours",
+        partition_date_source="timestamp",
+    )
+)
