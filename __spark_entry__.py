@@ -1,38 +1,979 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one DataFrame-producing callable per operator
+class implemented from SURVEY.md §2 (plus the training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each. Both
+sides alias every computed column identically and round derived
+doubles to 6 decimals so the driver's order-insensitive value hash
+is stable across engines.
+
+Implementation lives in ``binancedatapipeline_spark``; this module
+only wires table loads to plans.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from binancedatapipeline_spark.operators.wma import with_wma  # noqa: E402
+from binancedatapipeline_spark.operators.dedup import dedup_keep_last  # noqa: E402
+from binancedatapipeline_spark.textops.analysis import (  # noqa: E402
+    LANG_MARKERS,
+    with_fingerprint,
+    with_lang_guess,
+    with_quality,
+    with_tokens,
+)
+from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from binancedatapipeline_spark.similarity import cosine_topk  # noqa: E402
+
+
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table, memoizing the DataFrame handle per session so
+    repeated queries don't re-read parquet footers for schema."""
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the driver's events.parquet stores TIMESTAMP(NANOS), which
+        # Spark's reader rejects; read nanos as long and convert
+        # (floor-truncate to micros, matching DuckDB's read behavior)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _r6(col):
+    return F.round(col, 6)
+
+
+def _dsum(col, scale: str = "decimal(24,6)"):
+    """Exact decimal sum cast back to double — bit-identical across
+    engines regardless of partial-aggregation order (the inputs sit
+    on a fixed decimal grid, so the decimal cast is lossless)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+# ---------------------------------------------------------------- flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's premium-pipeline shape on the events
+    stream — hourly micro-batch rollup per user, trailing WMA, and
+    LAG-based change detection, all in one lazy plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    events = _t(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r6(F.sum("value")).alias("sum_value"),
+        )
+    )
+    wma = with_wma(hourly, "sum_value", 6, ["user_id"], "hour", "wma6_value")
+    w = Window.partitionBy("user_id").orderBy("hour")
+    return (
+        wma.withColumn("prev_wma", F.lag("wma6_value", 3).over(w))
+        .withColumn("wma_change", _r6(F.col("wma6_value") - F.col("prev_wma")))
+        .withColumn("wma6_value", _r6("wma6_value"))
+        .withColumn("prev_wma", _r6("prev_wma"))
+    )
+
+
+# ---------------------------------------------------------------- relational
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/P5: grouped aggregation with filter (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1999-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),  # integral values: exact
+            _dsum("l_extendedprice", "decimal(20,2)").alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (_dsum("l_extendedprice", "decimal(20,2)") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2-P7: IN-list + range predicates, arithmetic projection."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_returnflag").isin("R", "A")
+            & F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+            & (F.col("l_quantity") > 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            _r6(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+def q_join_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: composite-key equi join (the premium-join shape) — click
+    vs view activity joined per (user_id, hour)."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = lambda typ: (  # noqa: E731
+        ev.filter(F.col("event_type") == typ)
+        .groupBy(F.col("user_id"), F.date_trunc("hour", "ts").alias("hour"))
+        .agg(_dsum("value", "decimal(18,2)").alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    clicks, views = hourly("click"), hourly("view")
+    return (
+        clicks.alias("c")
+        .join(views.alias("v"), on=["user_id", "hour"], how="inner")
+        .select(
+            "user_id",
+            "hour",
+            F.col("c.n").alias("n_clicks"),
+            F.col("v.n").alias("n_views"),
+            _r6(F.col("c.v") / F.col("v.v") - 1).alias("click_view_premium"),
+        )
+    )
+
+
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: equi conjunct + range conjunct (ts > date + interval)."""
+    li = _t(spark, sf_dir, "lineitem").alias("l")
+    o = _t(spark, sf_dir, "orders").alias("o")
+    joined = li.join(
+        o,
+        on=(F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+        & (F.col("l.l_shipdate") > F.col("o.o_orderdate") + F.expr("interval 5 days")),
+        how="inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+def q_join_dims_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact x small-dim chain (broadcast joins)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (_dsum("c_acctbal", "decimal(20,2)") / F.count(F.lit(1))).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: NOT EXISTS — customers with no 1995 order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-12-31")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — suppliers with at least one 2001 shipment."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") >= "2001-01-01")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+    )
+
+
+def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: deterministic keep-last dedup (latest event per
+    user+type, event_id as tiebreak)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = dedup_keep_last(ev, ["user_id", "event_type"], "__ord")
+    return out.select("user_id", "event_type", "ts", "event_id", _r6("value").alias("value"))
+
+
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: SELECT DISTINCT."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("lang", "source").distinct()
+
+
+def q_window_lag_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2/P8: the extreme-cases detector shape on events — offset
+    LAG, change filter, then debounce spacing among survivors."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prepared = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lag("value", 3).over(w).alias("prev_value"),
+    ).withColumn("value_change", F.col("value") - F.col("prev_value"))
+    extremes = prepared.filter(F.col("value_change") < -300)
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    extremes = extremes.withColumn(
+        "ms_since_prev",
+        F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w2)),
+    )
+    return (
+        extremes.filter(
+            F.col("ms_since_prev").isNull() | (F.col("ms_since_prev") > 3_600_000)
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            _r6("value").alias("value"),
+            _r6("prev_value").alias("prev_value"),
+            _r6("value_change").alias("value_change"),
+            "ms_since_prev",
+        )
+    )
+
+
+def q_window_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: LEAD-based gap detection per user (validate_data shape)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts", 1).over(w)
+    gap_min = (F.unix_millis(nxt) - F.unix_millis(F.col("ts"))) / 60000.0
+    return (
+        ev.select("user_id", F.col("ts").alias("gap_start"), nxt.alias("gap_end"),
+                  _r6(gap_min).alias("gap_minutes"))
+        .filter(F.col("gap_minutes") > 240)
+    )
+
+
+def q_wma20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: trailing linear-WMA(20) per user over event values."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__ord", F.struct(F.col("ts"), F.col("event_id"))
+    )
+    out = with_wma(
+        ev.select("user_id", "event_id", "__ord", "ts", "value"),
+        "value", 20, ["user_id"], "__ord", "wma20_value",
+        exact_decimal="decimal(18,2)",
+    )
+    return out.select(
+        "user_id", "event_id", "ts",
+        _r6("value").alias("value"),
+        _r6("wma20_value").alias("wma20_value"),
+    )
+
+
+def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4-adjacent: plain trailing frame running aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        _r6(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")).alias("rolling24_sum"),
+        F.count(F.lit(1)).over(w).alias("rolling24_n"),
+    )
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/O3: global top-k with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", _r6("o_totalprice").alias("o_totalprice"),
+                "o_orderdate")
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top 3 orders per customer by price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", _r6("o_totalprice").alias("o_totalprice"), "rank")
+    )
+
+
+def q_cte_margin_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+J2+A3+U2: the margin-asset derivation shape — per-supplier
+    activity range, dim join, distinct, plus appended synthetic row."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    ranges = li.groupBy("l_suppkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    assets = (
+        ranges.join(F.broadcast(s), ranges.l_suppkey == s.s_suppkey)
+        .filter(~F.col("s_nationkey").isin(0, 1))
+        .select(F.col("s_nationkey").alias("nation"), "first_ship", "last_ship")
+        .distinct()
+    )
+    synthetic = assets.agg(
+        F.lit(-1).alias("nation"),
+        F.min("first_ship").alias("first_ship"),
+        F.max("last_ship").alias("last_ship"),
+    )
+    return assets.unionByName(synthetic)
+
+
+def q_scalar_datemath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F4: epoch-ms conversion, interval arithmetic, tz display."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        (F.col("ts") + F.expr("interval 5 days")).alias("ts_plus5d"),
+        F.date_trunc("hour", "ts").alias("ts_hour"),
+        F.from_utc_timestamp("ts", "Asia/Shanghai").alias("ts_cn"),
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation per user."""
+    ev = _t(spark, sf_dir, "events")
+    pick = lambda typ: F.sum(  # noqa: E731
+        F.when(F.col("event_type") == typ, F.col("value"))
+        .otherwise(0.0)
+        .cast("decimal(18,2)")
+    ).cast("double")
+    return ev.groupBy("user_id").agg(
+        _r6(pick("click")).alias("click_value"),
+        _r6(pick("view")).alias("view_value"),
+        _r6(pick("purchase")).alias("purchase_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING: filter on aggregate output."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(_dsum("value", "decimal(18,2)") / F.count(F.lit(1))).alias("avg_value"),
+        )
+        .filter(F.col("n") >= 10)
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        _r6(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U3: union of two filtered projections, re-aggregated."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id", "value")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
+    return (
+        a.unionByName(b)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), _r6(_dsum("value", "decimal(18,2)")).alias("total_value"))
+    )
+
+
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: tumbling-window re-aggregation (1h bars from raw events)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r6(_dsum("value", "decimal(18,2)")).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            _r6(_dsum("value", "decimal(18,2)") / F.count(F.lit(1))).alias("avg_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- documents
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_duplicates(d)
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return with_tokens(d).select("doc_id", "n_tokens", "n_bpe_ish")
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return with_quality(d).select(
+        "doc_id",
+        "n_tokens",
+        _r6("mean_token_len").alias("mean_token_len"),
+        _r6("punct_ratio").alias("punct_ratio"),
+        _r6("alpha_ratio").alias("alpha_ratio"),
+        _r6("quality_score").alias("quality_score"),
+    )
+
+
+def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_guess(d).select("doc_id", "lang", "lang_guess")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash(d)
+
+
+def q_doc_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature spot-check: first 4 hashes as columns."""
+    d = _t(spark, sf_dir, "documents")
+    sig = minhash_signatures(d, k=8)
+    return sig.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, k=8, bands=4)
+
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, min_jaccard=0.2)
+    return out.select("id_a", "id_b", "n_common", "n_a", "n_b", _r6("jaccard").alias("jaccard"))
+
+
+# ---------------------------------------------------------------- embeddings
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", _r6("cosine").alias("cosine"), "rank")
+
+
+def q_emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid then each vector's cosine to its centroid —
+    exercises array aggregation + rejoin."""
+    emb = _t(spark, sf_dir, "embeddings")
+    n_dim = 64
+    # mean vector per label via posexplode + groupBy (scales to any dim)
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroid = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("label", F.expr("transform(pc, x -> x.c)").alias("centroid"))
+    )
+    joined = emb.join(F.broadcast(centroid), "label")
+    cos = F.expr(
+        "aggregate(zip_with(embedding, centroid, (x, y) -> cast(x as double) * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    ) / (
+        F.sqrt(F.expr(
+            "aggregate(embedding, cast(0.0 as double), (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        ))
+        * F.sqrt(F.expr(
+            "aggregate(centroid, cast(0.0 as double), (acc, v) -> acc + v * v)"
+        ))
+    )
+    return joined.select("vec_id", "label", _r6(cos).alias("cosine_to_centroid"))
+
+
+# ---------------------------------------------------------------- registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filtered_projection": q_filtered_projection,
+        "join_composite_key": q_join_composite_key,
+        "join_theta": q_join_theta,
+        "join_dims_broadcast": q_join_dims_broadcast,
+        "anti_join": q_anti_join,
+        "semi_join": q_semi_join,
+        "dedup_keep_last": q_dedup_keep_last,
+        "distinct_projection": q_distinct_projection,
+        "window_lag_extreme": q_window_lag_extreme,
+        "window_lead_gaps": q_window_lead_gaps,
+        "wma20": q_wma20,
+        "rolling_sum": q_rolling_sum,
+        "topk_orders": q_topk_orders,
+        "topk_per_group": q_topk_per_group,
+        "cte_margin_shape": q_cte_margin_shape,
+        "scalar_datemath": q_scalar_datemath,
+        "conditional_agg": q_conditional_agg,
+        "groupby_having": q_groupby_having,
+        "rollup": q_rollup,
+        "union_all": q_union_all,
+        "events_hourly_rollup": q_events_hourly_rollup,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_guess": q_doc_lang_guess,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_simhash": q_doc_simhash,
+        "doc_minhash_sig": q_doc_minhash_sig,
+        "doc_lsh_pairs": q_doc_lsh_pairs,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "emb_cosine_topk": q_emb_cosine_topk,
+        "emb_centroid_dist": q_emb_centroid_dist,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_TOKS = "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+_H56 = "('0x' || substr(md5({expr}), 1, 14))::BIGINT"
+
+
+def _shingle_cte(n: int = 3) -> str:
+    """DuckDB CTE producing distinct (doc_id, shingle) word n-grams
+    identical to textops.dedup.shingles_df."""
+    return f"""
+__tok AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+__sh AS (
+  SELECT DISTINCT doc_id, sh AS shingle
+  FROM __tok, UNNEST(
+    list_transform(
+      range(1, greatest(len(toks) - {n - 1}, 1) + 1),
+      i -> array_to_string(toks[i:i+{n - 1}], ' ')
+    )
+  ) AS t(sh)
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hits = []
+    for lang in sorted(LANG_MARKERS):
+        in_list = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        lang_hits.append(
+            f"len(list_filter({_TOKS.replace('text', 'lower(text)')}, x -> x IN ({in_list}))) AS __hits_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    best = "CASE WHEN __m = 0 THEN 'und' " + " ".join(
+        f"WHEN __hits_{lang} = __m THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+
+    minhash_mins = ",\n         ".join(
+        "min({h}) AS h{s}".format(
+            h=_H56.format(expr="shingle || '#%d'" % seed), s=seed
+        )
+        for seed in range(8)
+    )
+
+    return {
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       (sum(l_extendedprice::DECIMAL(20,2)))::DOUBLE AS sum_base_price,
+       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(24,6)))::DOUBLE AS sum_disc_price,
+       sum(l_quantity) / count(*) AS avg_qty,
+       (sum(l_extendedprice::DECIMAL(20,2)))::DOUBLE / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "filtered_projection": """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       round(l_extendedprice * (1 - l_discount), 6) AS net_price
+FROM lineitem
+WHERE l_returnflag IN ('R', 'A')
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND l_quantity > 25
+""",
+        "join_composite_key": """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour, event_type,
+         (sum(value::DECIMAL(18,2)))::DOUBLE AS v, count(*) AS n
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY 1, 2, 3
+)
+SELECT c.user_id, c.hour, c.n AS n_clicks, v.n AS n_views,
+       round(c.v / v.v - 1, 6) AS click_view_premium
+FROM (SELECT * FROM hourly WHERE event_type = 'click') c
+INNER JOIN (SELECT * FROM hourly WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.hour = v.hour
+""",
+        "join_theta": """
+SELECT o_orderpriority, count(*) AS n_lines,
+       (sum((l_extendedprice * (1 - l_discount))::DECIMAL(24,6)))::DOUBLE AS revenue
+FROM lineitem l INNER JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate > o.o_orderdate + INTERVAL 5 DAY
+GROUP BY o_orderpriority
+""",
+        "join_dims_broadcast": """
+SELECT r_name AS region, count(*) AS n_customers,
+       (sum(c_acctbal::DECIMAL(20,2)))::DOUBLE / count(*) AS avg_acctbal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r_name
+""",
+        "anti_join": """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-12-31'
+)
+GROUP BY c_mktsegment
+""",
+        "semi_join": """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2001-01-01'
+)
+""",
+        "dedup_keep_last": """
+SELECT user_id, event_type, ts, event_id, round(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+""",
+        "distinct_projection": """
+SELECT DISTINCT lang, source FROM documents
+""",
+        "window_lag_extreme": """
+WITH prepared AS (
+  SELECT user_id, ts, event_id, value,
+         lag(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events
+),
+extremes AS (
+  SELECT *, value - prev_value AS value_change
+  FROM prepared WHERE value - prev_value < -300
+),
+debounced AS (
+  SELECT *,
+         epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS ms_since_prev
+  FROM extremes
+)
+SELECT user_id, ts, event_id, round(value, 6) AS value,
+       round(prev_value, 6) AS prev_value,
+       round(value_change, 6) AS value_change, ms_since_prev
+FROM debounced
+WHERE ms_since_prev IS NULL OR ms_since_prev > 3600000
+""",
+        "window_lead_gaps": """
+SELECT user_id, ts AS gap_start,
+       lead(ts, 1) OVER w AS gap_end,
+       round((epoch_ms(lead(ts, 1) OVER w) - epoch_ms(ts)) / 60000.0, 6) AS gap_minutes
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY gap_minutes > 240
+""",
+        "wma20": """
+WITH numbered AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, ts, round(value, 6) AS value,
+       round(CASE WHEN count(value) OVER w = 20 THEN
+         ((sum(value::DECIMAL(18,2) * rn) OVER w)::DOUBLE
+          - (rn - 20) * (sum(value::DECIMAL(18,2)) OVER w)::DOUBLE) / 210.0
+       END, 6) AS wma20_value
+FROM numbered
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+        "rolling_sum": """
+SELECT user_id, event_id,
+       round((sum(value::DECIMAL(18,2)) OVER w)::DOUBLE, 6) AS rolling24_sum,
+       count(*) OVER w AS rolling24_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+""",
+        "topk_orders": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+""",
+        "topk_per_group": """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rank
+FROM orders
+QUALIFY rank <= 3
+""",
+        "cte_margin_shape": """
+WITH ranges AS (
+  SELECT l_suppkey, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_suppkey
+),
+assets AS (
+  SELECT DISTINCT s.s_nationkey AS nation, r.first_ship, r.last_ship
+  FROM ranges r INNER JOIN supplier s ON r.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey NOT IN (0, 1)
+)
+SELECT * FROM assets
+UNION ALL
+SELECT -1 AS nation, min(first_ship), max(last_ship) FROM assets
+""",
+        "scalar_datemath": """
+SELECT event_id,
+       epoch_ms(ts) AS ts_ms,
+       ts + INTERVAL 5 DAY AS ts_plus5d,
+       date_trunc('hour', ts) AS ts_hour,
+       ts + INTERVAL 8 HOUR AS ts_cn
+FROM events
+""",
+        "conditional_agg": """
+SELECT user_id,
+       round((sum((CASE WHEN event_type = 'click' THEN value ELSE 0.0 END)::DECIMAL(18,2)))::DOUBLE, 6) AS click_value,
+       round((sum((CASE WHEN event_type = 'view' THEN value ELSE 0.0 END)::DECIMAL(18,2)))::DOUBLE, 6) AS view_value,
+       round((sum((CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)::DECIMAL(18,2)))::DOUBLE, 6) AS purchase_value,
+       count(*) AS n_events
+FROM events GROUP BY user_id
+""",
+        "groupby_having": """
+SELECT user_id, event_type, count(*) AS n,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
+FROM events GROUP BY user_id, event_type HAVING count(*) >= 10
+""",
+        "rollup": """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "union_all": """
+SELECT user_id, count(*) AS n, round((sum(value::DECIMAL(18,2)))::DOUBLE, 6) AS total_value
+FROM (
+  SELECT user_id, value FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, value FROM events WHERE event_type = 'purchase'
+)
+GROUP BY user_id
+""",
+        "events_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 6) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
+FROM events GROUP BY 1, 2
+""",
+        "doc_exact_dedup": """
+SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+        "doc_token_stats": f"""
+SELECT doc_id,
+       len({_TOKS})::INTEGER AS n_tokens,
+       len(string_split_regex(trim(regexp_replace(text,
+           '([^\\sA-Za-z0-9]|\\d+)', ' \\1 ', 'g')), '\\s+'))::INTEGER AS n_bpe_ish
+FROM documents
+""",
+        "doc_quality": f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len({_TOKS}) AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, n_tokens::INTEGER AS n_tokens,
+       round(n_alpha / greatest(n_tokens, 1), 6) AS mean_token_len,
+       round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+       round(n_alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+       round(least(n_tokens / 200.0, 1.0) * 0.4
+             + (n_alpha / greatest(n_chars, 1)) * 0.4
+             + (1 - least(n_punct / greatest(n_chars, 1) * 5, 1.0)) * 0.2, 6) AS quality_score
+FROM base
+""",
+        "doc_lang_guess": f"""
+WITH hits AS (
+  SELECT doc_id, lang,
+         {', '.join(lang_hits)}
+  FROM documents
+),
+best AS (
+  SELECT *, greatest({', '.join('__hits_' + lang for lang in langs)}) AS __m
+  FROM hits
+)
+SELECT doc_id, lang, {best} AS lang_guess FROM best
+""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fingerprint
+FROM documents
+""",
+        "doc_simhash": f"""
+WITH tok AS (
+  SELECT doc_id, t.tok, {_H56.format(expr='t.tok')} AS th
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents), UNNEST(toks) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, i.i,
+         sum(CASE WHEN (th >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok, (SELECT unnest(range(0, 32)) AS i) AS i
+  GROUP BY doc_id, i.i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+""",
+        "doc_minhash_sig": f"""
+WITH {_shingle_cte(3)},
+sig AS (
+  SELECT doc_id,
+         {minhash_mins}
+  FROM __sh GROUP BY doc_id
+)
+SELECT doc_id, h0 AS mh0, h1 AS mh1, h2 AS mh2, h3 AS mh3 FROM sig
+""",
+        "doc_lsh_pairs": f"""
+WITH {_shingle_cte(3)},
+sig AS (
+  SELECT doc_id,
+         {minhash_mins}
+  FROM __sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
+  UNION ALL
+  SELECT doc_id, 1, md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 2, md5(h4::VARCHAR || ',' || h5::VARCHAR) FROM sig
+  UNION ALL
+  SELECT doc_id, 3, md5(h6::VARCHAR || ',' || h7::VARCHAR) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+WHERE a.doc_id < b.doc_id
+""",
+        "doc_ngram_jaccard": f"""
+WITH {_shingle_cte(3)},
+hashed AS (
+  SELECT doc_id, {_H56.format(expr='shingle')} AS sh_hash FROM __sh
+),
+sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM hashed GROUP BY doc_id
+),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM hashed a JOIN hashed b ON a.sh_hash = b.sh_hash
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+""",
+        "emb_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) AS cosine
+  FROM c CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)::INTEGER AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+        "emb_centroid_dist": """
+WITH pos AS (SELECT unnest(range(0, 64)) AS pos),
+exploded AS (
+  SELECT label, pos, embedding[pos + 1]::DOUBLE AS v
+  FROM embeddings CROSS JOIN pos
+),
+centroid AS (
+  SELECT label, list(c ORDER BY pos) AS centroid
+  FROM (SELECT label, pos, avg(v) AS c FROM exploded GROUP BY label, pos)
+  GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       round(
+         list_dot_product(e.embedding::DOUBLE[], c.centroid)
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cosine_to_centroid
+FROM embeddings e JOIN centroid c ON e.label = c.label
+""",
+    }

@@ -40,12 +40,18 @@ def with_wma(
     partition_cols: Sequence[str],
     order_col: str,
     output_col: str | None = None,
+    exact_decimal: str | None = None,
 ) -> DataFrame:
     """Add a trailing linear-WMA(n) column computed per partition group.
 
     NULL for the first n-1 rows of each group (and wherever a NULL
     value falls inside the trailing window), matching the pandas_ta
     warm-up behavior.
+
+    ``exact_decimal`` (e.g. "decimal(18,2)"): when the values sit on
+    a fixed decimal grid, run the two window sums in exact decimal
+    arithmetic and only the final combine in double — the result is
+    then bit-identical regardless of aggregation order/engine.
     """
     output_col = output_col or f"wma{n}_{value_col}"
     w = Window.partitionBy(*partition_cols).orderBy(order_col)
@@ -55,8 +61,14 @@ def with_wma(
     rn = F.row_number().over(w)
     tmp_rn = f"__wma_rn_{output_col}"
     out = df.withColumn(tmp_rn, rn)
-    sw = F.sum(F.col(value_col) * F.col(tmp_rn)).over(frame)
-    s1 = F.sum(F.col(value_col)).over(frame)
+    val = F.col(value_col)
+    if exact_decimal:
+        val = val.cast(exact_decimal)
+    sw = F.sum(val * F.col(tmp_rn)).over(frame)
+    s1 = F.sum(val).over(frame)
+    if exact_decimal:
+        sw = sw.cast("double")
+        s1 = s1.cast("double")
     cnt = F.count(F.col(value_col)).over(frame)
     wma = (sw - (F.col(tmp_rn) - F.lit(n)) * s1) / F.lit(denom)
     return out.withColumn(output_col, F.when(cnt == n, wma)).drop(tmp_rn)

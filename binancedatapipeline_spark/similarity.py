@@ -1,0 +1,135 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies:
+
+- ``cosine_topk``: brute-force exact top-k — a single scan computing
+  the dot product with built-in higher-order functions
+  (``zip_with`` + ``aggregate``), entirely JVM-side, followed by
+  TakeOrderedAndProject. The correctness baseline and perfectly
+  adequate when the query set is small (it is a broadcast of the
+  query vectors against a 100 TB corpus scan).
+- ``lsh_bucketed_topk``: random-hyperplane LSH — sign-bit sketch of
+  each vector against ``n_planes`` fixed pseudo-random hyperplanes;
+  candidates = rows whose sketch Hamming-matches the query's bucket
+  within ``max_hamming``; exact cosine re-rank on candidates only.
+  The scale path: the bucket join prunes the scan to a small
+  fraction of the corpus.
+
+Hyperplanes derive from a seeded numpy generator, shipped as literal
+arrays — no state, reproducible anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: str, b: str) -> F.Column:
+    """Double-precision dot product of two array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm(a: str) -> F.Column:
+    return F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0.0 as double), "
+            f"(acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: (query_id, vec_id,
+    cosine, rank). Queries are broadcast; the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    joined = corpus.crossJoin(F.broadcast(queries))
+    scored = joined.withColumn(
+        "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: list[list[float]], out: str = "bucket"
+) -> DataFrame:
+    """Sign-bit sketch: bit i set iff dot(vec, plane_i) > 0."""
+    bits = []
+    for i, p in enumerate(planes):
+        lit = "array(" + ", ".join(f"cast({x!r} as double)" for x in p) + ")"
+        bits.append(
+            F.when(
+                F.expr(
+                    f"aggregate(zip_with({vec_col}, {lit}, (x, y) -> cast(x as double) * y), "
+                    f"cast(0.0 as double), (acc, v) -> acc + v)"
+                )
+                > 0,
+                F.lit(1 << i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+    total = bits[0]
+    for b in bits[1:]:
+        total = total + b
+    return df.withColumn(out, total)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to sketch buckets within
+    ``max_hamming`` bits of the query's bucket, then exact cosine
+    re-rank. Recall degrades gracefully with max_hamming."""
+    from pyspark.sql import Window
+
+    planes = hyperplanes(dim, n_planes, seed)
+    c = with_lsh_bucket(corpus, corpus_vec, planes, "c_bucket")
+    q = with_lsh_bucket(queries, query_vec, planes, "q_bucket")
+    cand = c.crossJoin(F.broadcast(q)).filter(
+        F.expr(f"bit_count(c_bucket ^ q_bucket) <= {max_hamming}")
+    )
+    scored = cand.withColumn(
+        "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -1,0 +1,99 @@
+"""Text analysis: tokenization, quality metrics, language ID,
+document fingerprinting.
+
+All pure column expressions (JVM-side, whole-stage codegen) — at
+100 TB these run as a single scan with no shuffle. The heuristics
+are deliberately simple and deterministic so they can be
+differential-tested against a SQL oracle; swap in a real model via
+mapInPandas when accuracy matters more than auditability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit
+# language heuristic; deterministic, not linguistic truth
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "para"),
+    "zh": ("的", "是", "了", "在", "和", "有", "不", "我"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization after collapsing runs of whitespace."""
+    return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add n_tokens (whitespace) and n_bpe_ish (a BPE-flavored count:
+    word-boundary pieces + digits + punctuation as separate tokens)."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    # BPE-ish: count alpha runs, digit runs and punctuation marks
+    pieces = F.split(
+        F.trim(F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", " $1 ")), r"\s+"
+    )
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_bpe_ish", F.size(pieces)
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality signals: length, mean token length, punctuation ratio,
+    alpha ratio, and a composite score in [0,1]."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_tok = n_alpha / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+    )
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_guess(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: the language whose marker
+    words appear most often wins; 'und' (undetermined) when nothing
+    hits. One scan, no shuffle."""
+    out = df.withColumn("__toks", tokens_col(F.lower(F.col(text_col))))
+    langs = sorted(LANG_MARKERS)  # alphabetical tie priority
+    for lang in langs:
+        in_list = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        out = out.withColumn(
+            f"__hits_{lang}",
+            F.size(F.expr(f"filter(__toks, x -> x in ({in_list}))")),
+        )
+    m = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"__hits_{lang}") == m, F.lit(lang)).otherwise(guess)
+    guess = F.when(m == 0, F.lit("und")).otherwise(guess)
+    out = out.withColumn("lang_guess", guess)
+    return out.drop("__toks", *[f"__hits_{lang}" for lang in langs])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-content fingerprint: md5 of the text lowercased with
+    all non-alphanumerics stripped — robust to spacing/punctuation
+    edits, byte-stable across engines."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
+    return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
