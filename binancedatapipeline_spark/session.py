@@ -41,6 +41,10 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # store tz-naive-UTC; read parquet TIMESTAMP(isAdjustedToUTC=false)
+        # as TimestampType (not NTZ) so event-time ops (watermarks) work —
+        # with the session pinned to UTC the semantics are identical
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

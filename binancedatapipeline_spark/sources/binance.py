@@ -1,0 +1,323 @@
+"""Binance-wire-format ingestion connectors, Spark-distributed.
+
+The reference fetches per-symbol kline/funding pages with a
+ThreadPoolExecutor of 8-10 workers and driver-side pagination
+(get_historical_klines, crypto_data_pipeline_duckdb.py:883-955;
+fetch_market_klines_threadpool, duckdb:1091-1218). Here the fan-out
+is Spark tasks: the symbol list becomes a DataFrame, repartitioned to
+the desired parallelism, and ``mapInPandas`` runs the pagination
+loop per partition — so on a cluster the fetch scales with
+executors, with a per-task token-bucket rate limiter replacing the
+reference's @sleep_and_retry/@limits decorators (duckdb:434-440).
+
+No network IO exists in this environment, so the transport is an
+injected callable (``api_factory``); ``SyntheticBinanceApi``
+reproduces the exact wire shapes (FIXTURES.md §B): 12-element kline
+arrays with numerics-as-strings and epoch-ms ints, funding dicts
+with occasionally-empty markPrice, pageable forward from startTime.
+
+Parsing wire → typed rows happens in Spark (``parse_kline_records``)
+with explicit casts (timestamp_millis, cast double) mirroring
+duckdb:1069-1083.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KLINE_WIRE_COLUMNS = [
+    "timestamp_ms", "open", "high", "low", "close", "volume",
+    "close_time_ms", "quote_volume", "trades_count",
+    "taker_buy_volume", "taker_buy_quote_volume", "ignore",
+]
+
+KLINE_WIRE_SCHEMA = T.StructType(
+    [T.StructField("symbol", T.StringType())]
+    + [
+        T.StructField(c, T.LongType() if c.endswith("_ms") else T.StringType())
+        for c in KLINE_WIRE_COLUMNS
+        if c != "trades_count"
+    ]
+    + [T.StructField("trades_count", T.LongType())]
+)
+
+
+class TokenBucket:
+    """Per-task rate limiter standing in for the reference's
+    @limits(calls, period) decorators (duckdb:34-36, 464-470)."""
+
+    def __init__(self, calls: int, period_s: float):
+        self.capacity = calls
+        self.period = period_s
+        self.tokens = float(calls)
+        self.last = time.monotonic()
+
+    def acquire(self) -> None:
+        now = time.monotonic()
+        self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.capacity / self.period)
+        self.last = now
+        if self.tokens < 1:
+            wait = (1 - self.tokens) * self.period / self.capacity
+            time.sleep(wait)
+            self.tokens = 1.0
+        self.tokens -= 1
+
+
+class SyntheticBinanceApi:
+    """Deterministic stand-in transport producing Binance wire shapes.
+
+    Bars are on a fixed epoch-ms grid; values derive from
+    (symbol, timestamp) hashes so any page of any symbol is
+    reproducible independently — which also makes pagination
+    overlap/dedup testable.
+    """
+
+    INTERVAL_MS = {"1m": 60_000, "1h": 3_600_000, "8h": 28_800_000}
+
+    def __init__(self, page_limit: int = 500):
+        self.page_limit = page_limit
+
+    @staticmethod
+    def _h(*parts) -> int:
+        # zlib.crc32, not hash(): str hashing is per-process randomized
+        # (PYTHONHASHSEED) and Spark workers are separate processes
+        import zlib
+
+        return zlib.crc32("|".join(str(p) for p in parts).encode())
+
+    def _value(self, symbol: str, ts: int, field: int) -> float:
+        return 10.0 + (self._h(symbol, ts, field) % 10_000) / 100.0
+
+    def klines(self, symbol: str, interval: str, start_ms: int, end_ms: int) -> list[list]:
+        step = self.INTERVAL_MS[interval]
+        first = ((start_ms + step - 1) // step) * step
+        out = []
+        ts = first
+        while ts <= end_ms and len(out) < self.page_limit:
+            o, h, l, c, v = (self._value(symbol, ts, i) for i in range(5))
+            out.append([
+                ts, f"{o:.2f}", f"{max(o,h):.2f}", f"{min(o,l):.2f}", f"{c:.2f}",
+                f"{v:.3f}", ts + step - 1, f"{v * c:.3f}", int(v * 10),
+                f"{v / 2:.3f}", f"{v * c / 2:.3f}", "0",
+            ])
+            ts += step
+        return out
+
+    def funding(self, symbol: str, start_ms: int, end_ms: int) -> list[dict]:
+        step = self.INTERVAL_MS["8h"]
+        first = ((start_ms + step - 1) // step) * step
+        out = []
+        ts = first
+        while ts <= end_ms and len(out) < self.page_limit:
+            rate = (self._h(symbol, ts) % 2000 - 1000) / 1_000_000
+            out.append({
+                "symbol": symbol,
+                "fundingTime": ts,
+                "fundingRate": f"{rate:.8f}",
+                # occasionally-empty markPrice → coerce+fill path (ch:913-920)
+                "markPrice": "" if ts % (7 * step) == 0 else f"{self._value(symbol, ts, 9):.4f}",
+            })
+            ts += step
+        return out
+
+
+def _paginate_klines(api, symbol: str, interval: str, start_ms: int, end_ms: int,
+                     bucket: TokenBucket | None) -> Iterator[list[list]]:
+    """Forward pagination: next page starts at last_ts + 1
+    (duckdb:918-937)."""
+    cur = start_ms
+    while cur <= end_ms:
+        if bucket:
+            bucket.acquire()
+        page = api.klines(symbol, interval, cur, end_ms)
+        if not page:
+            break
+        yield page
+        cur = page[-1][0] + 1
+
+
+def fetch_klines_distributed(
+    spark: SparkSession,
+    symbols: list[str] | DataFrame,
+    start_ms: int,
+    end_ms: int,
+    interval: str = "1h",
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 8,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Symbol fan-out as Spark tasks → wire-format rows.
+
+    Returns the raw wire relation (strings/epoch-ms); feed through
+    ``parse_kline_records`` for the typed kline table.
+    """
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = sym_df.repartition(parallelism, "symbol")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for symbol in pdf["symbol"]:
+                for page in _paginate_klines(api, symbol, interval, start_ms, end_ms, bucket):
+                    wire = pd.DataFrame(page, columns=KLINE_WIRE_COLUMNS)
+                    wire.insert(0, "symbol", symbol)
+                    yield wire
+
+    return sym_df.mapInPandas(fetch, KLINE_WIRE_SCHEMA)
+
+
+def parse_kline_records(wire: DataFrame, kind: str, interval: str) -> DataFrame:
+    """Wire → typed kline rows: epoch-ms to timestamps, string
+    numerics to doubles, constant exchange/type/interval columns
+    (duckdb:1069-1083). Pure column expressions — stays in codegen."""
+    dbl = ["open", "high", "low", "close", "volume", "quote_volume",
+           "taker_buy_volume", "taker_buy_quote_volume"]
+    out = wire.select(
+        "symbol",
+        F.lit("binance").alias("exchange"),
+        F.lit(kind).alias("type"),
+        F.lit(interval).alias("interval"),
+        F.timestamp_millis("timestamp_ms").alias("timestamp"),
+        F.timestamp_millis("close_time_ms").alias("close_time"),
+        *[F.col(c).cast("double").alias(c) for c in dbl],
+        F.col("trades_count").cast("int").alias("trades_count"),
+    )
+    return out
+
+
+FUNDING_WIRE_SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType()),
+    T.StructField("fundingTime_ms", T.LongType()),
+    T.StructField("fundingRate", T.StringType()),
+    T.StructField("markPrice", T.StringType()),
+])
+
+
+def fetch_funding_rates_distributed(
+    spark: SparkSession,
+    symbols: list[str] | DataFrame,
+    start_ms: int,
+    end_ms: int,
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 8,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Funding-rate fan-out; returns typed bn_funding_rates rows.
+
+    markPrice '' → NULL → 0.0 (pd.to_numeric(errors='coerce') +
+    fillna(0), crypto_data_pipline_clickhouse.py:913-920) expressed
+    as cast-to-double (bad string → NULL) + coalesce."""
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = sym_df.repartition(parallelism, "symbol")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for symbol in pdf["symbol"]:
+                cur = start_ms
+                while cur <= end_ms:
+                    if bucket:
+                        bucket.acquire()
+                    page = api.funding(symbol, cur, end_ms)
+                    if not page:
+                        break
+                    yield pd.DataFrame({
+                        "symbol": symbol,
+                        "fundingTime_ms": [r["fundingTime"] for r in page],
+                        "fundingRate": [r["fundingRate"] for r in page],
+                        "markPrice": [r["markPrice"] for r in page],
+                    })
+                    cur = page[-1]["fundingTime"] + 1
+
+    wire = sym_df.mapInPandas(fetch, FUNDING_WIRE_SCHEMA)
+    return wire.select(
+        "symbol",
+        F.lit("binance").alias("exchange"),
+        F.lit("PERPETUAL").alias("type"),
+        F.timestamp_millis("fundingTime_ms").alias("fundingTime"),
+        F.col("fundingRate").cast("double").alias("fundingRate"),
+        # try_cast, not cast: ANSI mode (Spark 4 default) makes a plain
+        # cast of '' throw; coerce-to-null-fill-0 is the wanted semantics
+        F.coalesce(F.col("markPrice").try_cast("double"), F.lit(0.0)).alias("markPrice"),
+    )
+
+
+EXCHANGE_INFO_SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType()),
+    T.StructField("baseAsset", T.StringType()),
+    T.StructField("quoteAsset", T.StringType()),
+    T.StructField("status", T.StringType()),
+    T.StructField("isSpotTradingAllowed", T.BooleanType()),
+    T.StructField("isMarginTradingAllowed", T.BooleanType()),
+    T.StructField("baseAssetPrecision", T.IntegerType()),
+    T.StructField("quoteAssetPrecision", T.IntegerType()),
+    T.StructField(
+        "filters",
+        T.ArrayType(T.StructType([
+            T.StructField("filterType", T.StringType()),
+            T.StructField("minPrice", T.StringType()),
+            T.StructField("maxPrice", T.StringType()),
+            T.StructField("tickSize", T.StringType()),
+            T.StructField("minQty", T.StringType()),
+            T.StructField("maxQty", T.StringType()),
+            T.StructField("stepSize", T.StringType()),
+        ])),
+    ),
+])
+
+
+def flatten_exchange_info(spark: SparkSession, payload: list[dict]) -> DataFrame:
+    """exchangeInfo symbols[].filters[] → flat bn_spot_symbols rows.
+
+    The reference flattens the filters array imperatively
+    (duckdb:69-93); here it is declarative: explode + filter by
+    filterType + first-value pivot, so Catalyst can prune columns if
+    a consumer selects fewer."""
+    raw = spark.createDataFrame(payload, EXCHANGE_INFO_SCHEMA)
+    f = F.explode_outer("filters").alias("f")
+    exploded = raw.select(
+        "symbol", "baseAsset", "quoteAsset", "status",
+        "isSpotTradingAllowed", "isMarginTradingAllowed",
+        "baseAssetPrecision", "quoteAssetPrecision", f,
+    )
+    price = F.col("f.filterType") == "PRICE_FILTER"
+    lot = F.col("f.filterType") == "LOT_SIZE"
+    agg = exploded.groupBy(
+        "symbol", "baseAsset", "quoteAsset", "status",
+        "isSpotTradingAllowed", "isMarginTradingAllowed",
+        "baseAssetPrecision", "quoteAssetPrecision",
+    ).agg(
+        F.first(F.when(price, F.col("f.minPrice")), ignorenulls=True).cast("double").alias("min_price"),
+        F.first(F.when(price, F.col("f.maxPrice")), ignorenulls=True).cast("double").alias("max_price"),
+        F.first(F.when(price, F.col("f.tickSize")), ignorenulls=True).cast("double").alias("tick_size"),
+        F.first(F.when(lot, F.col("f.minQty")), ignorenulls=True).cast("double").alias("min_qty"),
+        F.first(F.when(lot, F.col("f.maxQty")), ignorenulls=True).cast("double").alias("max_qty"),
+        F.first(F.when(lot, F.col("f.stepSize")), ignorenulls=True).cast("double").alias("step_size"),
+    )
+    return agg.select(
+        F.col("symbol"),
+        F.col("baseAsset").alias("base_asset"),
+        F.col("quoteAsset").alias("quote_asset"),
+        F.lit("binance").alias("exchange"),
+        F.lit("SPOT").alias("type"),
+        F.col("status"),
+        F.col("isSpotTradingAllowed").alias("is_spot_trading_allowed"),
+        F.col("isMarginTradingAllowed").alias("is_margin_trading_allowed"),
+        F.col("baseAssetPrecision").alias("base_precision"),
+        F.col("quoteAssetPrecision").alias("quote_precision"),
+        "min_price", "max_price", "tick_size", "min_qty", "max_qty", "step_size",
+    )

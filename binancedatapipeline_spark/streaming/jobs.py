@@ -1,0 +1,101 @@
+"""Structured Streaming jobs: micro-batch upsert + bar resampling.
+
+The reference's hourly APScheduler cron + MAX(ts)-lookback refetch +
+PK upsert (scheduler_clickhouse.py:120-133,
+crypto_data_pipeline_duckdb.py:1612-1629, 1546-1594) maps onto
+Structured Streaming as:
+
+- a streaming source (file replay in tests; any rate/kafka source in
+  production) with ``withWatermark`` as the late-data tolerance
+  (≙ the reference's lookback buffer T3);
+- ``foreachBatch`` running the warehouse PK-upsert per micro-batch —
+  idempotent under replay, so restarts/overlaps are safe (T4);
+- ``Trigger.AvailableNow`` for cron-parity one-shot catch-up runs,
+  or ``processingTime`` for a long-lived hourly trigger (T1).
+
+``resample_klines`` is the T5 showcase: klines ARE tumbling-window
+OHLCV aggregates, so deriving 1h bars from 1m bars is a window
+aggregation with first/max/min/last — works identically on a batch
+DataFrame or a watermarked stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from binancedatapipeline_spark.catalog import TableSpec
+from binancedatapipeline_spark.warehouse import Warehouse
+
+
+def stream_upsert(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    spec: TableSpec,
+    checkpoint_dir: str,
+    order_col: str | None = None,
+    watermark: str | None = None,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Run a streaming DataFrame into the warehouse as PK-upserts.
+
+    ``on_batch(batch_id, row_count)`` is the notification hook seam
+    (≙ the reference's Telegram alert after each update,
+    scheduler_clickhouse.py:25-64)."""
+    if watermark and spec.time_column:
+        stream = stream.withWatermark(spec.time_column, watermark)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n:
+            warehouse.upsert(spec, batch_df, order_col=order_col)
+        if on_batch:
+            on_batch(batch_id, n)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def resample_klines(klines: DataFrame, target: str = "1 hour") -> DataFrame:
+    """Coarser OHLCV bars from finer ones (works batch or streaming).
+
+    open = first by time, close = last by time, high/low = max/min,
+    volumes/trades summed; emitted timestamp = window start, matching
+    the upstream bar convention (kline timestamp = bar open time).
+    """
+    win = F.window("timestamp", target)
+    # min/max_by give deterministic first/last without a sort
+    return (
+        klines.groupBy("symbol", "exchange", "type", win.alias("w"))
+        .agg(
+            F.min_by("open", "timestamp").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "timestamp").alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("quote_volume").alias("quote_volume"),
+            F.sum("taker_buy_volume").alias("taker_buy_volume"),
+            F.sum("taker_buy_quote_volume").alias("taker_buy_quote_volume"),
+            F.sum("trades_count").cast("int").alias("trades_count"),
+            F.max("close_time").alias("close_time"),
+        )
+        .select(
+            "symbol", "exchange", "type",
+            F.lit(target.replace(" hour", "h").replace(" minute", "m")).alias("interval"),
+            F.col("w.start").alias("timestamp"),
+            "close_time", "open", "high", "low", "close",
+            "volume", "quote_volume", "taker_buy_volume",
+            "taker_buy_quote_volume", "trades_count",
+        )
+    )

@@ -1,0 +1,85 @@
+"""Ingestion connectors: distributed pagination, wire parsing,
+exchangeInfo flattening (SURVEY S1-S6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.sources.binance import (
+    SyntheticBinanceApi,
+    fetch_funding_rates_distributed,
+    fetch_klines_distributed,
+    flatten_exchange_info,
+    parse_kline_records,
+)
+
+H = 3_600_000
+START = 1_700_000_000_000 // H * H  # aligned hour
+
+
+def test_kline_fetch_paginates_and_parses(spark):
+    # 3 symbols x 1000 hourly bars with page_limit 400 → 3 pages/symbol
+    api = lambda: SyntheticBinanceApi(page_limit=400)  # noqa: E731
+    wire = fetch_klines_distributed(
+        spark, ["AAAUSDT", "BBBUSDT", "CCCUSDT"],
+        START, START + 999 * H, "1h", api_factory=api, parallelism=3,
+    )
+    typed = parse_kline_records(wire, "SPOT", "1h")
+    assert typed.count() == 3 * 1000
+    row = typed.filter("symbol = 'AAAUSDT'").orderBy("timestamp").first()
+    assert row["exchange"] == "binance" and row["type"] == "SPOT"
+    assert isinstance(row["close"], float)
+    # pagination produced no duplicate bars
+    assert typed.select("symbol", "timestamp").distinct().count() == 3 * 1000
+
+
+def test_kline_fetch_deterministic_across_runs(spark):
+    args = dict(start_ms=START, end_ms=START + 99 * H, interval="1h", parallelism=4)
+    a = parse_kline_records(
+        fetch_klines_distributed(spark, ["XUSDT", "YUSDT"], **args), "SPOT", "1h"
+    ).toPandas().sort_values(["symbol", "timestamp"], ignore_index=True)
+    b = parse_kline_records(
+        fetch_klines_distributed(spark, ["XUSDT", "YUSDT"], **args), "SPOT", "1h"
+    ).toPandas().sort_values(["symbol", "timestamp"], ignore_index=True)
+    assert a.equals(b)
+
+
+def test_funding_fetch_coerces_empty_markprice(spark):
+    out = fetch_funding_rates_distributed(
+        spark, ["AUSDT"], START, START + 100 * 8 * H, parallelism=1
+    )
+    pdf = out.toPandas()
+    assert (pdf["markPrice"] == 0.0).any()  # '' coerced to 0.0
+    assert pdf["fundingRate"].abs().max() <= 0.001
+    assert str(pdf["fundingTime"].dtype).startswith("datetime64")
+
+
+def test_flatten_exchange_info(spark):
+    payload = [
+        {
+            "symbol": "BTCUSDT", "baseAsset": "BTC", "quoteAsset": "USDT",
+            "status": "TRADING", "isSpotTradingAllowed": True,
+            "isMarginTradingAllowed": True, "baseAssetPrecision": 8,
+            "quoteAssetPrecision": 8,
+            "filters": [
+                {"filterType": "PRICE_FILTER", "minPrice": "0.01",
+                 "maxPrice": "1000000", "tickSize": "0.01",
+                 "minQty": None, "maxQty": None, "stepSize": None},
+                {"filterType": "LOT_SIZE", "minPrice": None, "maxPrice": None,
+                 "tickSize": None, "minQty": "0.0001", "maxQty": "9000",
+                 "stepSize": "0.0001"},
+            ],
+        },
+        {
+            "symbol": "NOFILT", "baseAsset": "NO", "quoteAsset": "FILT",
+            "status": "BREAK", "isSpotTradingAllowed": False,
+            "isMarginTradingAllowed": False, "baseAssetPrecision": 8,
+            "quoteAssetPrecision": 8, "filters": [],
+        },
+    ]
+    out = flatten_exchange_info(spark, payload).toPandas().set_index("symbol")
+    assert out.loc["BTCUSDT", "min_price"] == 0.01
+    assert out.loc["BTCUSDT", "max_qty"] == 9000
+    assert out.loc["BTCUSDT", "exchange"] == "binance"
+    import math
+    assert math.isnan(out.loc["NOFILT", "min_price"])  # explode_outer kept row

@@ -1,0 +1,117 @@
+"""Textops kernels vs independent Python reference implementations,
+similarity sanity, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.multimodal import (
+    decode_and_featurize,
+    sample_frames,
+    with_content_meta,
+)
+from binancedatapipeline_spark.similarity import cosine_topk, lsh_bucketed_topk
+from binancedatapipeline_spark.textops.dedup import (
+    exact_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+
+DOCS = pd.DataFrame({
+    "doc_id": [0, 1, 2, 3],
+    "text": [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",  # near-dup of 0
+        "completely different words entirely here now",
+        "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+    ],
+})
+
+
+def _py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark):
+    out = exact_duplicates(spark.createDataFrame(DOCS)).toPandas()
+    dup_group = out[out["n_copies"] == 2]
+    assert len(dup_group) == 1
+    assert dup_group["canonical_id"].iloc[0] == 0
+
+
+def test_ngram_jaccard_matches_python(spark):
+    got = ngram_jaccard_pairs(spark.createDataFrame(DOCS)).toPandas()
+    got = got.set_index(["id_a", "id_b"])["jaccard"].to_dict()
+    for (a, b), j in got.items():
+        sa, sb = _py_shingles(DOCS.text[a]), _py_shingles(DOCS.text[b])
+        expected = len(sa & sb) / len(sa | sb)
+        assert abs(j - expected) < 1e-12, (a, b)
+    assert got[(0, 3)] == 1.0  # exact dup pair
+    assert got[(0, 1)] > 0.5  # near-dup pair
+
+
+def test_minhash_near_dup_similarity(spark):
+    sig = (
+        minhash_signatures(spark.createDataFrame(DOCS), k=32)
+        .toPandas().set_index("doc_id")["sig"]
+    )
+    agree = lambda a, b: np.mean(np.array(sig[a]) == np.array(sig[b]))  # noqa: E731
+    assert agree(0, 3) == 1.0  # identical docs → identical signatures
+    assert agree(0, 1) > agree(0, 2)  # near-dup closer than unrelated
+
+
+def test_lsh_recall_vs_bruteforce(spark, request):
+    """LSH top-k must recover most of brute-force top-k on real
+    embeddings (sf0.001)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = lsh_bucketed_topk(emb, queries, k=5, max_hamming=6).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_decode_plumbing(spark):
+    rows = [(i, bytes([i]) * (100 + i), ("image/png", 8, 8, 100 + i)) for i in range(10)]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, meta struct<mime:string,width:int,height:int,n_bytes:long>"
+    )
+    meta = with_content_meta(media).toPandas()
+    assert (meta["n_bytes"] == [100 + i for i in range(10)]).all()
+    assert meta["content_sha"].iloc[0] == hashlib.sha256(bytes([0]) * 100).hexdigest()
+
+    feats = decode_and_featurize(media, out_hw=(4, 4)).toPandas()
+    assert len(feats) == 10
+    assert all(len(f) == 4 * 4 * 3 for f in feats["feature"])
+    # deterministic: same bytes → same features
+    again = decode_and_featurize(media, out_hw=(4, 4)).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id", ignore_index=True),
+        again.sort_values("media_id", ignore_index=True),
+    )
+
+
+def test_multimodal_real_decode_raises(spark):
+    media = spark.createDataFrame([(0, b"xx", None)],
+                                  "media_id long, content binary, meta string")
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        decode_and_featurize(media.drop("meta"), fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    vids = spark.createDataFrame([(1, 25), (2, 7)], "media_id long, n_frames int")
+    out = sample_frames(vids, every_n=10).toPandas()
+    got = out.groupby("media_id")["frame_idx"].apply(list).to_dict()
+    assert got == {1: [0, 10, 20], 2: [0]}

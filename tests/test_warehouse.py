@@ -1,0 +1,105 @@
+"""Warehouse upsert semantics: keep-last, idempotent replay,
+partition-scoped rewrite (SURVEY S10/S11, T2-T4)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark import catalog
+from binancedatapipeline_spark.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _klines(spark, fixture_dir):
+    return spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+
+
+def test_overwrite_and_read_roundtrip(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    assert wh.read(spec).count() == src.count()
+    assert wh.read(spec).columns == spec.columns
+
+
+def test_upsert_replaces_matching_pk(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    # mutate a slice and upsert it
+    batch = src.limit(100).withColumn("close", F.lit(-1.0))
+    wh.upsert(spec, batch)
+    out = wh.read(spec)
+    assert out.count() == src.count()  # replaced, not appended
+    assert out.filter(F.col("close") == -1.0).count() == 100
+
+
+def test_upsert_idempotent_replay(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    batch = src.filter(F.col("timestamp") >= "2024-01-20")
+    wh.upsert(spec, batch)
+    n1 = wh.read(spec).count()
+    wh.upsert(spec, batch)  # replay the same lookback window
+    assert wh.read(spec).count() == n1 == src.count()
+
+
+def test_upsert_keep_last_within_batch(spark, wh):
+    spec = catalog.BN_FUNDING_RATES
+    pdf = pd.DataFrame({
+        "symbol": ["A", "A"],
+        "exchange": ["binance", "binance"],
+        "type": ["PERPETUAL", "PERPETUAL"],
+        "fundingTime": pd.to_datetime(["2024-01-01", "2024-01-01"]).astype("datetime64[us]"),
+        "fundingRate": [0.1, 0.2],
+        "markPrice": [1.0, 2.0],
+        "__seq": [0, 1],
+    })
+    df = spark.createDataFrame(pdf)
+    wh.init_table(spec)
+    wh.upsert(spec, df, order_col="__seq")
+    out = wh.read(spec).toPandas()
+    assert len(out) == 1
+    assert out["fundingRate"].iloc[0] == 0.2  # last in sequence wins
+
+
+def test_upsert_only_rewrites_touched_partitions(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    import os
+    part_dirs = sorted(
+        d for d in os.listdir(wh.path(spec.name)) if d.startswith("ds=")
+    )
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(wh.path(spec.name), d)) for d in part_dirs
+    }
+    batch = src.filter(F.to_date("timestamp") == "2024-01-15").withColumn(
+        "close", F.lit(9.9)
+    )
+    import time
+    time.sleep(1.1)
+    wh.upsert(spec, batch)
+    changed = [
+        d for d in part_dirs
+        if os.path.getmtime(os.path.join(wh.path(spec.name), d)) != mtimes_before[d]
+    ]
+    assert changed == ["ds=2024-01-15"]
+
+
+def test_incremental_watermark(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    latest = wh.latest_timestamp(spec)
+    expected = src.agg(F.max("timestamp")).first()[0]
+    assert latest == expected
+    start = wh.incremental_start(spec, now=None)
+    assert start == expected - pd.Timedelta(hours=2)  # lookback buffer
