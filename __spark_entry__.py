@@ -446,6 +446,94 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 generalized: true as-of join — each purchase matched with
+    the user's latest prior (or simultaneous) view event."""
+    from binancedatapipeline_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("value").alias("v_value")
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"],
+        left_time="p_ts", right_time="v_ts", right_values=["v_value"],
+    )
+    return out.select(
+        "user_id", "p_ts",
+        _r6("p_value").alias("p_value"),
+        F.col("v_ts_right").alias("matched_v_ts"),
+        _r6("v_value").alias("v_value"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min
+    of inactivity; cumulative-sum-of-boundaries assigns session ids —
+    one shuffle, two windows."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts", 1).over(w))
+    marked = ev.select("user_id", "ts", "event_id", "value").withColumn(
+        "is_new", F.when(gap_ms.isNull() | (gap_ms > 30 * 60_000), 1).otherwise(0)
+    )
+    w2 = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessioned = marked.withColumn("session_id", F.sum("is_new").over(w2))
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            _r6(_dsum("value", "decimal(18,2)")).alias("session_value"),
+        )
+    )
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users with both clicks and purchases."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set semantics): user-days with views but no errors."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    b = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    return a.subtract(b)
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (partial-agg friendly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured: pull a field out of the JSON props string."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    ).filter(F.col("k") > 50)
+
+
 # ---------------------------------------------------------------- documents
 
 
@@ -575,6 +663,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup": q_rollup,
         "union_all": q_union_all,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "intersect": q_intersect,
+        "except": q_except,
+        "count_distinct": q_count_distinct,
+        "json_extract": q_json_extract,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
@@ -829,6 +923,57 @@ SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        max(value) AS max_value,
        round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
 FROM events GROUP BY 1, 2
+""",
+        "asof_join": """
+WITH purchases AS (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT user_id, ts AS v_ts, value AS v_value FROM events WHERE event_type = 'view'
+)
+SELECT p.user_id, p.p_ts, round(p.p_value, 6) AS p_value,
+       v.v_ts AS matched_v_ts, round(v.v_value, 6) AS v_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.p_ts >= v.v_ts
+""",
+        "sessionize": """
+WITH marked AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w) IS NULL
+                OR epoch_ms(ts) - epoch_ms(lag(ts, 1) OVER w) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE, 6) AS session_value
+FROM sessioned GROUP BY user_id, session_id
+""",
+        "intersect": """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+        "except": """
+SELECT user_id, ts::DATE AS day FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id, ts::DATE AS day FROM events WHERE event_type = 'error'
+""",
+        "count_distinct": """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_suppkey
+""",
+        "json_extract": """
+SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k
+FROM events
+WHERE json_extract_string(props, '$.k')::INTEGER > 50
 """,
         "doc_exact_dedup": """
 SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies

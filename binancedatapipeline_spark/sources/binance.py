@@ -109,6 +109,17 @@ class SyntheticBinanceApi:
             ts += step
         return out
 
+    def klines_tail(self, symbol: str, interval: str, start_ms: int, end_ms: int) -> list[list]:
+        """The NEWEST page_limit bars in [start, end] — Binance's
+        behavior when paginating backward by endTime."""
+        step = self.INTERVAL_MS[interval]
+        last = end_ms // step * step
+        first_grid = ((start_ms + step - 1) // step) * step
+        n_available = max(0, (last - first_grid) // step + 1)
+        n = min(self.page_limit, n_available)
+        window_start = last - (n - 1) * step if n else first_grid
+        return self.klines(symbol, interval, window_start, end_ms) if n else []
+
     def funding(self, symbol: str, start_ms: int, end_ms: int) -> list[dict]:
         step = self.INTERVAL_MS["8h"]
         first = ((start_ms + step - 1) // step) * step
@@ -254,6 +265,95 @@ def fetch_funding_rates_distributed(
         # cast of '' throw; coerce-to-null-fill-0 is the wanted semantics
         F.coalesce(F.col("markPrice").try_cast("double"), F.lit(0.0)).alias("markPrice"),
     )
+
+
+def _paginate_klines_backward(api, symbol: str, interval: str, start_ms: int,
+                              end_ms: int, bucket: TokenBucket | None) -> Iterator[list[list]]:
+    """Backward pagination: next page ends at first_ts − 1 — the
+    option-kline idiom (crypto_data_pipline_clickhouse.py:1157-1175).
+    Downstream dedup must therefore be keep-FIRST (ch:1181-1185)."""
+    cur_end = end_ms
+    while cur_end >= start_ms:
+        if bucket:
+            bucket.acquire()
+        page = api.klines_tail(symbol, interval, start_ms, cur_end)
+        if not page:
+            break
+        yield page
+        cur_end = page[0][0] - 1
+
+
+def fetch_klines_backward_distributed(
+    spark: SparkSession,
+    symbols: list[str] | DataFrame,
+    start_ms: int,
+    end_ms: int,
+    interval: str = "1h",
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 3,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Backward-paginating variant (options path). Wire output also
+    carries __page_seq so keep-first dedup is deterministic."""
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = sym_df.repartition(parallelism, "symbol")
+    schema = T.StructType(KLINE_WIRE_SCHEMA.fields + [T.StructField("__page_seq", T.LongType())])
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for symbol in pdf["symbol"]:
+                for seq, page in enumerate(
+                    _paginate_klines_backward(api, symbol, interval, start_ms, end_ms, bucket)
+                ):
+                    wire = pd.DataFrame(page, columns=KLINE_WIRE_COLUMNS)
+                    wire.insert(0, "symbol", symbol)
+                    wire["__page_seq"] = seq
+                    yield wire
+
+    return sym_df.mapInPandas(fetch, schema)
+
+
+def stride_windows(start_ms: int, end_ms: int, stride_days: int = 30) -> list[tuple[int, int]]:
+    """[start, start+stride], [start+stride, ...] windows clamped to
+    end — the margin-rate fetch stride
+    (crypto_data_pipeline_duckdb.py:212-284). Returned inclusive
+    windows overlap by one boundary bar; PK upsert dedups."""
+    out = []
+    step = stride_days * 86_400_000
+    cur = start_ms
+    while cur <= end_ms:
+        out.append((cur, min(cur + step, end_ms)))
+        cur += step
+    return out
+
+
+class TransientBanError(Exception):
+    """HTTP 418/429-style rate-limit ban with a retry-after hint
+    (reference parses 'banned until {ts}' from the error body,
+    duckdb:755-770)."""
+
+    def __init__(self, until_ms: int):
+        self.until_ms = until_ms
+        super().__init__(f"banned until {until_ms}")
+
+
+def call_with_ban_retry(fn: Callable[[], object], max_retries: int = 3,
+                        sleep_fn: Callable[[float], None] = time.sleep):
+    """Retry wrapper reproducing the reference's 418 handling: sleep
+    until the advertised ban end, then retry (duckdb:755-785)."""
+    for attempt in range(max_retries + 1):
+        try:
+            return fn()
+        except TransientBanError as e:
+            if attempt == max_retries:
+                raise
+            wait_s = max(0.0, e.until_ms / 1000.0 - time.time())
+            sleep_fn(min(wait_s, 60.0))
 
 
 EXCHANGE_INFO_SCHEMA = T.StructType([
