@@ -32,6 +32,9 @@ from binancedatapipeline_spark.textops.analysis import (  # noqa: E402
     with_tokens,
 )
 from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -720,10 +723,8 @@ def oracle_sql() -> dict[str, str]:
     ) + " ELSE 'und' END"
 
     minhash_mins = ",\n         ".join(
-        "min({h}) AS h{s}".format(
-            h=_H56.format(expr="shingle || '#%d'" % seed), s=seed
-        )
-        for seed in range(8)
+        f"min(({A} * __h + {B}) % {MINHASH_P}) AS h{i}"
+        for i, (A, B) in enumerate(zip(MINHASH_A[:8], MINHASH_B[:8]))
     )
 
     return {
@@ -1037,19 +1038,25 @@ FROM bits GROUP BY doc_id
 """,
         "doc_minhash_sig": f"""
 WITH {_shingle_cte(3)},
+__hd AS (
+  SELECT doc_id, {_H56.format(expr='shingle')} % {MINHASH_P} AS __h FROM __sh
+),
 sig AS (
   SELECT doc_id,
          {minhash_mins}
-  FROM __sh GROUP BY doc_id
+  FROM __hd GROUP BY doc_id
 )
 SELECT doc_id, h0 AS mh0, h1 AS mh1, h2 AS mh2, h3 AS mh3 FROM sig
 """,
         "doc_lsh_pairs": f"""
 WITH {_shingle_cte(3)},
+__hd AS (
+  SELECT doc_id, {_H56.format(expr='shingle')} % {MINHASH_P} AS __h FROM __sh
+),
 sig AS (
   SELECT doc_id,
          {minhash_mins}
-  FROM __sh GROUP BY doc_id
+  FROM __hd GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, 0 AS band, md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
