@@ -639,6 +639,59 @@ def q_emb_centroid_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("vec_id", "label", _r6(cos).alias("cosine_to_centroid"))
 
 
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on label
+    (similarity.cosine_near_dup_pairs — the Σ|block|² scale pattern)."""
+    from binancedatapipeline_spark.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.3, block_col="label")
+    return out.select("id_a", "id_b", _r6("cosine").alias("cosine"))
+
+
+def q_rank_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window family: rank / dense_rank / ntile per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.rank().over(w).alias("price_rank"),
+            F.dense_rank().over(w).alias("price_dense_rank"),
+            F.ntile(4).over(w).alias("price_quartile"),
+        )
+        .filter(F.col("price_rank") <= 20)
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over lineitem: per (flag,status), per flag, total."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct per segment — the sketch path for
+    100 TB cardinality estimation (no exact-SQL oracle by nature; the
+    driver records the weaker rows-only check)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -683,6 +736,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_centroid_dist": q_emb_centroid_dist,
+        "emb_near_dup": q_emb_near_dup,
+        "rank_windows": q_rank_windows,
+        "grouping_sets": q_grouping_sets,
+        "approx_distinct": q_approx_distinct,
     }
 
 
@@ -1127,5 +1184,31 @@ SELECT e.vec_id, e.label,
          / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
             * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS cosine_to_centroid
 FROM embeddings e JOIN centroid c ON e.label = c.label
+""",
+        "emb_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.3
+""",
+        "rank_windows": """
+SELECT o_orderpriority, o_orderkey,
+       rank() OVER w AS price_rank,
+       dense_rank() OVER w AS price_dense_rank,
+       ntile(4) OVER w AS price_quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+QUALIFY price_rank <= 20
+""",
+        "grouping_sets": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
     }

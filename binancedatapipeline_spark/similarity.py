@@ -70,6 +70,42 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    block_col: str | None = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold).
+
+    ``block_col`` is the blocking key: the self-join runs only within
+    blocks, so the pair space is Σ|block|² instead of n² — the standard
+    scale pattern when a cheap partition key exists (shard, cluster id,
+    coarse LSH bucket). Pass ``block_col=None`` for the exact
+    all-pairs form (small corpora only), or pre-compute a bucket with
+    ``with_lsh_bucket`` and block on that for ANN-grade recall at
+    scale. Columns: id_a, id_b, cosine."""
+    a = corpus.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    )
+    b = corpus.select(
+        *( [F.col(block_col)] if block_col else [] ),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    )
+    joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", _dot("__va", "__vb") / (_norm("__va") * _norm("__vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()

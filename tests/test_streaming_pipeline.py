@@ -127,3 +127,51 @@ def test_pipeline_update_all_order_and_premium(spark, fixture_dir, tmp_path):
     assert n > 0
     prem = pipe.warehouse.read(catalog.BN_PREMIUM)
     assert prem.filter(F.col("wma120_premium").isNotNull()).count() > 0
+
+
+def test_stream_gap_monitor_matches_batch(spark, fixture_dir, tmp_path):
+    """Online stateful gap detection (applyInPandasWithState) must
+    find the same gaps as the batch LEAD-window audit."""
+    from binancedatapipeline_spark.operators.gaps import find_time_gaps
+    from binancedatapipeline_spark.streaming.stateful import stream_gap_monitor
+
+    src = spark.read.parquet(f"{fixture_dir}/bn_perp_klines.parquet")
+    stage_dir = str(tmp_path / "gap_in")
+    # stage time slices as sequential appends: FileStreamSource orders
+    # by modification time, so micro-batches arrive in event-time order
+    import time as _time
+
+    weeks = sorted(
+        r[0] for r in src.select(F.weekofyear("timestamp").alias("w")).distinct().collect()
+    )
+    for w in weeks:
+        src.filter(F.weekofyear("timestamp") == w).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage_dir)
+        _time.sleep(1.1)  # distinct mtimes
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    alerts = stream_gap_monitor(stream, interval_hours=1)
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("gap_alerts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "gap_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["symbol"], r["gap_start"], r["gap_end"])
+        for r in spark.sql("SELECT * FROM gap_alerts").collect()
+    }
+    exp = {
+        (r["symbol"], r["gap_start"], r["gap_end"])
+        for r in find_time_gaps(src, ["symbol"], "timestamp", 60.0).collect()
+    }
+    assert got == exp
+    assert len(exp) > 0
