@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two strategies:
+Three strategies:
 
 - ``cosine_topk``: brute-force exact top-k — a single scan computing
   the dot product with built-in higher-order functions
@@ -14,14 +14,20 @@ Two strategies:
   within ``max_hamming``; exact cosine re-rank on candidates only.
   The scale path: the bucket join prunes the scan to a small
   fraction of the corpus.
+- ``ivf_topk``: inverted-file index — k-means centroids trained on a
+  bounded driver-side sample (the standard IVF train step), corpus
+  vectors assigned to their nearest centroid by an Arrow-batched
+  pandas UDF (one numpy matmul per batch), queries probe only the
+  ``nprobe`` nearest cells, exact cosine re-rank inside probed cells.
 
-Hyperplanes derive from a seeded numpy generator, shipped as literal
-arrays — no state, reproducible anywhere.
+Hyperplanes/centroids derive from seeded generators — no state,
+reproducible anywhere.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -158,6 +164,107 @@ def lsh_bucketed_topk(
     cand = c.crossJoin(F.broadcast(q)).filter(
         F.expr(f"bit_count(c_bucket ^ q_bucket) <= {max_hamming}")
     )
+    scored = cand.withColumn(
+        "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd k-means on a bounded sample, driver-side (the standard
+    IVF train step — the sample is capped, so this stays O(sample),
+    never O(corpus)). Returns (n_cells, dim) L2-normalized centroids."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(iters):
+        # cosine assignment on normalized rows == dot-product argmax
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        assign = np.argmax(sn @ cn.T, axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
+def with_ivf_cell(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, out: str = "cell"
+) -> DataFrame:
+    """Nearest-centroid cell id via an Arrow-batched pandas UDF (one
+    numpy matmul per batch — the vectorized slow-path pattern)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids  # closure-captured; broadcast with each task binary
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cn.T, axis=1))
+
+    return df.withColumn(out, assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    centroids: np.ndarray | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells nearest each
+    query, exact cosine re-rank within them. Scan cost ≈
+    nprobe/n_cells of the corpus once cells are materialized."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells=n_cells, vec_col=corpus_vec, seed=seed
+        )
+    c = with_ivf_cell(corpus, centroids, corpus_vec, "c_cell")
+    q = with_ivf_cell(queries, centroids, query_vec, "q_cell")
+
+    # nprobe nearest cells per query: explode the per-query centroid
+    # ranking (n_cells is tiny, so this is a driver-free broadcast op)
+    from pyspark.sql.functions import pandas_udf
+
+    cn = centroids
+
+    @pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cn.T), axis=1)[:, :nprobe]
+        return pd.Series(list(order))
+
+    q = q.withColumn("probe", probe_cells(F.col(query_vec)))
+    q_exp = q.select(query_id, query_vec, F.explode("probe").alias("c_cell"))
+    cand = c.join(F.broadcast(q_exp), on="c_cell")
     scored = cand.withColumn(
         "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
     )

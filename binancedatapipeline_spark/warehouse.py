@@ -126,9 +126,18 @@ class Warehouse:
             self.overwrite(spec, updates)
             return
 
+        # broadcast the batch keys into the anti-join only when the
+        # batch is genuinely small — an hourly tick is, a backfill is
+        # not, and force-broadcasting a backfill OOMs real executors.
+        # (count() here is cheap next to the rewrite that follows.)
+        keys = updates.select(*spec.primary_keys)
+        anti_build = (
+            F.broadcast(keys) if updates.count() <= 1_000_000 else keys
+        )
+
         if spec.partition_date_source is None:
             merged = self.read(spec).join(
-                F.broadcast(updates), on=list(spec.primary_keys), how="left_anti"
+                anti_build, on=list(spec.primary_keys), how="left_anti"
             ).unionByName(updates)
             # two-phase write: materialize merge before overwriting source
             tmp = self.path(f"__tmp_{spec.name}")
@@ -143,7 +152,7 @@ class Warehouse:
             F.col(DS_COL).isin(touched)
         )
         kept = target.join(
-            F.broadcast(updates), on=list(spec.primary_keys), how="left_anti"
+            anti_build, on=list(spec.primary_keys), how="left_anti"
         ).select(*spec.columns)
         merged = self._with_ds(spec, kept.unionByName(updates))
 

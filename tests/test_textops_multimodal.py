@@ -115,3 +115,19 @@ def test_frame_sampling(spark):
     out = sample_frames(vids, every_n=10).toPandas()
     got = out.groupby("media_id")["frame_idx"].apply(list).to_dict()
     assert got == {1: [0, 10, 20], 2: [0]}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF top-k must recover most of brute-force top-k (sf0.001)."""
+    from binancedatapipeline_spark.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = ivf_topk(emb, queries, k=5, n_cells=8, nprobe=4).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "vec_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "vec_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
