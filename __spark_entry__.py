@@ -692,6 +692,49 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: line status → columns, sum(qty) cells per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("F").alias("qty_f"),
+        F.col("O").alias("qty_o"),
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median, p90)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        _r6(F.expr("percentile(o_totalprice, 0.5)")).alias("p50_price"),
+        _r6(F.expr("percentile(o_totalprice, 0.9)")).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: trailing 2-hour event-value sum per
+    user (value-range frame, not row-count frame)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-7200, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        _r6(F.sum("value").over(w)).alias("trailing_2h_value"),
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -740,6 +783,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_windows": q_rank_windows,
         "grouping_sets": q_grouping_sets,
         "approx_distinct": q_approx_distinct,
+        "pivot": q_pivot,
+        "percentiles": q_percentiles,
+        "window_range_frame": q_window_range_frame,
     }
 
 
@@ -1210,5 +1256,25 @@ SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+        "pivot": """
+SELECT l_returnflag,
+       sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_f,
+       sum(l_quantity) FILTER (l_linestatus = 'O') AS qty_o
+FROM lineitem GROUP BY l_returnflag
+""",
+        "percentiles": """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS p50_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+        "window_range_frame": """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+         RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW), 6) AS trailing_2h_value
+FROM events
 """,
     }
