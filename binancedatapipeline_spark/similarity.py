@@ -62,9 +62,12 @@ def cosine_topk(
     cosine, rank). Queries are broadcast; the corpus is scanned once."""
     from pyspark.sql import Window
 
-    joined = corpus.crossJoin(F.broadcast(queries))
+    # per-vector norms computed once per side, not once per pair
+    c = corpus.withColumn("__cn", _norm(corpus_vec))
+    q = queries.withColumn("__qn", _norm(query_vec))
+    joined = c.crossJoin(F.broadcast(q))
     scored = joined.withColumn(
-        "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
+        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
@@ -93,20 +96,28 @@ def cosine_near_dup_pairs(
     all-pairs form (small corpora only), or pre-compute a bucket with
     ``with_lsh_bucket`` and block on that for ANN-grade recall at
     scale. Columns: id_a, id_b, cosine."""
-    a = corpus.select(
+    # norms are per-vector, not per-pair: compute them once on each
+    # side of the join (|block| rows) instead of inside the pair space
+    # (Σ|block|² rows) — at scale that is the difference between n and
+    # n² array traversals
+    normed = corpus.select(
         *( [F.col(block_col)] if block_col else [] ),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va"),
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(vec_col).alias("__n"),
     )
-    b = corpus.select(
-        *( [F.col(block_col)] if block_col else [] ),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb"),
+    a = normed.select(
+        *( [block_col] if block_col else [] ),
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na"),
+    )
+    b = normed.select(
+        *( [block_col] if block_col else [] ),
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb"),
     )
     joined = a.join(b, on=block_col, how="inner") if block_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", _dot("__va", "__vb") / (_norm("__va") * _norm("__vb")))
+        .withColumn("cosine", _dot("__va", "__vb") / (F.col("__na") * F.col("__nb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -159,13 +170,17 @@ def lsh_bucketed_topk(
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes, seed)
-    c = with_lsh_bucket(corpus, corpus_vec, planes, "c_bucket")
-    q = with_lsh_bucket(queries, query_vec, planes, "q_bucket")
+    c = with_lsh_bucket(corpus, corpus_vec, planes, "c_bucket").withColumn(
+        "__cn", _norm(corpus_vec)
+    )
+    q = with_lsh_bucket(queries, query_vec, planes, "q_bucket").withColumn(
+        "__qn", _norm(query_vec)
+    )
     cand = c.crossJoin(F.broadcast(q)).filter(
         F.expr(f"bit_count(c_bucket ^ q_bucket) <= {max_hamming}")
     )
     scored = cand.withColumn(
-        "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
+        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
@@ -263,10 +278,15 @@ def ivf_topk(
         return pd.Series(list(order))
 
     q = q.withColumn("probe", probe_cells(F.col(query_vec)))
-    q_exp = q.select(query_id, query_vec, F.explode("probe").alias("c_cell"))
-    cand = c.join(F.broadcast(q_exp), on="c_cell")
+    q_exp = q.select(
+        query_id, query_vec, _norm(query_vec).alias("__qn"),
+        F.explode("probe").alias("c_cell"),
+    )
+    cand = c.withColumn("__cn", _norm(corpus_vec)).join(
+        F.broadcast(q_exp), on="c_cell"
+    )
     scored = cand.withColumn(
-        "cosine", _dot(corpus_vec, query_vec) / (_norm(corpus_vec) * _norm(query_vec))
+        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
     )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
