@@ -29,6 +29,7 @@ from binancedatapipeline_spark.textops.analysis import (  # noqa: E402
     with_fingerprint,
     with_lang_guess,
     with_quality,
+    with_rolling_fingerprint,
     with_tokens,
 )
 from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
@@ -572,6 +573,11 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(d).select("doc_id", "fingerprint")
 
 
+def q_doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return with_rolling_fingerprint(d, k=8).select("doc_id", "rolling_fp")
+
+
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return simhash(d)
@@ -773,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_guess": q_doc_lang_guess,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_rolling_fp": q_doc_rolling_fp,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -1123,6 +1130,16 @@ SELECT doc_id, lang, {best} AS lang_guess FROM best
         "doc_fingerprint": """
 SELECT doc_id, md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))) AS fingerprint
 FROM documents
+""",
+        "doc_rolling_fp": """
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+                i -> ('0x' || substr(md5(nt[i:i+7]), 1, 14))::BIGINT)) AS rolling_fp
+FROM n
 """,
         "doc_simhash": f"""
 WITH tok AS (

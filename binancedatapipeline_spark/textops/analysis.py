@@ -97,3 +97,24 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     edits, byte-stable across engines."""
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
     return df.withColumn("fingerprint", F.md5(normalized.cast("binary")))
+
+
+def with_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Rolling-hash fingerprint: the minimum 56-bit hash over all
+    character ``k``-grams of the normalized text (the selection step
+    of a winnowing scheme with one global window). Localized edits
+    leave the fingerprint unchanged unless they touch the minimizing
+    k-gram, unlike the whole-document digest. Pure column expression:
+    sequence→transform→array_min, no explode, no shuffle."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
+    expr = (
+        f"array_min(transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(cast(substring(__norm, i, {k}) as binary)), 1, 14), 16, 10) as bigint)))"
+    )
+    return (
+        df.withColumn("__norm", normalized)
+        .withColumn("rolling_fp", F.expr(expr))
+        .drop("__norm")
+    )

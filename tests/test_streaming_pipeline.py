@@ -175,3 +175,41 @@ def test_stream_gap_monitor_matches_batch(spark, fixture_dir, tmp_path):
     }
     assert got == exp
     assert len(exp) > 0
+
+
+def test_streaming_resample_with_watermark(spark, fixture_dir, tmp_path):
+    """Watermarked streaming window-agg: 1h→4h resample over a file
+    stream in append mode must emit only closed windows, each equal
+    to its batch counterpart."""
+    src = spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+    stage_dir = str(tmp_path / "res_in")
+    src.repartition(4).write.parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage_dir)
+        .withWatermark("timestamp", "2 hours")
+    )
+    bars = resample_klines(stream, "4 hours")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("res_bars")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "res_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["symbol"], r["timestamp"]): (r["open"], r["close"], r["volume"])
+        for r in spark.sql("SELECT * FROM res_bars").collect()
+    }
+    exp = {
+        (r["symbol"], r["timestamp"]): (r["open"], r["close"], r["volume"])
+        for r in resample_klines(src, "4 hours").collect()
+    }
+    assert len(got) > 0
+    for key, (o, c, v) in got.items():
+        eo, ec, ev = exp[key]
+        assert o == eo and c == ec and abs(v - ev) < 1e-9, key
