@@ -103,3 +103,45 @@ def test_incremental_watermark(spark, wh, fixture_dir):
     assert latest == expected
     start = wh.incremental_start(spec, now=None)
     assert start == expected - pd.Timedelta(hours=2)  # lookback buffer
+
+
+def test_bucketed_join_has_no_shuffle(spark, fixture_dir, tmp_path):
+    """Two tables bucketed on the join key must sort-merge join with
+    ZERO Exchange operators (the bucketing contract that removes the
+    premium join's shuffle at scale)."""
+    from binancedatapipeline_spark import catalog
+
+    wh = Warehouse(spark, str(tmp_path / "wh_buck"))
+    spot = spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+    perp = spark.read.parquet(f"{fixture_dir}/bn_perp_klines.parquet")
+    t_spot = wh.write_bucketed(catalog.BN_SPOT_KLINES, spot, n_buckets=4)
+    t_perp = wh.write_bucketed(catalog.BN_PERP_KLINES, perp, n_buckets=4)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        # per-symbol aggregate on each side then an equi-join on the
+        # bucket column: with both tables bucketed by symbol neither
+        # the aggregations nor the join need any shuffle
+        p = (
+            spark.table(t_perp)
+            .groupBy("symbol")
+            .agg(F.avg("close").alias("p_close"))
+        )
+        s = (
+            spark.table(t_spot)
+            .groupBy("symbol")
+            .agg(F.avg("close").alias("s_close"))
+        )
+        joined = p.join(s, on=["symbol"], how="inner")
+        rows = joined.collect()  # execute THIS plan so AQE finalizes it
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_auto)
+        spark.sql(f"DROP TABLE {t_spot}")
+        spark.sql(f"DROP TABLE {t_perp}")
