@@ -30,15 +30,16 @@ def main() -> None:
         sf = -1.0
     spark = get_session(app_name="bench")
 
-    # Warm-up: run each plan shape once on the tiny SF so JVM/codegen
-    # compilation isn't charged to the measured run (standard JIT
-    # exclusion; disable with SPARK_GRAFT_WARMUP=0).
-    warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    do_warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0" and os.path.isdir(warmup_dir)
+    # Warm-up: run each query once at the MEASURED scale factor so
+    # JVM/codegen compilation isn't charged to the timed runs (AQE
+    # picks different physical plans per scale, so warming at a tiny
+    # SF leaves the real plans cold; standard JIT exclusion; disable
+    # with SPARK_GRAFT_WARMUP=0).
+    do_warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
     if do_warmup:
         for name, fn in entry_mod.queries().items():
             try:
-                fn(spark, warmup_dir).write.format("noop").mode("overwrite").save()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
 

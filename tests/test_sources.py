@@ -83,3 +83,21 @@ def test_flatten_exchange_info(spark):
     assert out.loc["BTCUSDT", "exchange"] == "binance"
     import math
     assert math.isnan(out.loc["NOFILT", "min_price"])  # explode_outer kept row
+
+
+def test_csv_json_scans_roundtrip(spark, fixture_dir, tmp_path):
+    """S8: CSV and JSON file scans with explicit schema (never
+    inferSchema on the hot path) round-trip a klines slice."""
+    src = spark.read.parquet(f"{fixture_dir}/bn_funding_rates.parquet")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    src.write.option("header", True).csv(csv_dir)
+    src.write.json(json_dir)
+
+    csv_back = spark.read.schema(src.schema).option("header", True).csv(csv_dir)
+    json_back = spark.read.schema(src.schema).json(json_dir)
+    assert csv_back.count() == src.count()
+    assert json_back.count() == src.count()
+    assert csv_back.schema == src.schema == json_back.schema
+    key = ["symbol", "fundingTime"]
+    assert csv_back.join(src, key, "left_anti").count() == 0
+    assert json_back.join(src, key, "left_anti").count() == 0
