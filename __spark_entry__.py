@@ -741,6 +741,50 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel per user: first view → first click
+    after it → first purchase after that (sequential min-over-filter
+    composition, the classic product-analytics query)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("user_id", "event_type", "ts")
+    v = base.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("first_view")
+    )
+    c = base.filter(F.col("event_type") == "click").alias("c")
+    first_click = (
+        c.join(v, "user_id")
+        .filter(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = base.filter(F.col("event_type") == "purchase").alias("p")
+    funnel = (
+        p.join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return v.join(first_click.select("user_id", "first_click"), "user_id", "left").join(
+        funnel.select("user_id", "first_purchase"), "user_id", "left"
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, distinct
+    active users per day-offset."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.select("user_id", F.to_date("ts").alias("day"))
+        .join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -793,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot": q_pivot,
         "percentiles": q_percentiles,
         "window_range_frame": q_window_range_frame,
+        "funnel": q_funnel,
+        "cohort_retention": q_cohort_retention,
     }
 
 
@@ -1293,5 +1339,35 @@ SELECT event_id, user_id, ts,
          PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
          RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW), 6) AS trailing_2h_value
 FROM events
+""",
+        "funnel": """
+WITH v AS (
+  SELECT user_id, min(ts) AS first_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+fc AS (
+  SELECT c.user_id, v.first_view, min(c.ts) AS first_click
+  FROM events c JOIN v ON c.user_id = v.user_id
+  WHERE c.event_type = 'click' AND c.ts >= v.first_view
+  GROUP BY c.user_id, v.first_view
+),
+fp AS (
+  SELECT p.user_id, min(p.ts) AS first_purchase
+  FROM events p JOIN fc ON p.user_id = fc.user_id
+  WHERE p.event_type = 'purchase' AND p.ts >= fc.first_click
+  GROUP BY p.user_id
+)
+SELECT v.user_id, v.first_view, fc.first_click, fp.first_purchase
+FROM v LEFT JOIN fc ON v.user_id = fc.user_id
+LEFT JOIN fp ON v.user_id = fp.user_id
+""",
+        "cohort_retention": """
+WITH fd AS (
+  SELECT user_id, min(ts)::DATE AS cohort_day FROM events GROUP BY user_id
+)
+SELECT fd.cohort_day, datediff('day', fd.cohort_day, e.ts::DATE) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN fd ON e.user_id = fd.user_id
+GROUP BY 1, 2
 """,
     }
