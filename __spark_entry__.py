@@ -785,6 +785,40 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: the order id carrying each priority's extreme
+    price (deterministic argmax without a sort)."""
+    o = _t(spark, sf_dir, "orders")
+    # tie-break deterministically by keying the extremum on (price, key)
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
+            "max_price_order"
+        ),
+        F.expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias(
+            "min_price_order"
+        ),
+        _r6(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their priority
+    class average."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderpriority,
+               round(o_totalprice, 6) AS o_totalprice
+        FROM orders o
+        WHERE o_totalprice > 2 * (
+          SELECT avg(o_totalprice) FROM orders i
+          WHERE i.o_orderpriority = o.o_orderpriority
+        )
+        """
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -839,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
+        "arg_max": q_arg_max,
+        "scalar_subquery": q_scalar_subquery,
     }
 
 
@@ -1369,5 +1405,28 @@ SELECT fd.cohort_day, datediff('day', fd.cohort_day, e.ts::DATE) AS day_offset,
        count(DISTINCT e.user_id) AS n_users
 FROM events e JOIN fd ON e.user_id = fd.user_id
 GROUP BY 1, 2
+""",
+        "arg_max": """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+  FROM orders
+)
+SELECT o_orderpriority,
+       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_order,
+       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_order,
+       round(max(o_totalprice), 6) AS max_price
+FROM r GROUP BY o_orderpriority
+""",
+        "scalar_subquery": """
+SELECT o_orderkey, o_orderpriority, round(o_totalprice, 6) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > 2 * (
+  SELECT avg(o_totalprice) FROM orders i
+  WHERE i.o_orderpriority = o.o_orderpriority
+)
 """,
     }
