@@ -99,3 +99,32 @@ def resample_klines(klines: DataFrame, target: str = "1 hour") -> DataFrame:
             "taker_buy_quote_volume", "trades_count",
         )
     )
+
+
+def stream_premium(
+    perp_stream: DataFrame,
+    spot_stream: DataFrame,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming form of the premium join (J1): perp⋈spot on
+    (symbol, timestamp) as a stream-stream inner join. Watermarks on
+    both sides bound the join state — Spark retains only rows within
+    the watermark horizon, so state is O(symbols × horizon) no matter
+    how long the streams run. (The WMA layer stays a batch/foreachBatch
+    concern: a 120-row trailing window over event time is not
+    expressible as bounded stream state.)"""
+    p = (
+        perp_stream.withWatermark("timestamp", watermark)
+        .select(
+            "symbol",
+            "timestamp",
+            F.col("close").alias("perp_close"),
+            "exchange",
+        )
+    )
+    s = spot_stream.withWatermark("timestamp", watermark).select(
+        "symbol", "timestamp", F.col("close").alias("spot_close")
+    )
+    return p.join(s, on=["symbol", "timestamp"], how="inner").withColumn(
+        "premium", F.col("perp_close") / F.col("spot_close") - 1
+    )

@@ -1,0 +1,69 @@
+"""Physical-plan property guards: the optimizations the engine's
+scale story depends on must be visible in the executed plans —
+pushdown reaching the scan, broadcast joins for dims, TakeOrdered for
+top-k. Catching a regression here is catching a 100 TB incident at
+sf0.001 cost."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _final_plan(df) -> str:
+    df.collect()  # execute THIS plan so AQE finalizes it
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    # formatted mode prints scan details (PushedFilters, ReadSchema)
+    # untruncated, unlike executedPlan().toString()
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = entry_mod.queries()["filtered_projection"](spark, SF)
+    plan = _final_plan(df)
+    assert "PushedFilters: [" in plan
+    # the IN-list and range predicates must be in the scan, not a Filter above it
+    assert "In(l_returnflag" in plan, plan
+    assert "GreaterThan(l_quantity,25.0)" in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = entry_mod.queries()["pricing_summary"](spark, SF)
+    plan = _final_plan(df)
+    # lineitem has 16 columns; the scan must read only the 6 used
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert read_schema.count(":") <= 8, read_schema
+
+
+def test_dim_joins_broadcast(spark):
+    df = entry_mod.queries()["join_dims_broadcast"](spark, SF)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    df = entry_mod.queries()["topk_orders"](spark, SF)
+    plan = _final_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No query may plan a cartesian/nested-loop join except the
+    explicitly-blocked similarity scans (which bound one side)."""
+    allowed = {"emb_cosine_topk"}  # query-vector broadcast cross join by design
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        if name in allowed:
+            continue
+        assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"

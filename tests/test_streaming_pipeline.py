@@ -213,3 +213,47 @@ def test_streaming_resample_with_watermark(spark, fixture_dir, tmp_path):
     for key, (o, c, v) in got.items():
         eo, ec, ev = exp[key]
         assert o == eo and c == ec and abs(v - ev) < 1e-9, key
+
+
+def test_stream_stream_premium_join(spark, fixture_dir, tmp_path):
+    """Stream-stream inner join with watermarks on both sides must
+    produce exactly the batch join's rows."""
+    from binancedatapipeline_spark.streaming.jobs import stream_premium
+
+    perp = spark.read.parquet(f"{fixture_dir}/bn_perp_klines.parquet")
+    spot = spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+    p_dir, s_dir = str(tmp_path / "p_in"), str(tmp_path / "s_in")
+    perp.repartition(3).write.parquet(p_dir)
+    spot.repartition(3).write.parquet(s_dir)
+
+    p_stream = spark.readStream.schema(perp.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(p_dir)
+    s_stream = spark.readStream.schema(spot.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(s_dir)
+    # micro-batches arrive in random file order here, so use a
+    # watermark spanning the fixture: nothing is "late", and the
+    # stream must reproduce the batch join exactly. (Production uses
+    # a tight watermark to bound state; ordered arrival is the norm.)
+    joined = stream_premium(p_stream, s_stream, watermark="1000 hours")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("prem_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["symbol"], r["timestamp"]): round(r["premium"], 9)
+        for r in spark.sql("SELECT * FROM prem_join").collect()
+    }
+    exp_df = stream_premium(perp, spot)  # same plan, batch inputs
+    exp = {
+        (r["symbol"], r["timestamp"]): round(r["premium"], 9)
+        for r in exp_df.collect()
+    }
+    assert got == exp
+    assert len(exp) > 0
