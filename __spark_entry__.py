@@ -819,6 +819,32 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency, top 20 (explode + count + top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
+    return (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-user view and error day-counts, users on
+    either side retained."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("view_days")
+    )
+    e = ev.filter(F.col("event_type") == "error").groupBy("user_id").agg(
+        F.countDistinct(F.to_date("ts")).alias("error_days")
+    )
+    return v.join(e, on="user_id", how="full_outer")
+
+
 # ---------------------------------------------------------------- registry
 
 
@@ -875,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "arg_max": q_arg_max,
         "scalar_subquery": q_scalar_subquery,
+        "word_count": q_word_count,
+        "full_outer": q_full_outer,
     }
 
 
@@ -1428,5 +1456,22 @@ WHERE o_totalprice > 2 * (
   SELECT avg(o_totalprice) FROM orders i
   WHERE i.o_orderpriority = o.o_orderpriority
 )
+""",
+        "word_count": f"""
+SELECT tok AS token, count(*) AS n
+FROM (SELECT unnest({_TOKS.replace('text', 'lower(text)')}) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+""",
+        "full_outer": """
+WITH v AS (
+  SELECT user_id, count(DISTINCT ts::DATE) AS view_days
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+e AS (
+  SELECT user_id, count(DISTINCT ts::DATE) AS error_days
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT coalesce(v.user_id, e.user_id) AS user_id, v.view_days, e.error_days
+FROM v FULL OUTER JOIN e ON v.user_id = e.user_id
 """,
     }
