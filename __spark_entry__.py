@@ -43,15 +43,20 @@ from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
     simhash,
 )
 from binancedatapipeline_spark.similarity import cosine_topk  # noqa: E402
+from binancedatapipeline_spark.operators.spread import spread  # noqa: E402
 
 
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table, memoizing the DataFrame handle per session so
-    repeated queries don't re-read parquet footers for schema."""
-    key = (id(spark), sf_dir, name)
+    repeated queries don't re-read parquet footers for schema.
+
+    Keyed on applicationId (not id(spark)): CPython recycles object
+    ids after GC, which could resurrect DataFrames bound to a dead
+    session."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
@@ -521,11 +526,18 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct-count per group (partial-agg friendly)."""
+    """Exact distinct-count per group, one pass.
+
+    Two countDistincts over one grouping would plan an Expand (input
+    ×2) plus a two-stage distinct aggregate; collect_set computes both
+    in a single map-side-partial shuffle. Safe here because TPC-H
+    per-supplier cardinalities are bounded (~80 parts / ~600 orders
+    per supplier at every SF); for unbounded groups, fall back to
+    countDistinct's Expand plan which never materializes the set."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_suppkey").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.size(F.collect_set("l_partkey")).cast("bigint").alias("n_parts"),
+        F.size(F.collect_set("l_orderkey")).cast("bigint").alias("n_orders"),
     )
 
 
@@ -689,12 +701,31 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct per segment — the sketch path for
-    100 TB cardinality estimation (no exact-SQL oracle by nature; the
-    driver records the weaker rows-only check)."""
+    100 TB cardinality estimation.
+
+    Sketch values are engine-specific, so the checkable contract is:
+    the exact count (hash-verifiable against the oracle) plus a
+    boolean asserting the sketch landed within 5% of exact (rsd is
+    0.02, so the bound has wide margin; Spark's HLL++ is
+    deterministic, making the boolean stable). The oracle emits the
+    exact count and literal TRUE."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-        F.count("*").alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("n_users_exact"))
+                <= 0.05 * F.col("n_users_exact")
+            ).alias("approx_within_5pct"),
+        )
     )
 
 
@@ -743,45 +774,61 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel per user: first view → first click
-    after it → first purchase after that (sequential min-over-filter
-    composition, the classic product-analytics query)."""
+    after it → first purchase after that.
+
+    One groupBy (single shuffle, map-side partial) instead of the
+    naive three-scans-three-joins plan: collect each user's click and
+    purchase timestamps, then resolve the sequential mins with array
+    expressions. Per-user arrays are bounded by that user's funnel
+    events — fine for product analytics; for adversarially hot users,
+    salt or fall back to the window formulation."""
     ev = _t(spark, sf_dir, "events")
-    base = ev.select("user_id", "event_type", "ts")
-    v = base.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("first_view")
+    agg = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+                "first_view"
+            ),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("__clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("__purchases"),
+        )
+        .filter(F.col("first_view").isNotNull())
     )
-    c = base.filter(F.col("event_type") == "click").alias("c")
-    first_click = (
-        c.join(v, "user_id")
-        .filter(F.col("ts") >= F.col("first_view"))
-        .groupBy("user_id", "first_view")
-        .agg(F.min("ts").alias("first_click"))
+    # x >= NULL is NULL → filter drops it, so a missing stage nulls
+    # every later stage, matching the left-join formulation
+    with_click = agg.withColumn(
+        "first_click",
+        F.array_min(F.filter("__clicks", lambda x: x >= F.col("first_view"))),
     )
-    p = base.filter(F.col("event_type") == "purchase").alias("p")
-    funnel = (
-        p.join(first_click, "user_id")
-        .filter(F.col("ts") >= F.col("first_click"))
-        .groupBy("user_id", "first_view", "first_click")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    return v.join(first_click.select("user_id", "first_click"), "user_id", "left").join(
-        funnel.select("user_id", "first_purchase"), "user_id", "left"
-    )
+    return with_click.withColumn(
+        "first_purchase",
+        F.array_min(F.filter("__purchases", lambda x: x >= F.col("first_click"))),
+    ).select("user_id", "first_view", "first_click", "first_purchase")
 
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, distinct
     active users per day-offset."""
     ev = _t(spark, sf_dir, "events")
-    first_day = ev.groupBy("user_id").agg(
-        F.to_date(F.min("ts")).alias("cohort_day")
+    # collapse raw events to each user's distinct-day set first (one
+    # shuffle, map-side partial collect_set bounded by calendar days),
+    # derive the cohort day from the same set — no join, and the final
+    # count is a plain count because (user, day) is already unique
+    user_days = ev.groupBy("user_id").agg(
+        F.collect_set(F.to_date("ts")).alias("__days")
     )
     return (
-        ev.select("user_id", F.to_date("ts").alias("day"))
-        .join(first_day, "user_id")
-        .withColumn("day_offset", F.datediff("day", "cohort_day"))
-        .groupBy("cohort_day", "day_offset")
-        .agg(F.countDistinct("user_id").alias("n_users"))
+        user_days.select(
+            F.array_min("__days").alias("cohort_day"),
+            F.explode("__days").alias("day"),
+        )
+        .groupBy("cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
 
 
@@ -789,39 +836,53 @@ def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by: the order id carrying each priority's extreme
     price (deterministic argmax without a sort)."""
     o = _t(spark, sf_dir, "orders")
-    # tie-break deterministically by keying the extremum on (price, key)
-    return o.groupBy("o_orderpriority").agg(
-        F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))").alias(
-            "max_price_order"
-        ),
-        F.expr("min_by(o_orderkey, struct(o_totalprice, -o_orderkey))").alias(
-            "min_price_order"
-        ),
-        _r6(F.max("o_totalprice")).alias("max_price"),
+    # argmax as max-of-struct: lexicographic struct ordering carries the
+    # key along with the extremum in one partial-agg-friendly pass; the
+    # (price, key) / (price, -key) composites make ties deterministic
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max(F.struct("o_totalprice", "o_orderkey")).alias("__mx"),
+            F.min(
+                F.struct(
+                    F.col("o_totalprice"),
+                    (-F.col("o_orderkey")).alias("__negkey"),
+                    F.col("o_orderkey"),
+                )
+            ).alias("__mn"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("__mx.o_orderkey").alias("max_price_order"),
+            F.col("__mn.o_orderkey").alias("min_price_order"),
+            _r6(F.col("__mx.o_totalprice")).alias("max_price"),
+        )
     )
 
 
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: orders priced above their priority
-    class average."""
+    class average — expressed as an explicit broadcast join of the
+    per-class averages (what decorrelation produces, minus the planner
+    re-deriving it per run: the aggregate is 5 rows, so broadcasting
+    it keeps the fact scan shuffle-free)."""
     o = _t(spark, sf_dir, "orders")
-    o.createOrReplaceTempView("orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey, o_orderpriority,
-               round(o_totalprice, 6) AS o_totalprice
-        FROM orders o
-        WHERE o_totalprice > 2 * (
-          SELECT avg(o_totalprice) FROM orders i
-          WHERE i.o_orderpriority = o.o_orderpriority
+    avgs = o.groupBy("o_orderpriority").agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.join(F.broadcast(avgs), "o_orderpriority")
+        .filter(F.col("o_totalprice") > 2 * F.col("__avg"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            _r6(F.col("o_totalprice")).alias("o_totalprice"),
         )
-        """
     )
 
 
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level token frequency, top 20 (explode + count + top-k)."""
-    d = _t(spark, sf_dir, "documents")
+    """Corpus-level token frequency, top 20 (explode + count + top-k).
+    The corpus is spread first — tokenize+explode is CPU-bound."""
+    d = spread(_t(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " ")
     return (
         d.select(F.explode(toks).alias("token"))
@@ -833,16 +894,29 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer join: per-user view and error day-counts, users on
-    either side retained."""
+    """Full-outer-join semantics (per-user view and error day-counts,
+    users on either side retained) in ONE scan and no join: distinct
+    (user, type, day) triples, then conditional counts per user; a
+    side the user never hit surfaces as NULL exactly like the
+    unmatched side of the full outer."""
     ev = _t(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.countDistinct(F.to_date("ts")).alias("view_days")
+    agg = (
+        ev.filter(F.col("event_type").isin("view", "error"))
+        .select("user_id", "event_type", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            # rows are distinct triples, so plain conditional counts
+            # are already distinct-day counts — no Expand needed
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("__vd"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("__ed"),
+        )
     )
-    e = ev.filter(F.col("event_type") == "error").groupBy("user_id").agg(
-        F.countDistinct(F.to_date("ts")).alias("error_days")
+    return agg.select(
+        "user_id",
+        F.when(F.col("__vd") > 0, F.col("__vd")).alias("view_days"),
+        F.when(F.col("__ed") > 0, F.col("__ed")).alias("error_days"),
     )
-    return v.join(e, on="user_id", how="full_outer")
 
 
 # ---------------------------------------------------------------- registry
@@ -1383,6 +1457,13 @@ SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+        "approx_distinct": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       count(*) AS n_events,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
 """,
         "pivot": """
 SELECT l_returnflag,

@@ -48,6 +48,9 @@ def main() -> None:
     for name, fn in entry_mod.queries().items():
         best = float("inf")
         for _ in range(max(repeats, 1)):
+            # drop any persisted intermediates (e.g. the ngram shingle
+            # relation) so every timed run pays its own materialization
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)

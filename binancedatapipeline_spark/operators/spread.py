@@ -1,0 +1,34 @@
+"""Parallelism repair for narrow inputs feeding CPU-bound kernels.
+
+A parquet file written as a single row group is read by Spark as a
+single non-empty partition no matter how small
+``spark.sql.files.maxPartitionBytes`` is (splits are byte ranges, but
+every row group lands in exactly one split) — so a tokenise/md5-heavy
+pipeline over it runs on ONE core of the cluster. ``spread`` is the
+standard fix: round-robin repartition up to the session default
+parallelism, but only when the input is under-partitioned, so at real
+scale (many files / row groups) it is a provable no-op and costs no
+shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure ``df`` has at least ``min_partitions`` (default: the
+    session's ``defaultParallelism``) partitions.
+
+    No-op when the input already meets the target — the check reads
+    the compiled plan's partition count, it does not execute the
+    query. Use ahead of CPU-bound per-row kernels (shingling, hashing,
+    regex scoring) where a narrow input would serialize the work;
+    don't bother ahead of plain scans/filters, where the shuffle buys
+    nothing.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

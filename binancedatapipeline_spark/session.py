@@ -49,6 +49,17 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate turns explode(f(x)) into
+        # `Filter size(f(x)) > 0` and pushes it below exchanges — for
+        # our text kernels f(x) is a tokenize+md5 transform, so the
+        # inferred filter re-evaluates the whole kernel a second time
+        # (in the narrow pre-shuffle stage, serializing it). Every
+        # generator input here is non-empty by construction
+        # (greatest(n, 1) guards), so the rule only costs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -96,11 +96,14 @@ def cosine_near_dup_pairs(
     all-pairs form (small corpora only), or pre-compute a bucket with
     ``with_lsh_bucket`` and block on that for ANN-grade recall at
     scale. Columns: id_a, id_b, cosine."""
+    from binancedatapipeline_spark.operators.spread import spread
+
     # norms are per-vector, not per-pair: compute them once on each
     # side of the join (|block| rows) instead of inside the pair space
     # (Σ|block|² rows) — at scale that is the difference between n and
-    # n² array traversals
-    normed = corpus.select(
+    # n² array traversals. The corpus is spread first: the pair-space
+    # dot products are a CPU-bound kernel.
+    normed = spread(corpus).select(
         *( [F.col(block_col)] if block_col else [] ),
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),

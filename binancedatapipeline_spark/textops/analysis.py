@@ -107,7 +107,12 @@ def with_rolling_fingerprint(
     of a winnowing scheme with one global window). Localized edits
     leave the fingerprint unchanged unless they touch the minimizing
     k-gram, unlike the whole-document digest. Pure column expression:
-    sequence→transform→array_min, no explode, no shuffle."""
+    sequence→transform→array_min, no explode, no shuffle. The input is
+    ``spread`` first: one md5 per k-gram is a CPU-bound kernel that a
+    narrow input would serialize onto one core."""
+    from binancedatapipeline_spark.operators.spread import spread
+
+    df = spread(df)
     normalized = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9]", ""))
     expr = (
         f"array_min(transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)), "
