@@ -37,6 +37,23 @@ def _schema(cols: dict[str, str]) -> T.StructType:
     return T.StructType([T.StructField(name, _TYPES[t], True) for name, t in cols.items()])
 
 
+# The reference's update-frequency-aware late-data lookback matrix:
+# 1m-cadence tables re-fetch 2 minutes behind the watermark
+# (crypto_data_pipeline_duckdb.py:1623-1624), hourly kline tables 2
+# hours (crypto_data_pipline_clickhouse.py:1823-1825), and the
+# 8h-cadence funding/margin/exercise tables 8 hours (ch:1821-1822).
+LOOKBACK_BY_FREQUENCY: dict[str, str] = {
+    "1m": "2 minutes",
+    "1h": "2 hours",
+    "8h": "8 hours",
+}
+
+
+def lookback_for(update_frequency: str) -> str:
+    """Late-data re-fetch buffer for a table's update cadence."""
+    return LOOKBACK_BY_FREQUENCY[update_frequency]
+
+
 @dataclass(frozen=True)
 class TableSpec:
     """Declared schema + keys + incremental policy for one table."""
@@ -50,6 +67,9 @@ class TableSpec:
     lookback: str | None = None  # e.g. '8 hours' — late-data re-fetch buffer
     # columns whose date partitions prune time-range scans at scale
     partition_date_source: str | None = None
+    # update cadence ('1m' | '1h' | '8h' | 'daily'), reference's
+    # update_frequency (duckdb:1278); drives the lookback default
+    update_frequency: str | None = None
 
     @property
     def columns(self) -> list[str]:
@@ -215,7 +235,8 @@ BN_OPTION_SYMBOLS_EXERCISED = _register(
         kind="fact",
         needs_incremental=True,
         time_column="expiryDate",
-        lookback="8 hours",
+        lookback=lookback_for("8h"),
+        update_frequency="8h",
         partition_date_source="expiryDate",
     )
 )
@@ -228,7 +249,8 @@ BN_SPOT_KLINES = _register(
         kind="fact",
         needs_incremental=True,
         time_column="timestamp",
-        lookback="2 hours",
+        lookback=lookback_for("1h"),
+        update_frequency="1h",
         partition_date_source="timestamp",
     )
 )
@@ -241,7 +263,8 @@ BN_PERP_KLINES = _register(
         kind="fact",
         needs_incremental=True,
         time_column="timestamp",
-        lookback="2 hours",
+        lookback=lookback_for("1h"),
+        update_frequency="1h",
         partition_date_source="timestamp",
     )
 )
@@ -254,7 +277,8 @@ BN_OPTION_KLINES = _register(
         kind="fact",
         needs_incremental=True,
         time_column="timestamp",
-        lookback="2 hours",
+        lookback=lookback_for("1h"),
+        update_frequency="1h",
         partition_date_source="timestamp",
     )
 )
@@ -276,7 +300,8 @@ BN_PREMIUM = _register(
         kind="derived",
         needs_incremental=True,
         time_column="timestamp",
-        lookback="2 hours",
+        lookback=lookback_for("1h"),
+        update_frequency="1h",
         partition_date_source="timestamp",
     )
 )
@@ -298,7 +323,8 @@ BN_FUNDING_RATES = _register(
         kind="fact",
         needs_incremental=True,
         time_column="fundingTime",
-        lookback="8 hours",
+        lookback=lookback_for("8h"),
+        update_frequency="8h",
         partition_date_source="fundingTime",
     )
 )
@@ -320,7 +346,8 @@ BN_MARGIN_INTEREST_RATES = _register(
         kind="fact",
         needs_incremental=True,
         time_column="timestamp",
-        lookback="8 hours",
+        lookback=lookback_for("8h"),
+        update_frequency="8h",
         partition_date_source="timestamp",
     )
 )

@@ -24,9 +24,15 @@ def ts_to_epoch_ms(col: Column | str) -> Column:
 
 
 def minutes_between(start: Column, end: Column) -> Column:
-    """Whole minutes from start to end — DATEDIFF('minute', a, b)
-    (crypto_data_pipeline_duckdb.py:1748)."""
-    return (F.unix_timestamp(end) - F.unix_timestamp(start)) / 60.0
+    """Minute-boundary crossings from start to end — exact
+    DATEDIFF('minute', a, b) semantics
+    (crypto_data_pipeline_duckdb.py:1748): DuckDB counts boundary
+    crossings, so 00:00:59 → 00:01:00 is 1 whole minute while
+    00:00:00 → 00:00:59 is 0. floor-divide each endpoint to its
+    minute index, then subtract."""
+    return (
+        F.floor(F.unix_timestamp(end) / 60) - F.floor(F.unix_timestamp(start) / 60)
+    ).cast("bigint")
 
 
 def tz_display(col: Column | str, tz: str = "Asia/Shanghai") -> Column:

@@ -75,9 +75,13 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
     unioned = r.unionByName(l)
+    # __payload in the sort key makes the winner deterministic when
+    # multiple right rows share (key, ts): the greatest payload struct
+    # wins regardless of partitioning or input order (left rows all
+    # carry NULL payloads, so their relative order is immaterial)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__tag")
+        .orderBy("__ts", "__tag", "__payload")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.withColumn(

@@ -76,7 +76,17 @@ def salted_join(
     across all salts: fact rows carry one salt, dim rows explode to
     every salt, the join key becomes (on + salt) so one hot key's rows
     land on n_salts reducers instead of one. The dim side must be
-    broadcast-small × n_salts."""
+    broadcast-small × n_salts.
+
+    Only ``inner`` and ``left`` are supported: for right/full outer
+    joins the exploded dim side would emit each unmatched dim row
+    n_salts times, silently duplicating output rows."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: an "
+            "outer dim side is replicated n_salts times and would "
+            "duplicate unmatched dim rows"
+        )
     salted_facts = with_salt(facts, n_salts)
     salted_dim = dim.withColumn(
         SALT_COL,

@@ -36,7 +36,7 @@ def upsert(
     updates: DataFrame,
     keys: Sequence[str],
     order_col: str | None = None,
-    broadcast_updates: bool = True,
+    broadcast_updates: bool | None = None,
 ) -> DataFrame:
     """Return target with rows keyed in ``updates`` replaced.
 
@@ -44,6 +44,13 @@ def upsert(
     keys (overlapping fetch pages), pass the ordering column whose
     greatest value wins (keep-last, duckdb:1059); None assumes the
     batch is already unique per key.
+
+    ``broadcast_updates``: ``None`` (default) lets the planner/AQE
+    pick the join strategy from the batch's actual runtime size — a
+    micro-batch broadcasts, a backfill shuffles. ``True`` forces the
+    broadcast hint (only for callers that KNOW the batch is small and
+    run without AQE); a forced broadcast of a backfill-sized batch
+    OOMs executors, which is why it is no longer the default.
     """
     from binancedatapipeline_spark.operators.dedup import dedup_keep_last
 

@@ -6,11 +6,12 @@ crypto_data_pipline_clickhouse.py:1862-1890) and
 ``update_market_data``'s incremental window computation
 (ch:1795-1860) on top of the Warehouse + source connectors.
 
-The scheduler itself (APScheduler cron minute=58,
-scheduler_clickhouse.py:120-133) is an external concern — run
-``update_all`` from cron, or use streaming.stream_upsert with a
-processing-time trigger for the long-lived form. ``notify`` is the
-alerting seam (≙ Telegram, scheduler_clickhouse.py:25-64).
+``run_forever`` is the scheduler shell (APScheduler cron minute=58
+with an immediate catch-up run when started past the minute,
+scheduler_clickhouse.py:120-133; update_minute=58, config.py:8);
+``notify`` is the alerting seam (≙ Telegram,
+scheduler_clickhouse.py:25-64). For the long-lived streaming form use
+streaming.stream_upsert with a processing-time trigger instead.
 """
 
 from __future__ import annotations
@@ -93,6 +94,43 @@ class Pipeline:
                 self.notify(f"failed to update {name}: {e}")
                 results[name] = -1
         return results
+
+    # ----------------------------------------------------- scheduler
+
+    def run_forever(
+        self,
+        update_minute: int = 58,
+        clock: Callable[[], datetime] | None = None,
+        sleep: Callable[[float], None] | None = None,
+        max_ticks: int | None = None,
+    ) -> int:
+        """Hourly scheduler shell: run ``update_all`` at
+        ``update_minute`` of every hour, and — the reference's
+        catch-up rule (scheduler_clickhouse.py:123-125) — run
+        IMMEDIATELY on startup when the current hour's tick is
+        already past due (now.minute >= update_minute).
+
+        ``clock``/``sleep`` are injectable for tests; ``max_ticks``
+        bounds the loop (None = forever). Returns ticks executed.
+        """
+        import time as _time
+
+        clock = clock or _utcnow
+        sleep = sleep or _time.sleep
+        ticks = 0
+        now = clock()
+        if now.minute >= update_minute:  # past due → catch up now
+            self.update_all(now)
+            ticks += 1
+        while max_ticks is None or ticks < max_ticks:
+            now = clock()
+            nxt = now.replace(minute=update_minute, second=0, microsecond=0)
+            if nxt <= now:
+                nxt += timedelta(hours=1)
+            sleep((nxt - now).total_seconds())
+            self.update_all(clock())
+            ticks += 1
+        return ticks
 
     # ------------------------------------------------------- derived
 

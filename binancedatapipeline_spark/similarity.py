@@ -154,6 +154,21 @@ def with_lsh_bucket(
     return df.withColumn(out, total)
 
 
+def _hamming_ball_masks(n_planes: int, max_hamming: int) -> list[int]:
+    """All XOR masks within Hamming distance ``max_hamming`` of zero —
+    the multi-probe neighborhood (Lv et al., multi-probe LSH)."""
+    from itertools import combinations
+
+    masks = []
+    for h in range(max_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,7 +184,18 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates limited to sketch buckets within
     ``max_hamming`` bits of the query's bucket, then exact cosine
-    re-rank. Recall degrades gracefully with max_hamming."""
+    re-rank. Recall degrades gracefully with max_hamming.
+
+    Index-probe formulation (multi-probe LSH): each query explodes
+    into its Hamming-ball of Σ C(n_planes, 0..max_hamming) probe
+    buckets, and candidates come from an EQUI-join on the bucket id —
+    a hash-table probe per corpus row. The earlier cross-join form
+    evaluated bit_count(c ^ q) for every corpus×query pair, i.e.
+    O(corpus·queries) work that is not an index; the equi-join keeps
+    candidate generation O(corpus + queries·ball) and lets a
+    bucket-partitioned corpus skip untouched buckets entirely. The
+    probe set is exactly the ≤max_hamming ball, so results are
+    identical to the cross-join form."""
     from pyspark.sql import Window
 
     planes = hyperplanes(dim, n_planes, seed)
@@ -179,9 +205,12 @@ def lsh_bucketed_topk(
     q = with_lsh_bucket(queries, query_vec, planes, "q_bucket").withColumn(
         "__qn", _norm(query_vec)
     )
-    cand = c.crossJoin(F.broadcast(q)).filter(
-        F.expr(f"bit_count(c_bucket ^ q_bucket) <= {max_hamming}")
+    masks = _hamming_ball_masks(n_planes, max_hamming)
+    probes = q.withColumn(
+        "c_bucket",
+        F.explode(F.expr(f"transform(array({','.join(map(str, masks))}), m -> bigint(q_bucket) ^ m)")),
     )
+    cand = c.join(F.broadcast(probes), on="c_bucket")
     scored = cand.withColumn(
         "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
     )

@@ -24,6 +24,7 @@ PKs, no dedup view needed.
 from __future__ import annotations
 
 import os
+import shutil
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -173,7 +174,28 @@ class Warehouse:
             return
 
         updates_ds = self._with_ds(spec, updates)
-        touched = [r[DS_COL] for r in updates_ds.select(DS_COL).distinct().collect()]
+        touched = {r[DS_COL] for r in updates_ds.select(DS_COL).distinct().collect()}
+
+        # When the partition source column is NOT part of the PK (e.g.
+        # bn_option_symbols_exercised: PK (symbol, exchange),
+        # partitioned by expiryDate), an update that moves a row's
+        # partition value would strand the superseded row in its old
+        # partition, breaking the unique-PK read contract. Locate every
+        # partition holding a matched PK (a column-pruned scan of just
+        # PK+ds) and fold it into the rewrite set. When the source IS a
+        # PK column, a PK match implies the same ds — skip the scan.
+        if spec.partition_date_source not in spec.primary_keys:
+            stranded = (
+                self.spark.read.parquet(self.path(spec.name))
+                .select(DS_COL, *spec.primary_keys)
+                .join(anti_build, on=list(spec.primary_keys), how="left_semi")
+                .select(DS_COL)
+                .distinct()
+                .collect()
+            )
+            touched |= {r[DS_COL] for r in stranded}
+        touched = sorted(touched)
+
         target = self.spark.read.parquet(self.path(spec.name)).filter(
             F.col(DS_COL).isin(touched)
         )
@@ -190,8 +212,24 @@ class Warehouse:
             # replaces the same partitions it scans
             tmp = self.path(f"__tmp_{spec.name}")
             merged.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").partitionBy(
-                DS_COL
-            ).parquet(self.path(spec.name))
+            staged = self.spark.read.parquet(tmp)
+            staged.write.mode("overwrite").partitionBy(DS_COL).parquet(
+                self.path(spec.name)
+            )
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written data — a touched partition whose every row was
+            # superseded (moved to another date) writes nothing and
+            # would keep its stale files; drop those explicitly
+            remaining = {
+                r[DS_COL] for r in staged.select(DS_COL).distinct().collect()
+            }
+            for ds in touched:
+                if ds not in remaining:
+                    shutil.rmtree(
+                        os.path.join(
+                            self.path(spec.name), f"{DS_COL}={ds.isoformat()}"
+                        ),
+                        ignore_errors=True,
+                    )
         finally:
             self.spark.conf.set(conf_key, prev)

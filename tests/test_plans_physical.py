@@ -67,3 +67,42 @@ def test_no_cartesian_products_anywhere(spark):
         if name in allowed:
             continue
         assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan}"
+
+
+def test_ngram_jaccard_reuses_shingle_exchange(spark):
+    """The self-join's two sides are one subplan: the shingle
+    explode+window must be computed once, the second side served from
+    a ReusedExchange (the 100 TB guarantee that the corpus is
+    tokenized exactly once)."""
+    df = entry_mod.queries()["doc_ngram_jaccard"](spark, SF)
+    plan = _final_plan(df)
+    assert "ReusedExchange" in plan, plan
+
+
+def test_lsh_topk_is_index_probe_not_scan(spark):
+    """Multi-probe LSH must candidate-generate via a hash equi-join on
+    the bucket id — not a nested-loop evaluating every corpus×query
+    Hamming distance."""
+    from binancedatapipeline_spark.similarity import lsh_bucketed_topk
+
+    emb = entry_mod._t(spark, SF, "embeddings")
+    queries = emb.limit(2).select(
+        entry_mod.F.col("vec_id").alias("query_id"),
+        entry_mod.F.col("embedding").alias("query_vec"),
+    )
+    df = lsh_bucketed_topk(emb, queries, k=5, max_hamming=2)
+    plan = _final_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spread_is_noop_when_wide_enough(spark):
+    """spread() must not add a shuffle when the input already meets
+    the target parallelism — the at-scale no-op contract."""
+    from binancedatapipeline_spark.operators.spread import spread
+
+    wide = spark.range(0, 1000, 1, 64)
+    assert spread(wide) is wide
+    narrow = spark.range(0, 1000, 1, 1)
+    out = spread(narrow)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
