@@ -255,6 +255,24 @@ BN_SPOT_KLINES = _register(
     )
 )
 
+# The reference's `klines_interval='1m'` deployment mode (config.py:1):
+# the same kline schema fetched at 1-minute cadence, whose incremental
+# window is watermark − 2 minutes (crypto_data_pipeline_duckdb.py:
+# 1623-1624) instead of the hourly table's watermark − 2 hours.
+BN_SPOT_KLINES_1M = _register(
+    TableSpec(
+        name="bn_spot_klines_1m",
+        primary_keys=("symbol", "exchange", "interval", "timestamp"),
+        schema=_schema(_OHLCV),
+        kind="fact",
+        needs_incremental=True,
+        time_column="timestamp",
+        lookback=lookback_for("1m"),
+        update_frequency="1m",
+        partition_date_source="timestamp",
+    )
+)
+
 BN_PERP_KLINES = _register(
     TableSpec(
         name="bn_perp_klines",

@@ -29,6 +29,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # the partition probe compiles the plan driver-side (one Py4J
+    # round-trip, no job); memoize it on the DataFrame object itself
+    # so repeated query builds over a cached table handle pay it once.
+    # Storing on the object (not a module dict keyed by id()) ties the
+    # cache's lifetime to the DataFrame, so recycled CPython ids can't
+    # resurrect a stale count.
+    n = getattr(df, "_spread_partition_count", None)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        df._spread_partition_count = n
+    if n >= target:
         return df
     return df.repartition(target)

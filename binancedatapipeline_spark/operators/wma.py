@@ -49,9 +49,16 @@ def with_wma(
     warm-up behavior.
 
     ``exact_decimal`` (e.g. "decimal(18,2)"): when the values sit on
-    a fixed decimal grid, run the two window sums in exact decimal
-    arithmetic and only the final combine in double — the result is
-    then bit-identical regardless of aggregation order/engine.
+    a fixed decimal grid, run the two window sums exactly so the
+    result is bit-identical regardless of aggregation order/engine.
+    Implemented as scaled-integer sums, not decimal128 partial
+    aggregates: round(x·10^s) is exact on the grid, the bigint window
+    sums are exact and codegen as tight long adds (decimal window
+    aggregates don't), and only the final divide returns to double —
+    same nearest-double result as the decimal-sum-then-cast form,
+    since both are correctly-rounded casts of the same exact rational.
+    Headroom: Σ|x·rn| ≤ 9.2·10¹⁸ / 10^s per frame; for s=2 and
+    frames of n·max_rn products that allows ~10^16 units — plenty.
     """
     output_col = output_col or f"wma{n}_{value_col}"
     w = Window.partitionBy(*partition_cols).orderBy(order_col)
@@ -63,12 +70,14 @@ def with_wma(
     out = df.withColumn(tmp_rn, rn)
     val = F.col(value_col)
     if exact_decimal:
-        val = val.cast(exact_decimal)
-    sw = F.sum(val * F.col(tmp_rn)).over(frame)
-    s1 = F.sum(val).over(frame)
-    if exact_decimal:
-        sw = sw.cast("double")
-        s1 = s1.cast("double")
+        s = int(exact_decimal.rstrip(")").split(",")[1])
+        factor = 10 ** s
+        xi = F.round(val * factor).cast("bigint")
+        sw = F.sum(xi * F.col(tmp_rn)).over(frame).cast("double") / factor
+        s1 = F.sum(xi).over(frame).cast("double") / factor
+    else:
+        sw = F.sum(val * F.col(tmp_rn)).over(frame)
+        s1 = F.sum(val).over(frame)
     cnt = F.count(F.col(value_col)).over(frame)
     wma = (sw - (F.col(tmp_rn) - F.lit(n)) * s1) / F.lit(denom)
     return out.withColumn(output_col, F.when(cnt == n, wma)).drop(tmp_rn)

@@ -71,12 +71,26 @@ def test_no_cartesian_products_anywhere(spark):
 
 def test_ngram_jaccard_reuses_shingle_exchange(spark):
     """The self-join's two sides are one subplan: the shingle
-    explode+window must be computed once, the second side served from
-    a ReusedExchange (the 100 TB guarantee that the corpus is
-    tokenized exactly once)."""
+    explode must be computed once, the second side served from a
+    ReusedExchange (the 100 TB guarantee that the corpus is
+    tokenized exactly once), and no Window prune may reappear (it
+    costs a full extra pass per side for rows the id_a<id_b merge
+    filter kills at O(1))."""
     df = entry_mod.queries()["doc_ngram_jaccard"](spark, SF)
     plan = _final_plan(df)
     assert "ReusedExchange" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_count_distinct_uses_expand_not_collect_set(spark):
+    """countDistinct must plan the Expand + two-stage distinct
+    aggregate — never an ObjectHashAggregate materializing per-group
+    value sets (a hot-key OOM at 100 TB)."""
+    df = entry_mod.queries()["count_distinct"](spark, SF)
+    plan = _final_plan(df)
+    assert "Expand" in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "collect_set" not in plan, plan
 
 
 def test_lsh_topk_is_index_probe_not_scan(spark):
