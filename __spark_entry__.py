@@ -26,6 +26,7 @@ from binancedatapipeline_spark.operators.wma import with_wma  # noqa: E402
 from binancedatapipeline_spark.operators.dedup import dedup_keep_last  # noqa: E402
 from binancedatapipeline_spark.textops.analysis import (  # noqa: E402
     LANG_MARKERS,
+    tokens_col,
     with_fingerprint,
     with_lang_guess,
     with_quality,
@@ -42,6 +43,9 @@ from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash,
 )
+from binancedatapipeline_spark.textops.decontam import contamination_hits  # noqa: E402
+from binancedatapipeline_spark.textops.packing import pack_sequences  # noqa: E402
+from binancedatapipeline_spark.textops.sampling import stable_split  # noqa: E402
 from binancedatapipeline_spark.similarity import cosine_topk  # noqa: E402
 from binancedatapipeline_spark.operators.spread import spread  # noqa: E402
 
@@ -255,12 +259,6 @@ def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_type", "ts", "event_id", _r6("value").alias("value"))
 
 
-def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: SELECT DISTINCT."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("lang", "source").distinct()
-
-
 def q_window_lag_extreme(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/P8: the extreme-cases detector shape on events — offset
     LAG, change filter, then debounce spacing among survivors."""
@@ -325,24 +323,13 @@ def q_wma20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W4-adjacent: plain trailing frame running aggregate."""
-    ev = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-23, 0)
-    )
-    return ev.select(
-        "user_id",
-        "event_id",
-        _r6(F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")).alias("rolling24_sum"),
-        F.count(F.lit(1)).over(w).alias("rolling24_n"),
-    )
-
-
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O2/O3: global top-k with deterministic tiebreak."""
+    """O2/O3: global top-k with deterministic tiebreak.
+
+    Not registered in queries() (the driver's CORRECTNESS window caps
+    at 50 rows; ordered top-k is driver-verified via topk_per_group) —
+    kept because the TakeOrderedAndProject plan regression test drives
+    it directly."""
     o = _t(spark, sf_dir, "orders")
     return (
         o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
@@ -429,27 +416,6 @@ def q_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP grouping sets."""
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        _r6(F.sum("l_quantity")).alias("sum_qty"),
-    )
-
-
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """U1/U3: union of two filtered projections, re-aggregated."""
-    ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id", "value")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id", "value")
-    return (
-        a.unionByName(b)
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n"), _r6(_dsum("value", "decimal(18,2)")).alias("total_value"))
-    )
-
-
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5: tumbling-window re-aggregation (1h bars from raw events)."""
     ev = _t(spark, sf_dir, "events")
@@ -521,18 +487,6 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = ev.filter(F.col("event_type") == "click").select("user_id")
     b = ev.filter(F.col("event_type") == "purchase").select("user_id")
     return a.intersect(b)
-
-
-def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (set semantics): user-days with views but no errors."""
-    ev = _t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-    b = ev.filter(F.col("event_type") == "error").select(
-        "user_id", F.to_date("ts").alias("day")
-    )
-    return a.subtract(b)
 
 
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -626,6 +580,46 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, min_jaccard=0.2)
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b", _r6("jaccard").alias("jaccard"))
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word n-gram with
+    the held-out benchmark slice (doc_id % 50 == 0 plays the eval
+    set), with the per-doc count of distinct contaminated n-grams.
+    The benchmark shingle set is broadcast; the corpus side is a pure
+    map + broadcast probe (plan-tested)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, bench, n=3)
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing per (lang, source): documents in
+    doc_id order fill 512-token bins; output is per-bin shape stats.
+    One shuffle on the group key, per-group window — no global sort."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "lang", "source",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    packed = pack_sequences(t, 512, ["lang", "source"])
+    return packed.groupBy("lang", "source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+    )
+
+
+def q_doc_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test assignment (80/10/10)
+    keyed on doc_id, aggregated per (split, lang). Pure per-row
+    projection — membership is reproducible across runs and engines."""
+    d = _t(spark, sf_dir, "documents")
+    s = stable_split(d, "doc_id")
+    return s.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
 
 
 # ---------------------------------------------------------------- embeddings
@@ -946,13 +940,16 @@ def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering note: the driver's CORRECTNESS harness records at most
-    # 50 rows, in registry order. scalar_subquery / word_count /
-    # full_outer therefore sit inside the first 50 slots;
-    # distinct_projection / topk_orders / union_all — twice
-    # driver-green and whose operators are also covered by other green
-    # rows (cte_margin_shape covers DISTINCT and UNION ALL,
-    # topk_per_group covers ordered top-k) — take the tail positions.
+    # The registry is pinned at exactly 50 entries — the driver's
+    # CORRECTNESS harness records at most 50 rows, so 50 keeps every
+    # registered query hard-verified. Six twice-driver-green
+    # micro-queries were retired to make room for the training-data
+    # ops; each retired operator stays covered by a registered query
+    # or a direct test: DISTINCT + UNION ALL by cte_margin_shape,
+    # ordered top-k by topk_per_group (+ the TakeOrdered plan test
+    # driving q_topk_orders), ROLLUP by grouping_sets (same Expand
+    # family), rows-frame running sums by wma20 (two such sums),
+    # EXCEPT-shape by anti_join/intersect.
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -966,20 +963,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_extreme": q_window_lag_extreme,
         "window_lead_gaps": q_window_lead_gaps,
         "wma20": q_wma20,
-        "rolling_sum": q_rolling_sum,
         "word_count": q_word_count,
         "topk_per_group": q_topk_per_group,
         "cte_margin_shape": q_cte_margin_shape,
         "scalar_datemath": q_scalar_datemath,
         "conditional_agg": q_conditional_agg,
         "groupby_having": q_groupby_having,
-        "rollup": q_rollup,
         "full_outer": q_full_outer,
         "events_hourly_rollup": q_events_hourly_rollup,
         "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "intersect": q_intersect,
-        "except": q_except,
         "count_distinct": q_count_distinct,
         "json_extract": q_json_extract,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -992,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_lsh_pairs": q_doc_lsh_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_decontaminate": q_doc_decontaminate,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_stable_split": q_doc_stable_split,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_centroid_dist": q_emb_centroid_dist,
         "emb_near_dup": q_emb_near_dup,
@@ -1004,9 +1001,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "cohort_retention": q_cohort_retention,
         "arg_max": q_arg_max,
-        "distinct_projection": q_distinct_projection,
-        "topk_orders": q_topk_orders,
-        "union_all": q_union_all,
     }
 
 
@@ -1125,9 +1119,6 @@ FROM events
 QUALIFY row_number() OVER (
   PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
 """,
-        "distinct_projection": """
-SELECT DISTINCT lang, source FROM documents
-""",
         "window_lag_extreme": """
 WITH prepared AS (
   SELECT user_id, ts, event_id, value,
@@ -1173,20 +1164,6 @@ FROM numbered
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 """,
-        "rolling_sum": """
-SELECT user_id, event_id,
-       round((sum(value::DECIMAL(18,2)) OVER w)::DOUBLE, 6) AS rolling24_sum,
-       count(*) OVER w AS rolling24_n
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
-""",
-        "topk_orders": """
-SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice, o_orderdate
-FROM orders
-ORDER BY o_totalprice DESC, o_orderkey
-LIMIT 10
-""",
         "topk_per_group": """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice,
        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INTEGER AS rank
@@ -1227,19 +1204,6 @@ FROM events GROUP BY user_id
 SELECT user_id, event_type, count(*) AS n,
        round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
 FROM events GROUP BY user_id, event_type HAVING count(*) >= 10
-""",
-        "rollup": """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
-FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-        "union_all": """
-SELECT user_id, count(*) AS n, round((sum(value::DECIMAL(18,2)))::DOUBLE, 6) AS total_value
-FROM (
-  SELECT user_id, value FROM events WHERE event_type = 'click'
-  UNION ALL
-  SELECT user_id, value FROM events WHERE event_type = 'purchase'
-)
-GROUP BY user_id
 """,
         "events_hourly_rollup": """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
@@ -1284,11 +1248,6 @@ FROM sessioned GROUP BY user_id, session_id
 SELECT user_id FROM events WHERE event_type = 'click'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'purchase'
-""",
-        "except": """
-SELECT user_id, ts::DATE AS day FROM events WHERE event_type = 'view'
-EXCEPT
-SELECT user_id, ts::DATE AS day FROM events WHERE event_type = 'error'
 """,
         "count_distinct": """
 SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts,
@@ -1426,6 +1385,41 @@ FROM common
 JOIN sizes sa ON common.id_a = sa.doc_id
 JOIN sizes sb ON common.id_b = sb.doc_id
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+""",
+        "doc_decontaminate": f"""
+WITH {_shingle_cte(3)},
+bench AS (
+  SELECT DISTINCT {_H56.format(expr='shingle')} AS sh_hash
+  FROM __sh WHERE doc_id % 50 = 0
+)
+SELECT s.doc_id, count(*) AS n_hits
+FROM (
+  SELECT doc_id, {_H56.format(expr='shingle')} AS sh_hash
+  FROM __sh WHERE doc_id % 50 <> 0
+) s
+JOIN bench USING (sh_hash)
+GROUP BY 1
+""",
+        "doc_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id, lang, source, len({_TOKS}) AS n_tokens FROM documents
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, source ORDER BY doc_id) AS cum
+  FROM t
+)
+SELECT lang, source, CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+FROM c GROUP BY 1, 2, 3
+""",
+        "doc_stable_split": """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 100 AS __b
+  FROM documents
+)
+SELECT CASE WHEN __b < 80 THEN 'train' WHEN __b < 90 THEN 'val' ELSE 'test' END AS split,
+       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM b GROUP BY 1, 2
 """,
         "emb_cosine_topk": """
 WITH q AS (

@@ -1,0 +1,72 @@
+"""Deterministic hash-bucket sampling and train/val/test splits.
+
+`df.sample()` re-draws membership every run; training pipelines need
+the opposite — a document's split must be a pure function of its id
+so re-running the pipeline (or adding new data) never moves existing
+documents between train and test. The standard trick: hash the id
+into B buckets and cut the bucket range.
+
+Implemented as md5-derived 56-bit buckets (the same hash family as
+textops.dedup._hash56, computable bit-identically in any SQL engine
+for oracle checks). The operator is a pure per-row projection — no
+shuffle, no state, trivially 100 TB-safe — and composes with
+predicate pushdown when used as a sampling filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CUTS: tuple[tuple[str, int], ...] = (("train", 80), ("val", 90))
+DEFAULT_FALLBACK = "test"
+
+
+def hash_bucket(id_col: str, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets) from the id's decimal
+    string form — md5 → first 56 bits → mod."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 14),
+        16,
+        10,
+    ).cast("bigint")
+    return h % buckets
+
+
+def split_col(
+    id_col: str,
+    buckets: int = 100,
+    cuts: Sequence[tuple[str, int]] = DEFAULT_CUTS,
+    fallback: str = DEFAULT_FALLBACK,
+) -> Column:
+    """Split label from cumulative bucket cut-points: with the default
+    cuts, buckets [0,80) → train, [80,90) → val, rest → test."""
+    b = hash_bucket(id_col, buckets)
+    expr = None
+    for name, upper in cuts:
+        cond = b < upper
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(fallback)
+
+
+def stable_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 100,
+    cuts: Sequence[tuple[str, int]] = DEFAULT_CUTS,
+    fallback: str = DEFAULT_FALLBACK,
+    output_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic split column keyed on ``id_col``."""
+    return df.withColumn(output_col, split_col(id_col, buckets, cuts, fallback))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, buckets: int = 10_000
+) -> DataFrame:
+    """Stable ``fraction`` sample: keeps ids whose bucket falls below
+    fraction·buckets. Same rows every run, on every engine."""
+    keep = int(round(fraction * buckets))
+    return df.filter(hash_bucket(id_col, buckets) < keep)

@@ -52,9 +52,23 @@ def test_dim_joins_broadcast(spark):
 
 
 def test_topk_uses_take_ordered(spark):
-    df = entry_mod.queries()["topk_orders"](spark, SF)
+    # q_topk_orders is driven directly (not registry-listed: the
+    # driver window is pinned at 50 and ordered top-k is verified via
+    # topk_per_group) — the global sort+limit must still plan as a
+    # TakeOrderedAndProject, never a full sort.
+    df = entry_mod.q_topk_orders(spark, SF)
     plan = _final_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must be the broadcast side — the
+    corpus side stays a map + broadcast probe with no corpus-keyed
+    shuffle before the hit count (the 100 TB contract)."""
+    df = entry_mod.queries()["doc_decontaminate"](spark, SF)
+    plan = _final_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_no_cartesian_products_anywhere(spark):
