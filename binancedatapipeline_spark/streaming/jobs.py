@@ -128,3 +128,34 @@ def stream_premium(
     return p.join(s, on=["symbol", "timestamp"], how="inner").withColumn(
         "premium", F.col("perp_close") / F.col("spot_close") - 1
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    dedup_cols: list[str] | None = None,
+    text_col: str = "text",
+    time_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the first arrival of
+    each content digest — the streaming counterpart of
+    textops.dedup.exact_duplicates for a continuously-ingested corpus.
+
+    ``dedup_cols`` defaults to a single md5 digest of ``text_col``,
+    so the dedup state carries a 16-byte key per distinct document,
+    never the document body. dropDuplicatesWithinWatermark expires
+    per-key state once the watermark passes it, so state is
+    O(distinct keys within the horizon) — bounded no matter how long
+    the stream runs, which is what makes this safe for an unbounded
+    100 TB ingest. A duplicate arriving later than the horizon is
+    re-emitted (at-least-once dedup); downstream PK-upserts absorb
+    exactly that case.
+    """
+    if dedup_cols is None:
+        stream = stream.withColumn(
+            "digest", F.md5(F.col(text_col).cast("binary"))
+        )
+        dedup_cols = ["digest"]
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        dedup_cols
+    )
