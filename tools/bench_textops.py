@@ -1,0 +1,127 @@
+"""Scaling evidence for the training-data ops: dedup / decontam /
+split at growing corpus sizes.
+
+The per-round bench (bench.py) runs the text ops at sf0.1 (5k docs)
+where fixed overhead dominates; this tool measures how the same
+operators scale over Spark-generated corpora 2–50× larger. Documents
+are deterministic token sequences (no driver-side pandas, generation
+is distributed); ~6% of documents are exact copies of their
+predecessor so dedup/LSH have real work to find.
+
+Pass bars:
+- map-only ops (minhash, simhash, split) scale ~linearly in docs;
+- exact dedup and LSH candidate pairs scale ~linearly too (both are
+  bucketed equi-joins, never all-pairs);
+- decontamination stays ~linear with the corpus while the benchmark
+  side stays broadcast.
+
+Emits one JSON line: {"sizes": [...], "sec": {op: {size: s}},
+"linear_ratio": {op: r}} where linear_ratio ~ 1.0 means the op's
+wall time grew no faster than the corpus.
+
+Usage: python tools/bench_textops.py [--sizes 10000,50000,250000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.session import get_session
+from binancedatapipeline_spark.textops.decontam import contamination_hits
+from binancedatapipeline_spark.textops.dedup import (
+    exact_duplicates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from binancedatapipeline_spark.textops.sampling import stable_split
+
+
+def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame:
+    """Deterministic corpus: doc i is 120 tokens drawn arithmetically
+    from a ~1M-word space (large prime modulus so distinct documents
+    share no shingles by construction); every 17th document is an
+    exact copy of its predecessor (~6% dup rate).
+
+    The modulus matters: a small vocabulary cycle (an early version
+    used % 5000 with a non-prime-friendly stride) makes every doc one
+    of only 5000 distinct token sequences, so at 250k docs each doc
+    has ~50 identical twins and any correct pair-emitting dedup is
+    forced into a quadratic per-group pair explosion — a property of
+    the corpus, not the operator."""
+    ids = spark.range(0, n_docs, 1, 64)
+    seed = F.when(
+        (F.col("id") % 17 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    text = F.concat_ws(
+        " ",
+        F.expr(
+            f"transform(sequence(1, {tokens}), "
+            f"j -> concat('w', pmod(__seed * 2654435761 + j * 40507, 1000003)))"
+        ),
+    )
+    return ids.withColumn("__seed", seed).select(
+        F.col("id").alias("doc_id"), text.alias("text")
+    )
+
+
+def _noop(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="10000,50000,250000")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    spark = get_session(app_name="bench_textops")
+    sec: dict[str, dict[str, float]] = {}
+
+    for n in sizes:
+        docs = gen_corpus(spark, n).persist()
+        docs.count()  # materialize once so every op times only itself
+        bench = docs.filter(F.col("doc_id") % 100 == 0)  # 1% "eval set"
+
+        ops = {
+            "minhash": lambda d=docs: minhash_signatures(d, k=16),
+            "simhash": lambda d=docs: simhash(d),
+            "exact_dedup": lambda d=docs: exact_duplicates(d),
+            "lsh_pairs": lambda d=docs: lsh_candidate_pairs(d, k=16, bands=8),
+            "decontaminate": lambda d=docs, b=bench: contamination_hits(d, b, n=5),
+            "stable_split": lambda d=docs: stable_split(d, "doc_id")
+            .groupBy("split")
+            .count(),
+        }
+        for name, build in ops.items():
+            sec.setdefault(name, {})[str(n)] = round(_noop(build()), 2)
+        docs.unpersist()
+
+    lo, hi = str(min(sizes)), str(max(sizes))
+    scale = max(sizes) / min(sizes)
+    out = {
+        "sizes": sizes,
+        "sec": sec,
+        # wall-time growth / corpus growth; ~1.0 = linear, <1 = sub-linear
+        "linear_ratio": {
+            name: round((t[hi] / max(t[lo], 1e-9)) / scale, 2)
+            for name, t in sec.items()
+        },
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
