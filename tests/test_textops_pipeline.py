@@ -121,3 +121,91 @@ def test_hash_sample_fraction_and_stability(spark):
     # nested property: a 5% sample is a subset of the 10% sample
     s2 = hash_sample(df, "doc_id", 0.05)
     assert s2.join(s1, "doc_id", "left_anti").count() == 0
+
+
+# ------------------------------------------------------- properties
+
+import pandas as pd  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_TOKEN_COUNTS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),               # group
+        st.integers(min_value=1, max_value=400),   # n_tokens
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_TOKEN_COUNTS, budget=st.integers(min_value=50, max_value=500))
+@_SETTINGS
+def test_pack_sequences_invariants(spark, rows, budget):
+    """(a) bins are non-decreasing in doc order; (b) a bin's tokens
+    never exceed budget + its largest doc (boundary straddle bound);
+    (c) packing partitions the group (no doc lost or duplicated)."""
+    pdf = pd.DataFrame(
+        [(g, i, n) for i, (g, n) in enumerate(rows)],
+        columns=["g", "doc_id", "n_tokens"],
+    )
+    df = spark.createDataFrame(pdf)
+    out = pack_sequences(df, budget, ["g"]).collect()
+    assert len(out) == len(rows)
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_group.setdefault(r["g"], []).append(r)
+    for g, rs in by_group.items():
+        seqs = [r["seq_id"] for r in rs]
+        assert seqs == sorted(seqs), "bins must be non-decreasing in order"
+        bins: dict[int, list] = {}
+        for r in rs:
+            bins.setdefault(r["seq_id"], []).append(r["n_tokens"])
+        for toks in bins.values():
+            assert sum(toks) <= budget + max(toks)
+
+
+_SMALL_DOCS = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(doc_toks=_SMALL_DOCS, bench_toks=_SMALL_DOCS)
+@_SETTINGS
+def test_contamination_matches_bruteforce(spark, doc_toks, bench_toks):
+    """Operator output equals a brute-force Python n-gram overlap
+    check on tiny random corpora (n=2; whole-text shingle when a doc
+    is shorter)."""
+    n = 2
+
+    def sh(toks):
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_set = set().union(*(sh(t) for t in bench_toks))
+    exp = {
+        i: len(sh(t) & bench_set)
+        for i, t in enumerate(doc_toks)
+        if sh(t) & bench_set
+    }
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(doc_toks)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, " ".join(t)) for i, t in enumerate(bench_toks)],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(docs, bench, n=n).collect()
+    }
+    assert got == exp
