@@ -171,6 +171,7 @@ class Warehouse:
             self._with_ds(spec, merged).write.mode("overwrite").parquet(tmp)
             final = self.path(spec.name)
             self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
+            shutil.rmtree(tmp, ignore_errors=True)
             return
 
         updates_ds = self._with_ds(spec, updates)
@@ -231,5 +232,9 @@ class Warehouse:
                         ),
                         ignore_errors=True,
                     )
+            # the staged copy is merge-sized (the batch's partitions in
+            # full) — leaving it behind doubles the storage cost of every
+            # hot partition by the next tick
+            shutil.rmtree(tmp, ignore_errors=True)
         finally:
             self.spark.conf.set(conf_key, prev)

@@ -94,6 +94,26 @@ def test_upsert_only_rewrites_touched_partitions(spark, wh, fixture_dir):
     assert changed == ["ds=2024-01-15"]
 
 
+def test_upsert_cleans_staging_dir(spark, wh, fixture_dir):
+    """The staged merge copy (__tmp_<name>) must not outlive the
+    upsert — at scale it is a full copy of every hot partition, so a
+    leak doubles the storage cost of the working set each tick."""
+    import os
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    wh.upsert(spec, src.limit(50).withColumn("close", F.lit(1.5)))
+    assert not os.path.exists(wh.path(f"__tmp_{spec.name}"))
+
+    # unpartitioned branch (dimension table, no partition_date_source)
+    dim_spec = catalog.BN_SPOT_SYMBOLS
+    dim = spark.read.parquet(f"{fixture_dir}/bn_spot_symbols.parquet")
+    wh.overwrite(dim_spec, dim)
+    wh.upsert(dim_spec, dim.limit(3))
+    assert not os.path.exists(wh.path(f"__tmp_{dim_spec.name}"))
+
+
 def test_incremental_watermark(spark, wh, fixture_dir):
     spec = catalog.BN_SPOT_KLINES
     src = _klines(spark, fixture_dir)
