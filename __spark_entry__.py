@@ -70,16 +70,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The entry contract must hold under the DRIVER's session, not just
+    # this repo's (session.py already disables NTZ inference for its own
+    # sessions). A default-config session reads the testdata's naive
+    # timestamp[us] columns as TIMESTAMP_NTZ, which unix_millis & co.
+    # reject at analysis time — so disable inference here too, before
+    # every read, and belt-and-braces cast any NTZ column that still
+    # slips through (session TZ is UTC on both sides, so NTZ->TIMESTAMP
+    # is value-preserving and hash-identical to the oracle).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # the driver's events.parquet stores TIMESTAMP(NANOS), which
-        # Spark's reader rejects; read nanos as long and convert
-        # (floor-truncate to micros, matching DuckDB's read behavior)
+        # older driver builds stored TIMESTAMP(NANOS), which Spark's
+        # reader rejects; read nanos as long and convert (floor-truncate
+        # to micros, matching DuckDB's read behavior)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    else:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
 
 
 def _r6(col):

@@ -45,22 +45,28 @@ def main() -> None:
 
     # 3 repeats by default: best-of-2 proved unable to reject sustained
     # co-located load (round-2 bench recorded 7x outliers on single
-    # queries vs a quiet re-run). Best is the headline (least noise-
-    # sensitive); the median is emitted alongside so a noisy run is
-    # self-evident from best<<median instead of silently poisoning
-    # round-over-round comparisons.
+    # queries vs a quiet re-run). Repeats are interleaved ROUND-ROBIN
+    # (pass 1 of every query, then pass 2, then pass 3) rather than
+    # back-to-back per query: a multi-minute co-tenant burst then
+    # poisons one *pass* — absorbed by the per-query min — instead of
+    # landing on all three consecutive samples of whichever queries it
+    # overlapped (which is exactly what convicted BENCH_r03). Best is
+    # the headline (least noise-sensitive); the median is emitted
+    # alongside so a noisy run is self-evident from best<<median.
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        runs: list[float] = []
-        for _ in range(repeats):
+    queries = entry_mod.queries()
+    samples: dict[str, list[float]] = {name: [] for name in queries}
+    for _ in range(repeats):
+        for name, fn in queries.items():
             # drop any persisted intermediates (e.g. the ngram shingle
             # relation) so every timed run pays its own materialization
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            samples[name].append(time.perf_counter() - t0)
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name, runs in samples.items():
         runs.sort()
         timings[name] = round(runs[0], 4)
         mid = len(runs) // 2
