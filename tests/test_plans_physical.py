@@ -87,13 +87,15 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     """The self-join's two sides are one subplan: the shingle
     explode must be computed once, the second side served from a
     ReusedExchange (the 100 TB guarantee that the corpus is
-    tokenized exactly once), and no Window prune may reappear (it
-    costs a full extra pass per side for rows the id_a<id_b merge
-    filter kills at O(1))."""
+    tokenized exactly once). The singleton prune IS a Window on
+    sh_hash — it rides the exchange the join pays anyway and drops
+    ~94% of rows before the merge; measured faster than no-prune at
+    5k-50k docs and within noise at 250k (tools/bench_ngram_prune.py
+    — the round-3 no-prune argument was tested and lost)."""
     df = entry_mod.queries()["doc_ngram_jaccard"](spark, SF)
     plan = _final_plan(df)
     assert "ReusedExchange" in plan, plan
-    assert "Window" not in plan, plan
+    assert "Window" in plan, plan
 
 
 def test_count_distinct_uses_expand_not_collect_set(spark):

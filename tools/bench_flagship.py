@@ -20,12 +20,20 @@ then measures the flagship pipeline two ways:
       O(history) — which is the sub-linear-vs-naive story: a naive
       engine recomputes (a) every hour; this pipeline pays (b).
 
+A DuckDB comparator runs the SAME full premium+WMA recompute and
+extreme-cases detector over the SAME parquet files (single node,
+all cores — DuckDB's home turf). The ≤2× contract is structurally
+unreachable at sf0.1 where Spark's fixed per-query overhead dwarfs
+10ms queries; THIS is the scale where plans dominate and the
+comparison is meaningful.
+
 Emits one JSON line:
   {"rows_per_table": {...}, "full_sec": {...}, "incr_sec": {...},
-   "extreme_sec": N, "incr_flat_ratio": N}
+   "extreme_sec": N, "incr_flat_ratio": N,
+   "duck_full_sec": {...}, "duck_extreme_sec": N}
 
 Usage: python tools/bench_flagship.py [--days 30,90,270]
-       [--symbols 50] [--out /tmp/flagship]
+       [--symbols 50] [--out /tmp/flagship] [--no-duckdb]
 """
 
 from __future__ import annotations
@@ -105,12 +113,96 @@ def _noop(df: DataFrame) -> float:
     return time.perf_counter() - t0
 
 
+def _duck_premium_sql(warmup: str, start: str, end: str) -> str:
+    """DuckDB rendering of premium_wma (same join + running-sums WMA
+    identity as operators/wma.py; semantics cross-checked by the
+    oracle suite at sf0.01)."""
+    return f"""
+WITH joined AS (
+  SELECT p.symbol AS symbol, p.exchange AS exchange,
+         p."timestamp" AS ts, p.close_time AS close_time,
+         p.close / s.close - 1 AS premium
+  FROM perp p JOIN spot s
+    ON p.symbol = s.symbol AND p."timestamp" = s."timestamp"
+  WHERE p."timestamp" >= TIMESTAMP '{warmup}'
+    AND p."timestamp" <= TIMESTAMP '{end}'
+), base AS (
+  SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY ts) AS rn
+  FROM joined
+), wma AS (
+  SELECT symbol, exchange, ts, close_time, premium,
+         CASE WHEN count(premium) OVER w = 120 THEN
+           (sum(premium * rn) OVER w - (rn - 120) * sum(premium) OVER w)
+             / 7260.0
+         END AS wma120_premium
+  FROM base
+  WINDOW w AS (PARTITION BY symbol ORDER BY ts
+               ROWS BETWEEN 119 PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM wma
+WHERE ts >= TIMESTAMP '{start}' AND ts <= TIMESTAMP '{end}'
+"""
+
+
+def _duck_full(con, warmup: str, start: str, end: str) -> float:
+    """Force full evaluation of every row + every WMA window (the
+    aggregate sinks mirror Spark's noop write: all work, no output)."""
+    q = (
+        "SELECT count(*), sum(premium), sum(wma120_premium) FROM ("
+        + _duck_premium_sql(warmup, start, end)
+        + ")"
+    )
+    t0 = time.perf_counter()
+    con.execute(q).fetchall()
+    return time.perf_counter() - t0
+
+
+def _duck_extreme(con, n_symbols: int, warmup: str, start: str, end: str) -> float:
+    q = f"""
+WITH prem AS ({_duck_premium_sql(warmup, start, end)}),
+syms AS (
+  SELECT 'SYM' || lpad(CAST(i AS VARCHAR), 4, '0') AS symbol,
+         TIMESTAMP '{T0}' - INTERVAL 400 DAY AS onboard_date
+  FROM range({n_symbols}) t(i)
+),
+prepared AS (
+  SELECT p.symbol, p.ts AS fundingTime, p.wma120_premium AS fundingRate
+  FROM prem p JOIN syms s
+    ON p.symbol = s.symbol AND p.ts > s.onboard_date + INTERVAL 5 DAY
+),
+lagged AS (
+  SELECT symbol, fundingTime,
+         lag(fundingTime, 30) OVER w AS prev_fundingTime,
+         fundingRate,
+         lag(fundingRate, 30) OVER w AS prev_fundingRate
+  FROM prepared WINDOW w AS (PARTITION BY symbol ORDER BY fundingTime)
+),
+change AS (
+  SELECT *, fundingRate - prev_fundingRate AS fundingRate_change
+  FROM lagged WHERE fundingRate - prev_fundingRate < -0.006
+),
+spaced AS (
+  SELECT *, (epoch_ms(fundingTime) - epoch_ms(
+      lag(fundingTime, 1) OVER (PARTITION BY symbol ORDER BY fundingTime)
+    )) / 60000.0 AS fundingTime_diff
+  FROM change
+)
+SELECT * FROM spaced
+WHERE fundingTime_diff IS NULL OR fundingTime_diff > 1440
+ORDER BY fundingTime DESC, symbol LIMIT 10
+"""
+    t0 = time.perf_counter()
+    con.execute(q).fetchall()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--days", default="30,90,270")
     ap.add_argument("--symbols", type=int, default=50)
     ap.add_argument("--out", default="/tmp/flagship")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--no-duckdb", action="store_true")
     args = ap.parse_args()
     day_list = [int(d) for d in args.days.split(",")]
 
@@ -119,6 +211,9 @@ def main() -> None:
     full_sec: dict[str, float] = {}
     incr_sec: dict[str, float] = {}
     extreme_sec = None
+    duck_full_sec: dict[str, float] = {}
+    duck_extreme_sec = None
+    warmup_str = "2023-12-31 22:00:00"  # T0 - 120 minutes
 
     for days in day_list:
         perp_dir = os.path.join(args.out, f"perp_{days}d")
@@ -160,6 +255,27 @@ def main() -> None:
             ex = extreme_cases(premium, gen_perp_symbols(spark, args.symbols))
             extreme_sec = round(_noop(ex), 2)
 
+        if not args.no_duckdb:
+            import duckdb
+
+            con = duckdb.connect()
+            con.execute(
+                "CREATE VIEW perp AS SELECT * FROM read_parquet("
+                f"'{perp_dir}/*/*.parquet', hive_partitioning=1)"
+            )
+            con.execute(
+                "CREATE VIEW spot AS SELECT * FROM read_parquet("
+                f"'{spot_dir}/*/*.parquet', hive_partitioning=1)"
+            )
+            duck_full_sec[str(days)] = round(
+                _duck_full(con, warmup_str, T0, end_str), 2
+            )
+            if days == max(day_list):
+                duck_extreme_sec = round(
+                    _duck_extreme(con, args.symbols, warmup_str, T0, end_str), 2
+                )
+            con.close()
+
     lo, hi = str(min(day_list)), str(max(day_list))
     out = {
         "symbols": args.symbols,
@@ -177,6 +293,13 @@ def main() -> None:
             2,
         ),
     }
+    if duck_full_sec:
+        out["duck_full_sec"] = duck_full_sec
+        out["duck_extreme_sec"] = duck_extreme_sec
+        out["spark_vs_duck_full"] = {
+            d: round(full_sec[d] / max(duck_full_sec[d], 1e-9), 2)
+            for d in duck_full_sec
+        }
     print(json.dumps(out))
     if not args.keep:
         shutil.rmtree(args.out, ignore_errors=True)

@@ -47,17 +47,20 @@ from binancedatapipeline_spark.textops.sampling import stable_split
 
 
 def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame:
-    """Deterministic corpus: doc i is 120 tokens drawn arithmetically
-    from a ~1M-word space (large prime modulus so distinct documents
-    share no shingles by construction); every 17th document is an
-    exact copy of its predecessor (~6% dup rate).
+    """Deterministic corpus: doc i is 120 tokens hashed from (seed, j)
+    into a ~1M-word space; every 17th document is an exact copy of its
+    predecessor (~6% dup rate).
 
-    The modulus matters: a small vocabulary cycle (an early version
-    used % 5000 with a non-prime-friendly stride) makes every doc one
-    of only 5000 distinct token sequences, so at 250k docs each doc
-    has ~50 identical twins and any correct pair-emitting dedup is
-    forced into a quadratic per-group pair explosion — a property of
-    the corpus, not the operator."""
+    The token function must be NON-LINEAR in (seed, position): two
+    earlier linear variants (token = seed*A + j*B mod p, for any
+    modulus) made cross-doc shingle overlap a coset property — one
+    colliding (seed_delta, offset) aligns an entire arithmetic
+    progression, so *whole shingle runs* match between unrelated docs
+    (at 250k docs the %1000003 stride produced ~7.4M accidentally
+    co-shingled doc pairs ≈ 800M join rows — a quadratic corpus, not a
+    quadratic operator). xxhash64(seed, j) breaks the progression:
+    distinct docs now collide per-token at ~1e-6 and per-3-shingle at
+    ~1e-18 — effectively never."""
     ids = spark.range(0, n_docs, 1, 64)
     seed = F.when(
         (F.col("id") % 17 == 0) & (F.col("id") > 0), F.col("id") - 1
@@ -66,7 +69,7 @@ def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame
         " ",
         F.expr(
             f"transform(sequence(1, {tokens}), "
-            f"j -> concat('w', pmod(__seed * 2654435761 + j * 40507, 1000003)))"
+            f"j -> concat('w', pmod(xxhash64(__seed, j), 1000003)))"
         ),
     )
     return ids.withColumn("__seed", seed).select(

@@ -54,12 +54,26 @@ def compare(name, got, exp):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
+    only = set(argv[1:])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    spark = get_session(app_name="compare_entry", shuffle_partitions=8)
+    if vanilla:
+        # default-config session (the driver harness's reader mode:
+        # NTZ inference ON until _load disables it) — proves both
+        # reader modes are value-identical, not just analyzable
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("compare_entry_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session(app_name="compare_entry", shuffle_partitions=8)
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
