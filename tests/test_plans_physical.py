@@ -98,6 +98,17 @@ def test_ngram_jaccard_reuses_shingle_exchange(spark):
     assert "Window" in plan, plan
 
 
+def test_join_composite_key_scans_events_once(spark):
+    """Both join sides derive from one scan+aggregate; the per-side
+    filter tests the aggregated etype=max(event_type) (NOT the
+    grouping column, which Catalyst would push below the agg and into
+    the scan, forking the subplans into two full scans). AQE must
+    serve the second side from a ReusedExchange at runtime."""
+    df = entry_mod.queries()["join_composite_key"](spark, SF)
+    plan = _final_plan(df)
+    assert "ReusedExchange" in plan, plan
+
+
 def test_count_distinct_uses_expand_not_collect_set(spark):
     """countDistinct must plan the Expand + two-stage distinct
     aggregate — never an ObjectHashAggregate materializing per-group
