@@ -76,8 +76,11 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp[us] columns as TIMESTAMP_NTZ, which unix_millis & co.
     # reject at analysis time — so disable inference here too, before
     # every read, and belt-and-braces cast any NTZ column that still
-    # slips through (session TZ is UTC on both sides, so NTZ->TIMESTAMP
-    # is value-preserving and hash-identical to the oracle).
+    # slips through. Pin the session TZ to UTC as well: the testdata is
+    # naive-UTC and the DuckDB oracle is TZ-naive, so on a non-UTC
+    # driver machine an unpinned session would shift every NTZ cast and
+    # date_trunc/hour bucket (same drift class that broke round 3).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # older driver builds stored TIMESTAMP(NANOS), which Spark's

@@ -5,8 +5,15 @@ NTZ inference; the driver's harness does not — round 3 lost 4 queries to
 exactly that drift: a vanilla session read events.ts as TIMESTAMP_NTZ
 and unix_millis() rejected it at analysis time).
 
-Runs in a subprocess so the default session can't inherit anything from
-the shared pytest session fixture.
+Also pins TZ-environment independence: the same queries run in a
+subprocess with TZ=America/New_York must produce byte-identical results
+(JVM-side string fingerprints, so the comparison can't be polluted by
+Python's process-local timestamp conversion) — `_load` pins the session
+TZ to UTC, so a non-UTC driver machine must not shift NTZ casts or
+date_trunc buckets.
+
+Runs in subprocesses so the default sessions can't inherit anything
+from the shared pytest session fixture.
 """
 from __future__ import annotations
 
@@ -17,10 +24,21 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# queries whose results depend on timestamp semantics — fingerprinted
+# across TZ environments
+TS_SENSITIVE = [
+    "scalar_datemath",
+    "sessionize",
+    "events_hourly_rollup",
+    "window_lead_gaps",
+    "join_theta",
+]
+
 _SCRIPT = """
-import json, sys
+import hashlib, json, sys
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 # Default config on purpose: no UTC pin, no NTZ-inference override, no
 # shuffle-partition tuning — the point is to mimic the driver harness.
@@ -43,27 +61,62 @@ try:
     entry_df.limit(1).collect()
 except Exception as exc:  # noqa: BLE001
     failures["__entry__"] = f"{type(exc).__name__}: {exc}"[:300]
-print("VANILLA_RESULT:" + json.dumps(failures))
+
+fingerprints = {}
+for name in %(ts_sensitive)r:
+    try:
+        df = entry_mod.queries()[name](spark, sf_dir)
+        # stringify JVM-side (session TZ, which _load pins to UTC) so
+        # the fingerprint is independent of the Python process TZ
+        rows = df.select(
+            [F.col(c).cast("string").alias(c) for c in sorted(df.columns)]
+        ).collect()
+        canon = sorted(tuple(r) for r in rows)
+        fingerprints[name] = hashlib.md5(repr(canon).encode()).hexdigest()
+    except Exception as exc:  # noqa: BLE001
+        failures[f"fp:{name}"] = f"{type(exc).__name__}: {exc}"[:300]
+print("VANILLA_RESULT:" + json.dumps({"failures": failures, "fp": fingerprints}))
 spark.stop()
 """
 
 
-def test_all_queries_run_under_default_session():
+def _run(tz: str | None) -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_VANILLA_SF", "/root/testdata/sf0.001")
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_SKETCH_ONLY", None)
+    if tz is not None:
+        env["TZ"] = tz
     proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT % {"repo": REPO, "sf_dir": sf_dir}],
+        [sys.executable, "-c", _SCRIPT % {
+            "repo": REPO, "sf_dir": sf_dir, "ts_sensitive": TS_SENSITIVE,
+        }],
         capture_output=True,
         text=True,
         timeout=900,
         cwd=REPO,
+        env=env,
     )
     marker = "VANILLA_RESULT:"
     line = next(
         (l for l in proc.stdout.splitlines() if l.startswith(marker)), None
     )
     assert line is not None, (
-        f"subprocess died before reporting\nstdout:\n{proc.stdout[-2000:]}"
-        f"\nstderr:\n{proc.stderr[-2000:]}"
+        f"subprocess (TZ={tz}) died before reporting\n"
+        f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
     )
-    failures = json.loads(line[len(marker):])
-    assert failures == {}, f"queries broken under a vanilla session: {failures}"
+    return json.loads(line[len(marker):])
+
+
+def test_all_queries_run_under_default_session_and_any_tz():
+    utc = _run(None)
+    assert utc["failures"] == {}, (
+        f"queries broken under a vanilla session: {utc['failures']}"
+    )
+    ny = _run("America/New_York")
+    assert ny["failures"] == {}, (
+        f"queries broken under a non-UTC-TZ vanilla session: {ny['failures']}"
+    )
+    assert utc["fp"] == ny["fp"], (
+        "timestamp-sensitive results drift with the driver machine TZ: "
+        f"{ {k: (utc['fp'].get(k), ny['fp'].get(k)) for k in set(utc['fp']) | set(ny['fp']) if utc['fp'].get(k) != ny['fp'].get(k)} }"
+    )
