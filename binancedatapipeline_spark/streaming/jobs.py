@@ -159,3 +159,71 @@ def stream_dedup(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         dedup_cols
     )
+
+
+def stream_near_dedup(
+    stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    time_col: str = "ingest_ts",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    min_novel_bands: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-duplicate suppression: the streaming counterpart
+    of the batch MinHash-LSH pipeline, for a continuously-ingested
+    corpus.
+
+    Per arriving document the k-slot MinHash signature and its LSH
+    band keys are pure per-row expressions (zero shuffle — the same
+    kernels as textops.dedup, streaming-safe). Every band key then
+    claims its (band, bh) slot via ``dropDuplicatesWithinWatermark``:
+    state is one 16-byte hash per distinct band key within the
+    watermark horizon — bounded forever, like the exact variant. A
+    document is emitted iff at least ``min_novel_bands`` of its bands
+    were UNCLAIMED by any earlier document (default 1: suppress only
+    documents whose every band collides — near-exact duplicates;
+    ``bands`` = strict novelty, suppress on any collision).
+
+    Band claims are greedy in arrival order and suppressed documents
+    still claim their novel bands — the deterministic batch oracle in
+    the tests replays exactly that fold. Emission happens when the
+    watermark closes the document's time window (the count of
+    surviving bands is a windowed aggregation downstream of the
+    dedup — Spark's chained-stateful-operator support does the rest).
+
+    Columns: window_end, <id_col>, novel_bands."""
+    from binancedatapipeline_spark.textops.dedup import (
+        band_structs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(
+        stream, id_col, text_col, n, k,
+        keep_cols=(time_col,), spread_input=False,
+    )
+    exploded = sig.select(
+        id_col,
+        time_col,
+        F.explode(F.array(*band_structs(k, bands))).alias("bk"),
+    ).select(
+        id_col, time_col,
+        F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"),
+    )
+    surviving = exploded.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bh"]
+    )
+    threshold = 1 if min_novel_bands is None else min_novel_bands
+    return (
+        surviving.groupBy(F.window(time_col, window), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("novel_bands"))
+        .filter(F.col("novel_bands") >= threshold)
+        .select(
+            F.col("window.end").alias("window_end"),
+            F.col(id_col),
+            F.col("novel_bands"),
+        )
+    )

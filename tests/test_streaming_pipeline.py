@@ -3,7 +3,7 @@ orchestration (SURVEY §2.10, M5/M6)."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pandas as pd
 import pytest
@@ -298,3 +298,78 @@ def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
     texts = [r["text"] for r in got]
     assert len(texts) == len(set(texts)), "emitted a duplicate body"
     assert set(texts) == {f"document body number {i}" for i in range(20)}
+
+
+def test_stream_near_dedup_suppresses_lsh_duplicates(spark, tmp_path):
+    """MinHash-LSH streaming near-dedup: duplicated bodies collide in
+    every band and must be suppressed (one emission per duplicate
+    group); mutually-dissimilar bodies share no band and must all be
+    emitted with every band novel. Sentinel docs beyond the horizon
+    advance the watermark so the real windows close, and must not be
+    emitted themselves (their windows stay open)."""
+    from binancedatapipeline_spark.streaming.jobs import stream_near_dedup
+
+    base = datetime(2024, 5, 1, 0, 0)
+    # every token carries the doc index: dissimilar docs share ZERO
+    # shingles, so the only band collisions are true duplicates (a
+    # shared-filler variant of this fixture produced real partial
+    # MinHash band collisions between "distinct" docs — correct LSH
+    # behavior, wrong test fixture)
+    mk = lambda i: " ".join(f"u{i}x{j}" for j in range(14))  # noqa: E731
+    rows = []
+    for i in range(12):  # 12 originals, minutes 0..11
+        rows.append((i, mk(i), base.replace(minute=i)))
+    for j in range(8):  # ids 12..19 duplicate ids 0..7, minutes 12..19
+        rows.append((12 + j, mk(j), base.replace(minute=12 + j)))
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    stage_dir = str(tmp_path / "neardup_in")
+    # real docs first; the two watermark-advancing sentinel waves go
+    # into strictly NEWER files (the file source replays oldest-mtime
+    # first): wave 1 raises the watermark past every real window, wave
+    # 2 gives the engine the extra batch in which those now-closed
+    # windows actually emit. A sentinel mixed into an early file would
+    # raise the watermark immediately and make every later real doc
+    # drop as late data.
+    spark.createDataFrame(rows, schema).repartition(4).write.parquet(stage_dir)
+    import time as _time
+
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(100, "sentinel alpha body", base + timedelta(hours=10))], schema
+    ).coalesce(1).write.mode("append").parquet(stage_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(101, "sentinel beta body", base + timedelta(hours=20))], schema
+    ).coalesce(1).write.mode("append").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    out = stream_near_dedup(
+        stream, watermark="2 hours", window="1 minute", bands=4
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_docs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        r["doc_id"]: r["novel_bands"]
+        for r in spark.sql("SELECT doc_id, novel_bands FROM neardup_docs").collect()
+    }
+    group = lambda i: i - 12 if 12 <= i <= 19 else i  # noqa: E731
+    emitted_groups = sorted(group(i) for i in got)
+    # exactly one emission per content group (file order decides which
+    # member of a duplicate pair wins; both claim the same bands);
+    # wave-1's window is closed by wave 2, so sentinel 100 emits too —
+    # wave 2's own window stays open and must not
+    assert emitted_groups == list(range(12)) + [100], got
+    assert 101 not in got, "open-window sentinel emitted"
+    # every kept doc was wholly novel: all 4 bands unclaimed
+    assert set(got.values()) == {4}, got
