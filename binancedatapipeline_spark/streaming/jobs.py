@@ -161,6 +161,46 @@ def stream_dedup(
     )
 
 
+def sessionize_windows(
+    events: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization as a ``session_window`` aggregation —
+    one expression that runs identically on a batch DataFrame and on a
+    watermarked stream (pass ``watermark`` for the streaming form).
+
+    This is the aggregate counterpart of the registry's ``sessionize``
+    query (which marks session STARTS via lag): ``session_window``
+    merges events closer than ``gap`` into [first_ts, last_ts + gap)
+    windows per user, so ``count(*)`` groups here equal the lag
+    formulation's session count. On a stream the state per user is the
+    set of open sessions inside the watermark horizon — sessions close
+    (and emit, in append mode) once the watermark passes their end,
+    making this the bounded-state way to sessionize an unbounded
+    ingest; the lag/window formulation would need the full history.
+    """
+    if watermark:
+        events = events.withWatermark(time_col, watermark)
+    return (
+        events.groupBy(F.session_window(time_col, gap), F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def stream_near_dedup(
     stream: DataFrame,
     id_col: str = "doc_id",

@@ -373,3 +373,84 @@ def test_stream_near_dedup_suppresses_lsh_duplicates(spark, tmp_path):
     assert 101 not in got, "open-window sentinel emitted"
     # every kept doc was wholly novel: all 4 bands unclaimed
     assert set(got.values()) == {4}, got
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """session_window sessionization: the streaming (watermarked,
+    append-mode) result must equal the batch aggregation over the same
+    events. Files are staged in event-time order (the file source
+    replays by modification time) and a far-future sentinel event
+    advances the final watermark so every real session closes."""
+    from binancedatapipeline_spark.streaming.jobs import sessionize_windows
+
+    base = datetime(2024, 5, 1, 0, 0)
+    rows = []
+    # user 1: two sessions (burst at t0..t2, burst at t0+90m..+92m)
+    for m in (0, 1, 2, 90, 91, 92):
+        rows.append((1, base + timedelta(minutes=m), float(m)))
+    # user 2: one long session, events every 10 min < 30 min gap
+    for m in range(0, 60, 10):
+        rows.append((2, base + timedelta(minutes=m), 1.0))
+    # user 3: three singleton sessions an hour apart
+    for m in (0, 60, 120):
+        rows.append((3, base + timedelta(minutes=m), 2.0))
+    src = spark.createDataFrame(rows, "user_id int, ts timestamp, value double")
+
+    batch = sessionize_windows(src).collect()
+    per_user = {}
+    for r in batch:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    assert len(per_user[3]) == 3
+    # session_window semantics: end = last event + gap
+    s1 = sorted(per_user[1], key=lambda r: r["session_start"])
+    assert s1[0]["session_start"] == base
+    assert s1[0]["session_end"] == base + timedelta(minutes=2 + 30)
+    assert s1[0]["n_events"] == 3 and s1[0]["session_value"] == 3.0
+    assert per_user[2][0]["n_events"] == 6
+
+    # stage chunks in event-time order; sentinel event far in the
+    # future pushes the closing watermark past every real session
+    stage = str(tmp_path / "sess_in")
+    chunks = [
+        src.filter(F.col("ts") < base + timedelta(minutes=10)),
+        src.filter(
+            (F.col("ts") >= base + timedelta(minutes=10))
+            & (F.col("ts") < base + timedelta(minutes=80))
+        ),
+        src.filter(F.col("ts") >= base + timedelta(minutes=80)),
+        spark.createDataFrame(
+            [(99, base + timedelta(hours=10), 0.0)], src.schema
+        ),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(stage)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = sessionize_windows(stream, watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_start"]): r
+        for r in spark.sql("SELECT * FROM sessions").collect()
+        if r["user_id"] != 99
+    }
+    exp = {(r["user_id"], r["session_start"]): r for r in batch}
+    assert set(got) == set(exp)
+    for k, r in got.items():
+        e = exp[k]
+        assert r["session_end"] == e["session_end"]
+        assert r["n_events"] == e["n_events"]
+        assert r["session_value"] == e["session_value"]
