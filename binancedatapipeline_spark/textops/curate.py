@@ -1,0 +1,137 @@
+"""End-to-end corpus curation: the training-data prep chain as ONE
+composed lazy plan.
+
+raw docs → PII redaction → C4 line cleaning → Gopher shape filter →
+exact dedup (keep canonical copy) → benchmark decontamination →
+stable split assignment.
+
+Two surfaces:
+
+- :func:`curation_flags` — AUDIT mode: every input row survives, each
+  carrying its per-stage verdicts (``n_pii``, ``drop_reasons``,
+  ``is_exact_dup``, ``is_contaminated``, ``split``). One pass over the
+  corpus; the only shuffles are the dedup digest exchange and the
+  decontamination hit count — every other stage is a map. This is
+  what you run first at 100 TB: the flag histogram tells you what each
+  threshold would discard before you commit to discarding it.
+- :func:`curate` — FILTER mode: the curated corpus itself (cleaned
+  text, one copy per digest, shape-passing, benchmark-clean), with the
+  split column. Same plan shape, with the drops applied.
+
+Dedup keeps the MINIMUM id per digest (same canonical-id rule as
+``exact_duplicates``), decided by one groupBy + join-back rather than
+a row_number window — the aggregate side carries (digest, min_id)
+only, and AQE broadcasts it when it fits so the corpus side stays
+map-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops.cleaning import (
+    clean_lines,
+    gopher_filter,
+    redact_pii,
+)
+from binancedatapipeline_spark.textops.decontam import contamination_hits
+from binancedatapipeline_spark.textops.sampling import stable_split
+
+
+def curation_flags(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    contamination_n: int = 5,
+    gopher_overrides: dict[str, float] | None = None,
+) -> DataFrame:
+    """Annotate every document with its full curation verdict without
+    dropping anything. Columns added: ``text_clean``, ``n_pii``,
+    ``n_lines``/``n_lines_kept``, ``drop_reasons`` (Gopher, computed
+    on the CLEANED text), ``keep_shape``, ``is_exact_dup`` (true for
+    every copy after the canonical one), ``is_contaminated`` (false
+    everywhere when ``bench`` is None), ``split``."""
+    out = redact_pii(docs, text_col=text_col, out_col="__pii_clean")
+    out = clean_lines(out, text_col="__pii_clean", min_words=min_line_words)
+    out = out.drop("__pii_clean")
+    out = gopher_filter(out, text_col="text_clean", **(gopher_overrides or {}))
+    out = out.withColumnRenamed("keep", "keep_shape")
+
+    # canonical copy per digest of the CLEANED text: aggregate to
+    # (digest, min_id), join back; rows whose id isn't the canonical
+    # one are duplicates. The agg side shuffles only (digest, id);
+    # AQE broadcasts it when it fits, keeping the corpus side map-only
+    # — past that, the corpus pays the one exchange row-level exact
+    # dedup fundamentally costs. (Extreme-scale alternative: derive
+    # the usually-tiny non-canonical-id list from an (id, digest)
+    # projection and anti-join on id — trades a second cleaning-kernel
+    # pass for never shuffling text.)
+    digest = F.md5(F.col("text_clean").cast("binary"))
+    out = out.withColumn("__digest", digest)
+    canon = out.groupBy("__digest").agg(F.min(id_col).alias("__canon_id"))
+    out = out.join(canon, on="__digest", how="left").withColumn(
+        "is_exact_dup", F.col(id_col) != F.col("__canon_id")
+    ).drop("__digest", "__canon_id")
+
+    if bench is not None:
+        # contamination_hits shingles docs and bench with the same
+        # text_col, so present the cleaned text under the bench's name
+        probe = out.select(F.col(id_col), F.col("text_clean").alias(text_col))
+        hits = contamination_hits(
+            probe, bench, n=contamination_n, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("n_hits", "__n_hits")
+        out = out.join(hits, on=id_col, how="left").withColumn(
+            "is_contaminated", F.col("__n_hits").isNotNull()
+        ).drop("__n_hits")
+    else:
+        out = out.withColumn("is_contaminated", F.lit(False))
+    return stable_split(out, id_col=id_col)
+
+
+def curate(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """The curated corpus: cleaned text, Gopher-passing, one copy per
+    digest, benchmark-clean, split-assigned. Returns the original
+    columns with ``text_col`` replaced by the cleaned text, plus
+    ``split``."""
+    flagged = curation_flags(docs, bench, id_col=id_col, text_col=text_col, **kwargs)
+    kept = flagged.filter(
+        F.col("keep_shape")
+        & ~F.col("is_exact_dup")
+        & ~F.col("is_contaminated")
+    )
+    drop = [
+        "n_pii", "n_lines", "n_lines_kept", "drop_reasons", "keep_shape",
+        "is_exact_dup", "is_contaminated", "text_clean",
+    ]
+    return kept.withColumn(text_col, F.col("text_clean")).drop(*drop)
+
+
+def curation_report(flags: DataFrame) -> DataFrame:
+    """One-row funnel summary over a :func:`curation_flags` result —
+    the audit you print before committing to thresholds."""
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_pii")).alias("pii_spans"),
+        F.sum((F.col("n_lines") - F.col("n_lines_kept")).cast("long")).alias(
+            "boilerplate_lines_dropped"
+        ),
+        F.sum((~F.col("keep_shape")).cast("long")).alias("shape_dropped"),
+        F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
+        F.sum(F.col("is_contaminated").cast("long")).alias("contaminated"),
+        F.sum(
+            (
+                F.col("keep_shape")
+                & ~F.col("is_exact_dup")
+                & ~F.col("is_contaminated")
+            ).cast("long")
+        ).alias("survivors"),
+    )

@@ -1,0 +1,88 @@
+"""End-to-end corpus curation: one composed plan from raw docs to
+split-assigned curated corpus, audit flags intact."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops.curate import (
+    curate,
+    curation_flags,
+    curation_report,
+)
+
+GOOD_BODY = " ".join(f"word{i} sentence continues naturally here" for i in range(15))
+CONTAM_SEED = "alpha beta gamma delta epsilon zeta eta theta"
+
+
+def _corpus(spark):
+    rows = [
+        # 1: clean survivor
+        (1, GOOD_BODY),
+        # 2: same body after PII differences -> dedups against 1 is NOT
+        #    true (different digest? no: PII tokens normalize identically)
+        (2, GOOD_BODY),
+        # 3: PII-bearing but otherwise good (unique tail)
+        (3, GOOD_BODY + " unique tail three contact me at sam@example.com please do"),
+        # 4: too short -> shape drop
+        (4, "tiny document"),
+        # 5: contains the benchmark 8-gram -> contaminated
+        (5, GOOD_BODY + " unique tail five " + CONTAM_SEED + " trailing words"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def _bench(spark):
+    return spark.createDataFrame(
+        [(100, CONTAM_SEED)], "doc_id int, text string"
+    )
+
+
+def test_flags_audit_every_row(spark):
+    flags = curation_flags(_corpus(spark), _bench(spark), contamination_n=5)
+    rows = {r["doc_id"]: r for r in flags.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}  # audit mode drops nothing
+    assert rows[1]["keep_shape"] and not rows[1]["is_exact_dup"]
+    # doc 2 is a byte-copy of doc 1 -> duplicate, canonical is min id
+    assert rows[2]["is_exact_dup"] and not rows[1]["is_exact_dup"]
+    assert rows[3]["n_pii"] == 1
+    assert "<EMAIL>" in rows[3]["text_clean"]
+    assert not rows[4]["keep_shape"]
+    assert "too_few_words" in rows[4]["drop_reasons"]
+    assert rows[5]["is_contaminated"] and not rows[1]["is_contaminated"]
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+
+
+def test_curate_keeps_only_survivors(spark):
+    out = curate(_corpus(spark), _bench(spark), contamination_n=5)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert "<EMAIL>" in rows[3]["text"]  # curated text is the cleaned one
+    assert "split" in out.columns
+    assert "text_clean" not in out.columns
+
+
+def test_curate_without_bench(spark):
+    out = curate(_corpus(spark))
+    assert set(r["doc_id"] for r in out.collect()) == {1, 3, 5}
+
+
+def test_report_funnel_counts(spark):
+    rep = curation_report(
+        curation_flags(_corpus(spark), _bench(spark), contamination_n=5)
+    ).collect()[0]
+    assert rep["n_docs"] == 5
+    assert rep["pii_spans"] == 1
+    assert rep["shape_dropped"] == 1
+    assert rep["exact_dups"] == 1
+    assert rep["contaminated"] == 1
+    assert rep["survivors"] == 2
+
+
+def test_one_composed_plan_no_python_loops(spark):
+    """The whole chain stays one lazy DataFrame: a single explain
+    succeeds and contains the dedup aggregate and the broadcast
+    decontamination probe."""
+    flags = curation_flags(_corpus(spark), _bench(spark))
+    plan = flags._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
