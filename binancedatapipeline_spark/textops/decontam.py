@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops.analysis import tokens_col
-from binancedatapipeline_spark.textops.dedup import _hash56, _shingle_array
+from binancedatapipeline_spark.textops.dedup import _hash64x, _shingle_array
 
 
 def _doc_shingle_hashes(
@@ -40,7 +40,7 @@ def _doc_shingle_hashes(
     ).select(
         id_col,
         F.explode(
-            F.transform(F.array_distinct(_shingle_array(n)), _hash56)
+            F.transform(F.array_distinct(_shingle_array(n)), _hash64x)
         ).alias("sh_hash"),
     )
 
