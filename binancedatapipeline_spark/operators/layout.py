@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _fs_bytes(spark: SparkSession, uris: list[str]) -> int:
@@ -81,6 +82,73 @@ def compact_small_files(
         writer = out.write
     writer.mode("overwrite").parquet(dest)
     return n
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    bits: int = 8,
+    out_col: str = "__z",
+    relative_error: float = 0.01,
+) -> DataFrame:
+    """Add a Z-order (Morton) key interleaving quantile-bucket ranks
+    of ``cols`` — the multi-dimensional generalization of single-key
+    clustering: sorting by the Z key gives every dimension locality,
+    so a scan filtered on ANY subset of ``cols`` prunes files, not
+    just a sort-prefix.
+
+    Per column, ``approxQuantile`` (one pass, driver gets ``2^bits``
+    cut points — metadata, not data) defines equi-DEPTH buckets, so
+    skewed columns still spread across the full rank range where
+    equi-width bucketing would collapse them into one bucket. The
+    rank lookup and bit interleave are pure JVM expressions.
+    """
+    n_buckets = 1 << bits
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    # rank columns first (each cut-point scan runs ONCE per row), then
+    # the interleave reads the small rank values
+    rank_cols = {}
+    for dim, c in enumerate(cols):
+        cuts = df.approxQuantile(c, qs, relative_error)
+        uniq = sorted(set(cuts))  # dedupe for low-cardinality columns
+        arr = ", ".join(repr(float(v)) for v in uniq)
+        rank_cols[f"__r{dim}"] = F.expr(
+            f"size(filter(array({arr}), b -> b <= cast({c} as double)))"
+        )
+    # interleave: bit i of every rank goes to position i*len(cols)+dim
+    terms = []
+    for dim in range(len(cols)):
+        for i in range(bits):
+            terms.append(
+                f"(shiftleft(shiftright(__r{dim}, {i}) & 1, {i * len(cols) + dim}))"
+            )
+    return (
+        df.withColumns(rank_cols)
+        .withColumn(out_col, F.expr(" + ".join(terms)).cast("long"))
+        .drop(*rank_cols)
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    dest: str,
+    cols: tuple[str, ...],
+    n_files: int,
+    bits: int = 8,
+) -> None:
+    """Write ``df`` Z-order-clustered on ``cols``: each output file
+    covers a compact hyper-rectangle of the key space, so parquet
+    footer min/max stats prune scans filtered on any of ``cols``
+    (a single-key sort only prunes its prefix). One exchange + one
+    local sort, same cost shape as :func:`sorted_write`."""
+    keyed = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(dest)
+    )
 
 
 def sorted_write(

@@ -122,3 +122,77 @@ def test_sorted_write_prunes_row_groups(spark, tmp_path):
     got = spark.read.parquet(dest).filter(F.col("key").between(lo, hi)).count()
     exp = df.filter(F.col("key").between(lo, hi)).count()
     assert got == exp
+
+
+def _file_box(path: str, col_idx: dict[str, int]):
+    md = pq.ParquetFile(path).metadata
+    box = {}
+    for name, idx in col_idx.items():
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        box[name] = (min(mins), max(maxs))
+    return box
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order layout: a selective filter on EITHER column must prune
+    most files via footer stats — a single-key sort can only do this
+    for its prefix column."""
+    n, files = 100_000, 16
+    df = (
+        spark.range(0, n)
+        .withColumn("x", (F.xxhash64("id") % 1000 + 1000) % 1000)
+        .withColumn("y", (F.xxhash64("id", F.lit(1)) % 1000 + 1000) % 1000)
+        .withColumn("v", F.rand(seed=3))
+    )
+    from binancedatapipeline_spark.operators.layout import zorder_write
+
+    zdest = str(tmp_path / "zorder")
+    zorder_write(df, zdest, cols=("x", "y"), n_files=files)
+    zfiles = _files(zdest)
+    assert len(zfiles) == files
+    # schema: id, x, y, v -> column indexes 1 and 2
+    idx = {"x": 1, "y": 2}
+
+    def touched(fs, col, lo, hi):
+        k = 0
+        for f in fs:
+            fmin, fmax = _file_box(f, idx)[col]
+            if fmax >= lo and fmin <= hi:
+                k += 1
+        return k
+
+    # ~10%-of-domain band on each dimension independently
+    tx = touched(zfiles, "x", 0, 99)
+    ty = touched(zfiles, "y", 0, 99)
+    assert tx <= files // 2, f"x-band touched {tx}/{files}"
+    assert ty <= files // 2, f"y-band touched {ty}/{files}"
+
+    # contrast: x-sorted layout prunes x hard but cannot prune y
+    sdest = str(tmp_path / "xsorted")
+    sorted_write(df, sdest, sort_cols=("x",), n_files=files)
+    sfiles = _files(sdest)
+    assert touched(sfiles, "x", 0, 99) <= 3
+    assert touched(sfiles, "y", 0, 99) == files  # no y locality at all
+    assert tx + ty < touched(sfiles, "x", 0, 99) + touched(sfiles, "y", 0, 99)
+
+    # content intact
+    assert spark.read.parquet(zdest).count() == n
+
+
+def test_zorder_key_equidepth_on_skew(spark):
+    """Quantile bucketing: a heavily skewed column still spreads over
+    the rank range (equi-width would collapse it)."""
+    from binancedatapipeline_spark.operators.layout import zorder_key
+
+    df = spark.range(0, 10_000).withColumn(
+        "skew", F.when(F.col("id") % 100 == 0, F.col("id") * 1000.0).otherwise(
+            (F.col("id") % 50).cast("double")
+        )
+    ).withColumn("u", F.col("id").cast("double"))
+    keyed = zorder_key(df, ("skew", "u"), bits=4)
+    n_distinct = keyed.select("__z").distinct().count()
+    assert n_distinct >= 64  # 8-bit z-space meaningfully populated
