@@ -47,6 +47,7 @@ def curation_flags(
     min_line_words: int = 3,
     contamination_n: int = 5,
     gopher_overrides: dict[str, float] | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
@@ -59,6 +60,18 @@ def curation_flags(
     out = out.drop("__pii_clean")
     out = gopher_filter(out, text_col="text_clean", **(gopher_overrides or {}))
     out = out.withColumnRenamed("keep", "keep_shape")
+
+    # The dedup aggregate and the decontamination probe are separate
+    # subtrees over the SAME cleaned corpus — without materialization
+    # the redact/clean/Gopher kernel executes once per subtree (3x, a
+    # measured ~2x wall cost at 250k docs). Persist the cleaned rows
+    # so each downstream consumer reads them instead of recomputing;
+    # at real scale, checkpoint the cleaned corpus to storage instead
+    # (the persist is the single-job form of that checkpoint).
+    if materialize:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
 
     # canonical copy per digest of the CLEANED text: aggregate to
     # (digest, min_id), join back; rows whose id isn't the canonical

@@ -44,6 +44,12 @@ from binancedatapipeline_spark.textops.dedup import (
     simhash,
 )
 from binancedatapipeline_spark.textops.sampling import stable_split
+from binancedatapipeline_spark.textops.cleaning import (
+    gopher_filter,
+    ngram_repetition,
+    redact_pii,
+)
+from binancedatapipeline_spark.textops.curate import curate
 
 
 def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame:
@@ -77,6 +83,26 @@ def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame
     )
 
 
+def messy(docs: DataFrame) -> DataFrame:
+    """Decorate the corpus so the cleaning ops have real work: every
+    7th doc gains a PII line (email + phone), every 5th a boilerplate
+    line, and the body splits into ~6 lines."""
+    lines = F.regexp_replace(F.col("text"), r"((?:\S+ ){19}\S+) ", "$1\n")
+    text = F.col("__lined")
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(text, F.lit("\nContact me at user"), F.col("doc_id"),
+                 F.lit("@example.com or (555) 123-4567 today.")),
+    ).otherwise(text)
+    text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(text, F.lit("\nall rights reserved click here")),
+    ).otherwise(text)
+    return docs.withColumn("__lined", lines).select(
+        "doc_id", text.alias("text")
+    )
+
+
 def _noop(df: DataFrame) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -106,6 +132,14 @@ def main() -> None:
             "stable_split": lambda d=docs: stable_split(d, "doc_id")
             .groupBy("split")
             .count(),
+            # cleaning/curation over the decorated (multi-line, PII,
+            # boilerplate) variant so the filters have real work
+            "redact_pii": lambda d=docs: redact_pii(messy(d)),
+            "gopher_filter": lambda d=docs: gopher_filter(messy(d)),
+            "ngram_repetition": lambda d=docs: ngram_repetition(messy(d), n=2),
+            "curate_full": lambda d=docs, b=bench: curate(
+                messy(d), b, min_line_words=1, gopher_overrides={"min_words": 5}
+            ),
         }
         for name, build in ops.items():
             sec.setdefault(name, {})[str(n)] = round(_noop(build()), 2)
