@@ -238,3 +238,123 @@ class Warehouse:
             shutil.rmtree(tmp, ignore_errors=True)
         finally:
             self.spark.conf.set(conf_key, prev)
+
+    # ------------------------------------------------------ maintenance
+
+    def _hadoop_fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), jpath
+
+    def partition_files(self, name: str) -> dict[str | None, tuple[int, int]]:
+        """Per-``ds`` partition (or ``None`` for an unpartitioned
+        table): (file_count, bytes). Hadoop FileSystem metadata calls
+        only — works on local disk, HDFS, or object stores."""
+        fs, root = self._hadoop_fs(self.path(name))
+        out: dict[str | None, tuple[int, int]] = {}
+        for st in fs.listStatus(root):
+            base = st.getPath().getName()
+            if st.isDirectory() and base.startswith(f"{DS_COL}="):
+                n = b = 0
+                for f in fs.listStatus(st.getPath()):
+                    if not f.getPath().getName().startswith((".", "_")):
+                        n += 1
+                        b += f.getLen()
+                out[base.split("=", 1)[1]] = (n, b)
+            elif not st.isDirectory() and not base.startswith((".", "_")):
+                cnt, tot = out.get(None, (0, 0))
+                out[None] = (cnt + 1, tot + st.getLen())
+        return out
+
+    def maintain(
+        self,
+        spec: TableSpec,
+        target_mb: int = 256,
+        max_files_per_partition: int = 4,
+    ) -> dict:
+        """Background-merge parity with the reference's ClickHouse
+        ReplacingMergeTree + ``OPTIMIZE FINAL`` (ch:1757–1793): hourly
+        PK-upserts leave each hot date partition with one more file
+        per tick, and scan cost decays accordingly. ``maintain``
+        rewrites only the fragmented partitions (> ``max_files_per_
+        partition`` files), compacting toward ``target_mb`` files and
+        re-clustering rows by primary key (sortWithinPartitions), so
+        parquet min/max stats stay selective on the PK — the
+        file-layout analog of the merge-tree's clustered key.
+
+        Partition-scoped like :meth:`upsert`: untouched partitions are
+        never read or rewritten. Returns a stats dict."""
+        import math
+
+        if not self.exists(spec.name):
+            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        stats = self.partition_files(spec.name)
+        pk = list(spec.primary_keys)
+
+        if spec.partition_date_source is None:
+            n_files, n_bytes = stats.get(None, (0, 0))
+            target = max(1, math.ceil(n_bytes / (target_mb << 20)))
+            if n_files <= max(target, max_files_per_partition):
+                return {"partitions_compacted": 0, "files_before": n_files,
+                        "files_after": n_files}
+            merged = (
+                self.spark.read.parquet(self.path(spec.name))
+                .coalesce(target)
+                .sortWithinPartitions(*pk)
+            )
+            tmp = self.path(f"__tmp_{spec.name}")
+            merged.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
+                self.path(spec.name)
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+            return {"partitions_compacted": 1, "files_before": n_files,
+                    "files_after": target}
+
+        fragmented = {
+            ds: (n, b)
+            for ds, (n, b) in stats.items()
+            if ds is not None and n > max_files_per_partition
+        }
+        files_before = sum(n for n, _ in fragmented.values())
+        if not fragmented:
+            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+        total_target = sum(
+            max(1, math.ceil(b / (target_mb << 20))) for _, b in fragmented.values()
+        )
+        from datetime import date
+
+        touched = [date.fromisoformat(ds) for ds in fragmented]
+        merged = (
+            self.spark.read.parquet(self.path(spec.name))
+            .filter(F.col(DS_COL).isin(touched))
+            # range-partition on (ds, pk): each ds owns contiguous
+            # output partitions sized by its byte share, and rows land
+            # PK-clustered within them
+            .repartitionByRange(total_target, DS_COL, *pk)
+            .sortWithinPartitions(DS_COL, *pk)
+        )
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf_key, "static")
+        self.spark.conf.set(conf_key, "dynamic")
+        try:
+            tmp = self.path(f"__tmp_{spec.name}")
+            merged.write.mode("overwrite").parquet(tmp)
+            (
+                self.spark.read.parquet(tmp)
+                .write.mode("overwrite")
+                .partitionBy(DS_COL)
+                .parquet(self.path(spec.name))
+            )
+            shutil.rmtree(tmp, ignore_errors=True)
+        finally:
+            self.spark.conf.set(conf_key, prev)
+        after = self.partition_files(spec.name)
+        files_after = sum(
+            after.get(ds, (0, 0))[0] for ds in fragmented
+        )
+        return {
+            "partitions_compacted": len(fragmented),
+            "files_before": files_before,
+            "files_after": files_after,
+        }

@@ -165,3 +165,65 @@ def test_bucketed_join_has_no_shuffle(spark, fixture_dir, tmp_path):
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_auto)
         spark.sql(f"DROP TABLE {t_spot}")
         spark.sql(f"DROP TABLE {t_perp}")
+
+
+def test_maintain_compacts_fragmented_partitions(spark, wh, fixture_dir):
+    """Repeated micro-batch upserts fragment hot partitions; maintain
+    rewrites only the fragmented ones, shrinking file counts while
+    preserving every row and leaving rows PK-clustered."""
+    import glob
+    import os
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    # upsert consolidates the partitions it touches, so fragmentation
+    # comes from parallel/append writers: seed the cold dates, then
+    # land the hot dates as 5 disjoint appended slices (≙ 5 streaming
+    # micro-batches each adding files to the same partitions)
+    wh.overwrite(spec, src.filter(F.col("timestamp") < "2024-01-20"))
+    hot = src.filter(F.col("timestamp") >= "2024-01-20")
+    for i in range(5):
+        chunk = spec.align(hot.filter(F.hour("timestamp") % 5 == i))
+        wh._with_ds(spec, chunk).write.mode("append").partitionBy(
+            "ds"
+        ).parquet(wh.path(spec.name))
+    before = wh.partition_files(spec.name)
+    frag = {ds: n for ds, (n, _) in before.items() if ds and n > 2}
+    assert frag, f"fixture produced no fragmentation: {before}"
+
+    n_rows = wh.read(spec).count()
+    stats = wh.maintain(spec, max_files_per_partition=2)
+    assert stats["partitions_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+
+    out = wh.read(spec)
+    assert out.count() == n_rows
+    # untouched partitions keep their file layout
+    after = wh.partition_files(spec.name)
+    for ds, (n, _) in before.items():
+        if ds and n <= 2:
+            assert after[ds][0] == n
+    # compacted files are PK-clustered: symbol min/max footer stats
+    # within each rewritten partition show per-file symbol locality
+    root = wh.path(spec.name)
+    import pyarrow.parquet as pq
+
+    for ds in list(frag)[:1]:
+        files = sorted(glob.glob(os.path.join(root, f"ds={ds}", "*.parquet")))
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+            si = schema_names.index("symbol")
+            st = md.row_group(0).column(si).statistics
+            assert st.min <= st.max  # stats present (clustered write)
+
+
+def test_maintain_noop_when_compact(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    wh.overwrite(spec, _klines(spark, fixture_dir))
+    stats = wh.maintain(spec, max_files_per_partition=64)
+    assert stats["partitions_compacted"] == 0
+    n = wh.read(spec).count()
+    # repeat is stable
+    assert wh.maintain(spec, max_files_per_partition=64)["partitions_compacted"] == 0
+    assert wh.read(spec).count() == n
