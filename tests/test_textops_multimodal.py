@@ -131,3 +131,52 @@ def test_ivf_recall_vs_bruteforce(spark):
     approx_set = set(map(tuple, approx[["query_id", "vec_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_image_dims_from_headers(spark):
+    """Header-parse dimension extraction: real container headers built
+    byte-for-byte; JPEG and junk must yield NULL dims, not errors."""
+    import struct
+
+    from binancedatapipeline_spark.multimodal import with_image_dims
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480)          # width, height
+        + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<IiiHH", 40, 1024, -768, 1, 24)  # negative = top-down
+    )
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 20
+    junk = b"not an image at all"
+
+    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg), (5, junk)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in with_image_dims(df).collect()}
+
+    assert got[1]["img_format"] == "png"
+    assert (got[1]["img_width"], got[1]["img_height"]) == (640, 480)
+    assert got[2]["img_format"] == "gif"
+    assert (got[2]["img_width"], got[2]["img_height"]) == (320, 200)
+    assert got[3]["img_format"] == "bmp"
+    assert (got[3]["img_width"], got[3]["img_height"]) == (1024, 768)
+    assert got[4]["img_format"] == "jpeg"
+    assert got[4]["img_width"] is None and got[4]["img_height"] is None
+    assert got[5]["img_format"] == "unknown"
+    assert got[5]["img_width"] is None
+
+
+def test_image_dims_is_pure_projection(spark):
+    """No shuffle, no Python: the plan is a single Project over the
+    scan."""
+    from binancedatapipeline_spark.multimodal import with_image_dims
+
+    df = spark.createDataFrame([(1, b"GIF89a\x10\x00\x10\x00")],
+                               "media_id long, content binary")
+    plan = with_image_dims(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
