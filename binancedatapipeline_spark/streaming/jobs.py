@@ -161,6 +161,50 @@ def stream_dedup(
     )
 
 
+def stream_curate_upsert(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    spec: TableSpec,
+    checkpoint_dir: str,
+    bench: DataFrame | None = None,
+    curate_kwargs: dict | None = None,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Continuous corpus curation: per micro-batch, run the full
+    curate chain (PII redaction → C4 line cleaning → Gopher shape
+    filter → exact dedup → decontamination → split) and PK-upsert the
+    survivors into the warehouse.
+
+    Cross-batch semantics: curate's exact dedup is batch-local by
+    design (its digest aggregate sees one micro-batch); cross-batch
+    duplicates are handled by the PK upsert (same id = idempotent
+    replace) or, for content-level dups across ids, by putting
+    :func:`stream_dedup` / :func:`stream_near_dedup` upstream of this
+    sink. Replays are idempotent end-to-end (T4): re-processing a
+    batch re-curates deterministically and the upsert replaces rather
+    than appends."""
+    from binancedatapipeline_spark.textops.curate import curate
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        curated = curate(batch_df, bench, **(curate_kwargs or {}))
+        n = curated.count()
+        if n:
+            warehouse.upsert(spec, curated)
+        if on_batch:
+            on_batch(batch_id, n)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def sessionize_windows(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1,0 +1,94 @@
+"""Streaming corpus curation → warehouse upsert: the end-to-end
+training-data ingest a user would actually run."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from binancedatapipeline_spark.catalog import TableSpec
+from binancedatapipeline_spark.streaming.jobs import stream_curate_upsert
+from binancedatapipeline_spark.warehouse import Warehouse
+
+DOCS_SPEC = TableSpec(
+    name="docs_curated",
+    primary_keys=("doc_id",),
+    schema=T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ingest_ts", T.TimestampType()),
+        T.StructField("split", T.StringType()),
+    ]),
+    kind="fact",
+    time_column="ingest_ts",
+)
+
+GOOD = " ".join(f"word{i} sentence continues naturally here" for i in range(15))
+
+
+def test_stream_curate_upsert_end_to_end(spark, tmp_path):
+    base = datetime(2024, 6, 1)
+    chunks = [
+        # batch 1: a clean doc and a junk doc
+        [(1, GOOD + " one", base), (2, "too short", base)],
+        # batch 2: a PII doc and a byte-duplicate of doc 1's text
+        [
+            (3, GOOD + " three mail me at eve@example.org thanks a lot", base + timedelta(hours=1)),
+            (4, GOOD + " one", base + timedelta(hours=1)),
+        ],
+        # batch 3: replay of doc 1 (same id, same text) — upsert must
+        # replace, not append
+        [(1, GOOD + " one", base + timedelta(hours=2))],
+    ]
+    stage = str(tmp_path / "docs_in")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    for rows in chunks:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(stage)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    seen = []
+    q = stream_curate_upsert(
+        stream,
+        wh,
+        DOCS_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        curate_kwargs={"min_line_words": 1, "gopher_overrides": {"min_words": 10}},
+        on_batch=lambda bid, n: seen.append((bid, n)),
+    )
+    q.awaitTermination(180)
+
+    out = {r["doc_id"]: r for r in wh.read(DOCS_SPEC).collect()}
+    # doc 2 failed the shape filter; docs 1, 3, 4 survive (4 is a
+    # content-dup of 1 but in a different batch — batch-local dedup
+    # plus PK upsert keeps it; content-level cross-batch dedup is
+    # stream_dedup's job upstream)
+    assert set(out) == {1, 3, 4}
+    assert out[3]["text"].count("<EMAIL>") == 1
+    assert "eve@example.org" not in out[3]["text"]
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
+    assert len(seen) == 3  # one callback per micro-batch
+
+    # full replay from a fresh checkpoint: idempotent (same rows)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(stage)
+    )
+    q2 = stream_curate_upsert(
+        stream2,
+        wh,
+        DOCS_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        curate_kwargs={"min_line_words": 1, "gopher_overrides": {"min_words": 10}},
+    )
+    q2.awaitTermination(180)
+    out2 = {r["doc_id"]: r for r in wh.read(DOCS_SPEC).collect()}
+    assert set(out2) == {1, 3, 4}
+    assert out2[3]["text"] == out[3]["text"]
