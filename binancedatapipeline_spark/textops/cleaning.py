@@ -231,6 +231,58 @@ def ngram_repetition(
     )
 
 
+# published Gopher repetition thresholds (Rae et al. 2021, Table A1):
+# top n-gram char fraction for n=2..4, duplicate n-gram char fraction
+# for n=5..10
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ngram_max: dict[int, float] | None = None,
+    dup_ngram_max: dict[int, float] | None = None,
+) -> DataFrame:
+    """The Gopher repetition ruleset: one :func:`ngram_repetition`
+    pass per n, folded into per-document ``rep_drop_reasons`` and a
+    ``keep_repetition`` flag (joined back on ``id_col``; documents
+    lose no rows — compose with :func:`gopher_filter` for the full
+    published filter).
+
+    Each n is an independent explode + count-aggregate whose shuffle
+    carries (id, gram-hash, count); n passes cost n scans of the
+    tokenized corpus but no pass is ever all-pairs. Trim the dicts
+    (e.g. ``top_ngram_max={2: 0.2}, dup_ngram_max={10: 0.1}``) when
+    scan budget matters more than rule fidelity."""
+    top_ngram_max = GOPHER_TOP_NGRAM_MAX if top_ngram_max is None else top_ngram_max
+    dup_ngram_max = GOPHER_DUP_NGRAM_MAX if dup_ngram_max is None else dup_ngram_max
+    out = df
+    reasons = []
+    for n, thr in sorted(top_ngram_max.items()):
+        rep = ngram_repetition(df, id_col, text_col, n).select(
+            id_col, F.col("top_ngram_char_frac").alias(f"__top{n}")
+        )
+        out = out.join(rep, on=id_col, how="left")
+        reasons.append(
+            F.when(F.col(f"__top{n}") > thr, F.lit(f"top_{n}gram"))
+        )
+    for n, thr in sorted(dup_ngram_max.items()):
+        rep = ngram_repetition(df, id_col, text_col, n).select(
+            id_col, F.col("dup_ngram_char_frac").alias(f"__dup{n}")
+        )
+        out = out.join(rep, on=id_col, how="left")
+        reasons.append(
+            F.when(F.col(f"__dup{n}") > thr, F.lit(f"dup_{n}gram"))
+        )
+    out = out.withColumn(
+        "rep_drop_reasons", F.array_compact(F.array(*reasons))
+    ).withColumn("keep_repetition", F.size("rep_drop_reasons") == 0)
+    helper = [f"__top{n}" for n in top_ngram_max] + [f"__dup{n}" for n in dup_ngram_max]
+    return out.drop(*helper)
+
+
 # ------------------------------------------------------ Gopher filter
 
 GOPHER_DEFAULTS = {

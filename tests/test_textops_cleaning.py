@@ -140,3 +140,72 @@ class TestGopherFilter:
             _docs(spark, [(1, "five words are enough now")]), min_words=5
         ).collect()[0]
         assert "too_few_words" not in row["drop_reasons"]
+
+
+# ------------------------------------------------------- properties
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_words = st.lists(
+    st.text(alphabet="abcdefghij", min_size=1, max_size=8), min_size=1, max_size=30
+)
+_pii = st.sampled_from([
+    "bob@example.com",
+    "x.y+z@mail.co",
+    "10.0.0.1",
+    "(555) 123-4567",
+    "555-123-4567",
+])
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(words=_words, pii=st.lists(_pii, max_size=3), seed=st.integers(0, 10**6))
+def test_redaction_is_idempotent_and_complete(spark, words, pii, seed):
+    """After one redaction pass no PII pattern matches remain, and a
+    second pass is a no-op (n_pii == 0, text unchanged)."""
+    import random
+
+    from binancedatapipeline_spark.textops.cleaning import redact_pii
+
+    rng = random.Random(seed)
+    toks = list(words)
+    for p in pii:
+        toks.insert(rng.randrange(len(toks) + 1), p)
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    once = redact_pii(df).collect()[0]
+    assert once["n_pii"] >= len(pii)
+    twice = redact_pii(
+        spark.createDataFrame([(1, once["text"])], "doc_id int, text string")
+    ).collect()[0]
+    assert twice["n_pii"] == 0
+    assert twice["text"] == once["text"]
+
+
+class TestRepetitionFilter:
+    def test_published_thresholds(self, spark):
+        from binancedatapipeline_spark.textops.cleaning import repetition_filter
+
+        normal = " ".join(f"alpha{i} beta{i} gamma{i} delta{i}" for i in range(20))
+        loop2 = "spam ham " * 60                      # top 2-gram ~ everything
+        loop7 = ("one two three four five six seven " * 20) + normal
+        df = spark.createDataFrame(
+            [(1, normal), (2, loop2), (3, loop7)], "doc_id int, text string"
+        )
+        out = {r["doc_id"]: r for r in repetition_filter(df).collect()}
+        assert out[1]["keep_repetition"] is True
+        assert out[1]["rep_drop_reasons"] == []
+        assert out[2]["keep_repetition"] is False
+        assert "top_2gram" in out[2]["rep_drop_reasons"]
+        assert out[3]["keep_repetition"] is False
+        assert "dup_7gram" in out[3]["rep_drop_reasons"]
+
+    def test_trimmed_rule_set(self, spark):
+        from binancedatapipeline_spark.textops.cleaning import repetition_filter
+
+        df = spark.createDataFrame([(1, "spam ham " * 60)], "doc_id int, text string")
+        out = repetition_filter(
+            df, top_ngram_max={2: 0.2}, dup_ngram_max={}
+        ).collect()[0]
+        assert out["rep_drop_reasons"] == ["top_2gram"]
