@@ -9,6 +9,12 @@ from binancedatapipeline_spark.operators.dedup import dedup_keep_first, dedup_ke
 from binancedatapipeline_spark.operators.gaps import find_time_gaps
 from binancedatapipeline_spark.operators.upsert import upsert
 from binancedatapipeline_spark.operators.wma import with_wma
+from binancedatapipeline_spark.operators.asof import asof_join
+from binancedatapipeline_spark.operators.layout import (
+    compact_small_files,
+    sorted_write,
+    zorder_write,
+)
 
 __all__ = [
     "dedup_keep_first",
@@ -16,4 +22,8 @@ __all__ = [
     "find_time_gaps",
     "upsert",
     "with_wma",
+    "asof_join",
+    "compact_small_files",
+    "sorted_write",
+    "zorder_write",
 ]

@@ -19,6 +19,25 @@ from binancedatapipeline_spark.textops.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
+from binancedatapipeline_spark.textops.cleaning import (
+    clean_lines,
+    gopher_filter,
+    ngram_repetition,
+    redact_pii,
+    repetition_filter,
+    with_line_repetition,
+)
+from binancedatapipeline_spark.textops.curate import (
+    curate,
+    curation_flags,
+    curation_report,
+)
+from binancedatapipeline_spark.textops.decontam import (
+    contamination_hits,
+    decontaminate,
+)
+from binancedatapipeline_spark.textops.packing import pack_sequences
+from binancedatapipeline_spark.textops.sampling import hash_sample, stable_split
 
 __all__ = [
     "with_fingerprint",
@@ -30,4 +49,18 @@ __all__ = [
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "clean_lines",
+    "gopher_filter",
+    "ngram_repetition",
+    "redact_pii",
+    "repetition_filter",
+    "with_line_repetition",
+    "curate",
+    "curation_flags",
+    "curation_report",
+    "contamination_hits",
+    "decontaminate",
+    "pack_sequences",
+    "hash_sample",
+    "stable_split",
 ]
