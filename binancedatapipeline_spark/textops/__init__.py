@@ -37,7 +37,11 @@ from binancedatapipeline_spark.textops.decontam import (
     decontaminate,
 )
 from binancedatapipeline_spark.textops.packing import pack_sequences
-from binancedatapipeline_spark.textops.sampling import hash_sample, stable_split
+from binancedatapipeline_spark.textops.sampling import (
+    hash_sample,
+    mixture_sample,
+    stable_split,
+)
 
 __all__ = [
     "with_fingerprint",
@@ -62,5 +66,6 @@ __all__ = [
     "decontaminate",
     "pack_sequences",
     "hash_sample",
+    "mixture_sample",
     "stable_split",
 ]

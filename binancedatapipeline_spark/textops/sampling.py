@@ -70,3 +70,40 @@ def hash_sample(
     fraction·buckets. Same rows every run, on every engine."""
     keep = int(round(fraction * buckets))
     return df.filter(hash_bucket(id_col, buckets) < keep)
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-domain mixture reweighting: keep a stable
+    ``rates[domain]`` fraction of each domain's documents (domains
+    absent from ``rates`` keep ``default_rate``).
+
+    This is the down-sampling half of training-mixture construction
+    (e.g. keep 100% of books, 30% of common-crawl): membership is a
+    pure function of (id), so re-running the pipeline or appending
+    new data never changes which existing documents are kept, and
+    per-domain proportions stay exact in expectation without a
+    shuffle — the rate lookup is a literal CASE over ``domain_col``
+    and the filter is the same pushdown-friendly bucket predicate as
+    :func:`hash_sample`. Rates > 1 are capped at 1 (up-sampling is
+    repetition, a separate concern — use an explode over
+    ``ceil(rate)`` with a fractional keep for the remainder).
+    """
+    rate_expr = None
+    for domain, rate in sorted(rates.items()):
+        keep = int(round(min(max(rate, 0.0), 1.0) * buckets))
+        cond = F.col(domain_col) == domain
+        rate_expr = (
+            F.when(cond, keep) if rate_expr is None else rate_expr.when(cond, keep)
+        )
+    default_keep = int(round(min(max(default_rate, 0.0), 1.0) * buckets))
+    rate_expr = (
+        F.lit(default_keep) if rate_expr is None else rate_expr.otherwise(default_keep)
+    )
+    return df.filter(hash_bucket(id_col, buckets) < rate_expr)

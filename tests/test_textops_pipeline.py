@@ -209,3 +209,29 @@ def test_contamination_matches_bruteforce(spark, doc_toks, bench_toks):
         for r in contamination_hits(docs, bench, n=n).collect()
     }
     assert got == exp
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from binancedatapipeline_spark.textops.sampling import mixture_sample
+
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_sample(df, "domain", {"web": 0.3, "books": 1.0})
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts["books"] == 2000                  # rate 1.0 keeps all
+    assert abs(counts["web"] - 600) < 120           # ~30% of 2000
+    # stability: same rows every run, and a subset of a higher rate
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in
+            mixture_sample(df, "domain", {"web": 0.3, "books": 1.0})
+            .select("doc_id").collect()}
+    assert ids1 == ids2
+    wider = {r["doc_id"] for r in
+             mixture_sample(df, "domain", {"web": 0.6, "books": 1.0})
+             .select("doc_id").collect()}
+    assert ids1 <= wider                            # nested samples
+    # unknown domains fall back to default_rate
+    df2 = spark.createDataFrame([(1, "code")], "doc_id long, domain string")
+    assert mixture_sample(df2, "domain", {"web": 0.3}).count() == 1
+    assert mixture_sample(df2, "domain", {"web": 0.3}, default_rate=0.0).count() == 0
