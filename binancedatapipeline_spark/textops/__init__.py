@@ -39,6 +39,7 @@ from binancedatapipeline_spark.textops.decontam import (
 from binancedatapipeline_spark.textops.packing import pack_sequences
 from binancedatapipeline_spark.textops.sampling import (
     hash_sample,
+    mixture_oversample,
     mixture_sample,
     stable_split,
 )
@@ -66,6 +67,7 @@ __all__ = [
     "decontaminate",
     "pack_sequences",
     "hash_sample",
+    "mixture_oversample",
     "mixture_sample",
     "stable_split",
 ]

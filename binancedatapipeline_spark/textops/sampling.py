@@ -107,3 +107,54 @@ def mixture_sample(
         F.lit(default_keep) if rate_expr is None else rate_expr.otherwise(default_keep)
     )
     return df.filter(hash_bucket(id_col, buckets) < rate_expr)
+
+
+def mixture_oversample(
+    df: DataFrame,
+    domain_col: str,
+    rates: dict[str, float],
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    buckets: int = 10_000,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """The up-sampling half of mixture construction: a domain with
+    rate 2.5 emits every document twice plus a stable half of them a
+    third time (epoch-style repetition, the standard way scarce
+    domains are over-weighted).
+
+    Deterministic like :func:`mixture_sample`: the fractional copy is
+    kept iff the id's hash bucket clears the fractional part, so the
+    same documents get the extra copy every run. Emits ``copy_col``
+    (0-based) so downstream shuffling/packing can interleave copies.
+    Rates < 1 degenerate to :func:`mixture_sample` semantics (a
+    0-or-1 copy). One explode, no shuffle, no driver state."""
+    import math
+
+    rate_expr = None
+    frac_expr = None
+    for domain, rate in sorted(rates.items()):
+        rate = max(rate, 0.0)
+        whole = int(math.floor(rate))
+        frac_keep = int(round((rate - whole) * buckets))
+        cond = F.col(domain_col) == domain
+        rate_expr = (
+            F.when(cond, whole) if rate_expr is None else rate_expr.when(cond, whole)
+        )
+        frac_expr = (
+            F.when(cond, frac_keep)
+            if frac_expr is None
+            else frac_expr.when(cond, frac_keep)
+        )
+    d_whole = int(math.floor(max(default_rate, 0.0)))
+    d_frac = int(round((max(default_rate, 0.0) - d_whole) * buckets))
+    rate_expr = F.lit(d_whole) if rate_expr is None else rate_expr.otherwise(d_whole)
+    frac_expr = F.lit(d_frac) if frac_expr is None else frac_expr.otherwise(d_frac)
+    n_copies = rate_expr + (hash_bucket(id_col, buckets) < frac_expr).cast("int")
+    out = df.withColumn("__n_copies", n_copies).filter(F.col("__n_copies") > 0)
+    return (
+        out.withColumn(
+            copy_col, F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1))
+        )
+        .drop("__n_copies")
+    )

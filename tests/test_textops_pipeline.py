@@ -235,3 +235,35 @@ def test_mixture_sample_rates_and_stability(spark):
     df2 = spark.createDataFrame([(1, "code")], "doc_id long, domain string")
     assert mixture_sample(df2, "domain", {"web": 0.3}).count() == 1
     assert mixture_sample(df2, "domain", {"web": 0.3}, default_rate=0.0).count() == 0
+
+
+def test_mixture_oversample_repetition(spark):
+    from binancedatapipeline_spark.textops.sampling import (
+        mixture_oversample,
+        mixture_sample,
+    )
+
+    rows = [(i, "code" if i % 2 == 0 else "web") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = mixture_oversample(df, "domain", {"code": 2.5, "web": 1.0})
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts["web"] == 1000                     # rate 1.0 unchanged
+    assert abs(counts["code"] - 2500) < 150          # 2.5 epochs of 1000
+    # every code doc appears at least twice, copy_idx dense from 0
+    per_doc = out.filter("domain = 'code'").groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("copy_idx").alias("mx"))
+    bad = per_doc.filter("n < 2 or mx != n - 1").count()
+    assert bad == 0
+    # deterministic across runs
+    a = sorted((r["doc_id"], r["copy_idx"]) for r in out.collect())
+    b = sorted((r["doc_id"], r["copy_idx"]) for r in
+               mixture_oversample(df, "domain", {"code": 2.5, "web": 1.0}).collect())
+    assert a == b
+    # sub-1 rates degenerate to mixture_sample membership
+    down = mixture_oversample(df, "domain", {"web": 0.3, "code": 1.0})
+    kept = {r["doc_id"] for r in down.filter("domain='web'").collect()}
+    ref = {r["doc_id"] for r in
+           mixture_sample(df, "domain", {"web": 0.3, "code": 1.0})
+           .filter("domain='web'").collect()}
+    assert kept == ref
