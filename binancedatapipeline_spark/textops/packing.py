@@ -27,6 +27,57 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from binancedatapipeline_spark.textops.analysis import tokens_col
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split each document into overlapping fixed-size token windows —
+    the context-length chunking step that feeds tokenization.
+
+    One output row per chunk: the parent id, ``chunk_id`` (0-based),
+    ``chunk_text`` (the window's tokens re-joined with single spaces),
+    and ``chunk_tokens``. Windows start every ``max_tokens − overlap``
+    tokens, so consecutive chunks share ``overlap`` tokens; a document
+    of ≤ ``max_tokens`` tokens yields exactly one chunk (its full,
+    whitespace-normalized text). Start offsets past the last token are
+    never generated, so no empty trailing chunk exists.
+
+    Scale shape: tokenize → ``sequence``/``explode`` over start
+    offsets → per-row ``slice`` — a pure map stage, no shuffle, no
+    UDF; output rows ≈ input tokens / (max_tokens − overlap). All
+    deterministic column algebra, so the operator is SQL-oracle
+    differential-testable."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    toks = tokens_col(F.col(text_col))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(
+            id_col,
+            F.col("__toks"),
+            F.posexplode(
+                F.expr(f"sequence(1, greatest(size(__toks) - {overlap}, 1), {step})")
+            ).alias("chunk_id", "__start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice("__toks", F.col("__start"), F.lit(max_tokens))
+            ).alias("chunk_text"),
+            F.least(
+                F.size("__toks") - F.col("__start") + 1, F.lit(max_tokens)
+            ).alias("chunk_tokens"),
+        )
+    )
+
 
 def pack_sequences(
     df: DataFrame,
