@@ -224,6 +224,66 @@ def lsh_bucketed_topk(
     )
 
 
+def semantic_dedup_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic duplicate clusters: k-means-partition
+    the embedding space, find cosine near-dup pairs WITHIN each cell,
+    close them transitively, and label every vector with its
+    component's minimum id. Columns: (id_col, cluster_id).
+
+    This is the embedding-space analog of MinHash→LSH→components
+    (textops/dedup.py): the k-means cell is the blocking key, so the
+    pair space is Σ|cell|² rather than n² — the deliberate SemDeDup
+    approximation (Abbas et al., 2023) that near-dups straddling a
+    cell boundary are missed; raise n_cells for speed, lower it (or
+    re-run on a shifted seed and union the pairs) for recall.
+    Training stays on a bounded driver sample; assignment is an
+    Arrow-batched map stage; everything after is the blocked
+    self-join + alternating-star components."""
+    from binancedatapipeline_spark.operators.components import connected_components
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_cells=n_cells, vec_col=vec_col, seed=seed
+        )
+    cells = with_ivf_cell(corpus, centroids, vec_col, "__cell")
+    pairs = cosine_near_dup_pairs(
+        cells, threshold=threshold, block_col="__cell",
+        id_col=id_col, vec_col=vec_col,
+    )
+    cc = connected_components(pairs, "id_a", "id_b", nodes=corpus.select(id_col))
+    return cc.select(
+        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    centroids: "np.ndarray | None" = None,
+    seed: int = 42,
+) -> DataFrame:
+    """The end-to-end semantic dedup operator: one canonical row
+    (minimum id) per semantic-duplicate cluster, all other columns
+    untouched — the embedding-space counterpart of
+    ``textops.dedup.near_dedup``."""
+    clusters = semantic_dedup_clusters(
+        corpus, id_col, vec_col, threshold, n_cells, centroids, seed
+    )
+    drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return corpus.join(F.broadcast(drop), id_col, "left_anti")
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
