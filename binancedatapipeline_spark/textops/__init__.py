@@ -13,11 +13,19 @@ from binancedatapipeline_spark.textops.analysis import (
     with_tokens,
 )
 from binancedatapipeline_spark.textops.dedup import (
+    dedup_clusters,
     exact_duplicates,
     minhash_signatures,
     lsh_candidate_pairs,
+    near_dedup,
     ngram_jaccard_pairs,
     simhash,
+    verify_pairs_jaccard,
+)
+from binancedatapipeline_spark.textops.lm import (
+    perplexity_filter,
+    score_documents,
+    unigram_model,
 )
 from binancedatapipeline_spark.textops.cleaning import (
     clean_lines,
@@ -36,7 +44,7 @@ from binancedatapipeline_spark.textops.decontam import (
     contamination_hits,
     decontaminate,
 )
-from binancedatapipeline_spark.textops.packing import pack_sequences
+from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
 from binancedatapipeline_spark.textops.sampling import (
     hash_sample,
     mixture_oversample,
@@ -49,11 +57,17 @@ __all__ = [
     "with_lang_guess",
     "with_quality",
     "with_tokens",
+    "dedup_clusters",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "ngram_jaccard_pairs",
+    "near_dedup",
     "simhash",
+    "verify_pairs_jaccard",
+    "perplexity_filter",
+    "score_documents",
+    "unigram_model",
     "clean_lines",
     "gopher_filter",
     "ngram_repetition",
@@ -65,6 +79,7 @@ __all__ = [
     "curation_report",
     "contamination_hits",
     "decontaminate",
+    "chunk_documents",
     "pack_sequences",
     "hash_sample",
     "mixture_oversample",
