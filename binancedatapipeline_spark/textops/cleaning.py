@@ -149,6 +149,86 @@ def clean_lines(
     )
 
 
+def frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    max_doc_frac: float = 0.01,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Lines that appear in at least ``max(min_docs, max_doc_frac ×
+    corpus size)`` DISTINCT documents — the corpus-level boilerplate
+    inventory (nav bars, cookie banners, license footers) that
+    per-document filters can't see. Columns: (line_hash, n_docs).
+
+    One explode of per-doc DISTINCT trimmed lines + one groupBy on the
+    8-byte xxhash64 of each line — the shuffle carries hashes and
+    counts, never line text. The result is intrinsically small: lines
+    in ≥ frac·N docs number at most L/frac for average doc length L,
+    independent of corpus size — which is what makes the removal step
+    broadcastable at any scale."""
+    lines = F.array_distinct(
+        F.expr(f"transform(split({text_col}, '\\n'), l -> trim(l))")
+    )
+    counts = (
+        df.select(F.explode(lines).alias("__line"))
+        .filter(F.col("__line") != "")
+        .select(F.xxhash64("__line").alias("line_hash"))
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__ndocs"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("n_docs")
+            >= F.greatest(
+                F.lit(min_docs),
+                F.ceil(F.lit(float(max_doc_frac)) * F.col("__ndocs")),
+            )
+        )
+        .select("line_hash", "n_docs")
+    )
+
+
+def drop_frequent_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    max_doc_frac: float = 0.01,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-frequent boilerplate lines from every document
+    (RefinedWeb-style inter-document line dedup). Adds ``text_clean``
+    (line order preserved) and ``n_lines_dropped``.
+
+    Plan: the frequent-line inventory (see :func:`frequent_lines`)
+    collapses to ONE array via ``collect_set`` — bounded at ≤ L/frac
+    entries regardless of corpus size — and broadcast-crossJoins back,
+    so the removal itself is a pure per-row array filter: one
+    explode+groupBy shuffle total, corpus scanned twice, no join on
+    the corpus side."""
+    freq = frequent_lines(df, text_col, max_doc_frac, min_docs)
+    freq_set = freq.agg(
+        F.coalesce(
+            F.collect_set("line_hash"), F.array().cast("array<bigint>")
+        ).alias("__freq")
+    )
+    lines = F.split(F.col(text_col), r"\n")
+    return (
+        df.crossJoin(F.broadcast(freq_set))
+        .withColumn("__lines", lines)
+        .withColumn(
+            "__kept",
+            F.expr(
+                "filter(__lines, l -> trim(l) = '' "
+                "or not array_contains(__freq, xxhash64(trim(l))))"
+            ),
+        )
+        .withColumn("n_lines_dropped", F.size("__lines") - F.size("__kept"))
+        .withColumn("text_clean", F.array_join("__kept", "\n"))
+        .drop("__lines", "__kept", "__freq")
+    )
+
+
 # --------------------------------------------------- repetition ratios
 
 

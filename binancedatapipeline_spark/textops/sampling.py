@@ -158,3 +158,35 @@ def mixture_oversample(
         )
         .drop("__n_copies")
     )
+
+
+def shuffle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle — the training-order
+    randomization step before sharded writes. Row order is a pure
+    function of (id, seed): re-running the pipeline reproduces the
+    exact order, and bumping ``seed`` gives an independent epoch
+    permutation.
+
+    Distributed shape: the sort key is ``xxhash64(id, seed)``;
+    ``repartitionByRange`` on it range-partitions the key space (one
+    shuffle, sampled range boundaries, no single-point global sort)
+    and ``sortWithinPartitions`` orders within each range — together
+    a total global order, exactly how Spark executes any orderBy, but
+    stated explicitly so the partition count (= output shard count)
+    is the caller's choice. Ties (hash collisions) break on the id,
+    so the order is total even across collisions."""
+    key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    out = df.withColumn("__shuffle_key", key)
+    parts = (
+        out.repartitionByRange(num_partitions, "__shuffle_key", id_col)
+        if num_partitions
+        else out.repartitionByRange("__shuffle_key", id_col)
+    )
+    return parts.sortWithinPartitions("__shuffle_key", id_col).drop(
+        "__shuffle_key"
+    )

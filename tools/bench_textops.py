@@ -41,8 +41,11 @@ from binancedatapipeline_spark.textops.dedup import (
     exact_duplicates,
     lsh_candidate_pairs,
     minhash_signatures,
+    near_dedup,
     simhash,
 )
+from binancedatapipeline_spark.textops.lm import score_documents, unigram_model
+from binancedatapipeline_spark.textops.packing import chunk_documents
 from binancedatapipeline_spark.textops.sampling import stable_split
 from binancedatapipeline_spark.textops.cleaning import (
     gopher_filter,
@@ -103,9 +106,12 @@ def messy(docs: DataFrame) -> DataFrame:
     )
 
 
-def _noop(df: DataFrame) -> float:
+def _noop(build) -> float:
+    # the builder runs INSIDE the timer: ops like near_dedup execute
+    # eager driver-side actions (per-round convergence checks) during
+    # plan construction, which must be charged to the op
     t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    build().write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 
 
@@ -140,6 +146,17 @@ def main() -> None:
             "curate_full": lambda d=docs, b=bench: curate(
                 messy(d), b, min_line_words=1, gopher_overrides={"min_words": 5}
             ),
+            # the full cluster-resolution chain: LSH pairs -> connected
+            # components (iterative, eager per-round checks) -> survivors
+            "near_dedup_chain": lambda d=docs: near_dedup(d, k=16, bands=8),
+            # unigram fit (capped vocab) + broadcast scoring join
+            "unigram_score": lambda d=docs: score_documents(
+                d, unigram_model(d, vocab_size=50000)
+            ),
+            # overlapping context-window chunking (pure map)
+            "chunk_docs": lambda d=docs: chunk_documents(
+                d, max_tokens=48, overlap=8
+            ),
         }
         # round-robin repeats with per-op min, exactly like bench.py:
         # the host shows multi-minute co-tenant bursts that poison any
@@ -150,7 +167,7 @@ def main() -> None:
         samples: dict[str, list[float]] = {name: [] for name in ops}
         for _ in range(reps):
             for name, build in ops.items():
-                samples[name].append(_noop(build()))
+                samples[name].append(_noop(build))
                 # curate persists its cleaned corpus internally — drop
                 # every cached intermediate so later repeats pay full
                 # cost, then restore the corpus cache (untimed)
