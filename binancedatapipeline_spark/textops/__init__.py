@@ -29,6 +29,8 @@ from binancedatapipeline_spark.textops.lm import (
 )
 from binancedatapipeline_spark.textops.cleaning import (
     clean_lines,
+    drop_frequent_lines,
+    frequent_lines,
     gopher_filter,
     ngram_repetition,
     redact_pii,
@@ -47,6 +49,7 @@ from binancedatapipeline_spark.textops.decontam import (
 from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
 from binancedatapipeline_spark.textops.sampling import (
     hash_sample,
+    shuffle_rows,
     mixture_oversample,
     mixture_sample,
     stable_split,
@@ -69,6 +72,8 @@ __all__ = [
     "score_documents",
     "unigram_model",
     "clean_lines",
+    "drop_frequent_lines",
+    "frequent_lines",
     "gopher_filter",
     "ngram_repetition",
     "redact_pii",
@@ -84,5 +89,6 @@ __all__ = [
     "hash_sample",
     "mixture_oversample",
     "mixture_sample",
+    "shuffle_rows",
     "stable_split",
 ]

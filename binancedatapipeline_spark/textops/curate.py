@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops.cleaning import (
     clean_lines,
+    drop_frequent_lines,
     gopher_filter,
     redact_pii,
 )
@@ -48,16 +49,28 @@ def curation_flags(
     contamination_n: int = 5,
     gopher_overrides: dict[str, float] | None = None,
     materialize: bool = True,
+    frequent_line_doc_frac: float | None = None,
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
     ``n_lines``/``n_lines_kept``, ``drop_reasons`` (Gopher, computed
     on the CLEANED text), ``keep_shape``, ``is_exact_dup`` (true for
     every copy after the canonical one), ``is_contaminated`` (false
-    everywhere when ``bench`` is None), ``split``."""
+    everywhere when ``bench`` is None), ``split``; plus
+    ``n_freq_lines_dropped`` when ``frequent_line_doc_frac`` enables
+    the corpus-level frequent-line (cross-document boilerplate)
+    removal stage."""
     out = redact_pii(docs, text_col=text_col, out_col="__pii_clean")
     out = clean_lines(out, text_col="__pii_clean", min_words=min_line_words)
     out = out.drop("__pii_clean")
+    if frequent_line_doc_frac is not None:
+        # corpus-level boilerplate pass (lines recurring across >= frac
+        # of documents): the inventory subtree re-runs the redact+clean
+        # kernel once (it aggregates BEFORE the persist below), the
+        # removal itself is a broadcast array filter on the main path
+        out = drop_frequent_lines(
+            out, text_col="text_clean", max_doc_frac=frequent_line_doc_frac
+        ).withColumnRenamed("n_lines_dropped", "n_freq_lines_dropped")
     out = gopher_filter(out, text_col="text_clean", **(gopher_overrides or {}))
     out = out.withColumnRenamed("keep", "keep_shape")
 
@@ -124,8 +137,11 @@ def curate(
     drop = [
         "n_pii", "n_lines", "n_lines_kept", "drop_reasons", "keep_shape",
         "is_exact_dup", "is_contaminated", "text_clean",
+        "n_freq_lines_dropped",
     ]
-    return kept.withColumn(text_col, F.col("text_clean")).drop(*drop)
+    return kept.withColumn(text_col, F.col("text_clean")).drop(
+        *[c for c in drop if c in kept.columns]
+    )
 
 
 def curation_report(flags: DataFrame) -> DataFrame:

@@ -93,3 +93,34 @@ def test_shuffle_order_matches_key_sort(spark):
         .drop("__k")
     )
     assert got == [r["doc_id"] for r in exp.collect()]
+
+
+# --------------------------------------- curation-chain integration
+
+
+def test_curate_with_frequent_line_stage(spark):
+    from binancedatapipeline_spark.textops.curate import curate, curation_flags
+
+    df = _docs(spark, n=30)
+    flags = curation_flags(
+        df, min_line_words=1, gopher_overrides={"min_words": 2},
+        frequent_line_doc_frac=0.05,
+    )
+    rows = {r["doc_id"]: r for r in flags.collect()}
+    assert rows[0]["n_freq_lines_dropped"] >= 1  # boiler + cookie doc
+    assert all(BOILER not in r["text_clean"] for r in rows.values())
+    out = curate(
+        df, min_line_words=1, gopher_overrides={"min_words": 2},
+        frequent_line_doc_frac=0.05,
+    )
+    texts = [r["text"] for r in out.collect()]
+    assert texts and all(BOILER not in t for t in texts)
+    assert "n_freq_lines_dropped" not in out.columns
+
+
+def test_curate_without_stage_unchanged(spark):
+    from binancedatapipeline_spark.textops.curate import curation_flags
+
+    df = _docs(spark, n=10)
+    flags = curation_flags(df, min_line_words=1, gopher_overrides={"min_words": 2})
+    assert "n_freq_lines_dropped" not in flags.columns
