@@ -22,6 +22,12 @@ from binancedatapipeline_spark.textops.dedup import (
     simhash,
     verify_pairs_jaccard,
 )
+from binancedatapipeline_spark.textops.bpe import (
+    apply_bpe,
+    bpe_vocab,
+    train_bpe,
+    word_counts,
+)
 from binancedatapipeline_spark.textops.lm import (
     perplexity_filter,
     score_documents,
@@ -68,6 +74,10 @@ __all__ = [
     "near_dedup",
     "simhash",
     "verify_pairs_jaccard",
+    "apply_bpe",
+    "bpe_vocab",
+    "train_bpe",
+    "word_counts",
     "perplexity_filter",
     "score_documents",
     "unigram_model",
