@@ -27,6 +27,11 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     don't bother ahead of plain scans/filters, where the shuffle buys
     nothing.
     """
+    # streaming DataFrames can't be probed (df.rdd is illegal) and
+    # their micro-batch partitioning is the source's to decide — the
+    # per-row kernels spread guards are streaming-safe as-is
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     # the partition probe compiles the plan driver-side (one Py4J

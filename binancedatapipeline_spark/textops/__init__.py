@@ -31,6 +31,7 @@ from binancedatapipeline_spark.textops.bpe import (
 from binancedatapipeline_spark.textops.lm import (
     perplexity_filter,
     score_documents,
+    score_documents_map,
     unigram_model,
 )
 from binancedatapipeline_spark.textops.cleaning import (
@@ -80,6 +81,7 @@ __all__ = [
     "word_counts",
     "perplexity_filter",
     "score_documents",
+    "score_documents_map",
     "unigram_model",
     "clean_lines",
     "drop_frequent_lines",

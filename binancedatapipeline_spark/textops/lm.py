@@ -142,6 +142,71 @@ def score_documents(
     )
 
 
+def score_documents_map(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Map-only scorer: same columns as :func:`score_documents`
+    (``n_tokens``/``n_oov``/``avg_logp``/``pseudo_ppl``) but computed
+    entirely per-row — the model packs into ONE broadcast map column
+    (vocab-sized) and each document folds its own token array with a
+    higher-order ``aggregate`` doing map lookups.
+
+    This is the STREAMING deploy shape: no explode, no per-doc
+    groupBy, so it runs unchanged on a streaming DataFrame in append
+    mode (the groupBy form is a streaming aggregation and would demand
+    a watermark). In batch it also skips the scoring shuffle entirely;
+    the trade is one map-literal broadcast per task binary vs the
+    broadcast hash join. Value-identical to :func:`score_documents`
+    (test-pinned)."""
+    packed = model.agg(
+        F.map_from_arrays(
+            F.collect_list("token"), F.collect_list("logp")
+        ).alias("__m"),
+        F.log(
+            float(smoothing)
+            / (F.sum("n") + float(smoothing) * (F.count(F.lit(1)) + 1))
+        ).alias("__oov_logp"),
+    )
+    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+    out = (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn("__toks", toks)
+        .withColumn("n_tokens", F.size("__toks"))
+        .withColumn(
+            "n_oov",
+            F.aggregate(
+                "__toks",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc
+                + F.when(F.element_at("__m", t).isNull(), 1).otherwise(0),
+            ),
+        )
+        .withColumn(
+            "avg_logp",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.aggregate(
+                    "__toks",
+                    F.lit(0.0),
+                    lambda acc, t: acc
+                    + F.coalesce(F.element_at("__m", t), F.col("__oov_logp")),
+                )
+                / F.col("n_tokens"),
+            ),
+        )
+        .withColumn(
+            "pseudo_ppl",
+            F.when(F.col("avg_logp").isNotNull(), F.exp(-F.col("avg_logp"))),
+        )
+        .drop("__toks", "__m", "__oov_logp")
+    )
+    return out
+
+
 def perplexity_filter(
     df: DataFrame,
     model: DataFrame,

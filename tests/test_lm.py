@@ -112,3 +112,18 @@ def test_scoring_plan_broadcasts_model(spark):
     m = unigram_model(docs)
     plan = score_documents(docs, m)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_map_scorer_equals_groupby_scorer(spark):
+    from binancedatapipeline_spark.textops.lm import score_documents_map
+
+    docs = _docs(spark)
+    m = unigram_model(docs.filter("doc_id <> 3"), vocab_size=10)
+    cols = ["doc_id", "n_tokens", "n_oov", "avg_logp", "pseudo_ppl"]
+    a = {r["doc_id"]: r for r in score_documents(docs, m).select(*cols).collect()}
+    b = {r["doc_id"]: r for r in score_documents_map(docs, m).select(*cols).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k]["n_tokens"] == b[k]["n_tokens"]
+        assert a[k]["n_oov"] == b[k]["n_oov"]
+        assert a[k]["avg_logp"] == pytest.approx(b[k]["avg_logp"], rel=1e-12)
