@@ -56,7 +56,9 @@ from binancedatapipeline_spark.textops.decontam import (
 from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
 from binancedatapipeline_spark.textops.sampling import (
     hash_sample,
+    select_token_budget,
     shuffle_rows,
+    temperature_mixture_rates,
     mixture_oversample,
     mixture_sample,
     stable_split,
@@ -101,6 +103,8 @@ __all__ = [
     "hash_sample",
     "mixture_oversample",
     "mixture_sample",
+    "select_token_budget",
     "shuffle_rows",
+    "temperature_mixture_rates",
     "stable_split",
 ]

@@ -190,3 +190,112 @@ def shuffle_rows(
     return parts.sortWithinPartitions("__shuffle_key", id_col).drop(
         "__shuffle_key"
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    token_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixture rates (the T5/multilingual-LM
+    alpha-sampling rule): a domain with share p of the corpus gets
+    sampling weight ∝ p^alpha, renormalized so the LARGEST resulting
+    rate is 1.0 — alpha < 1 flattens the mixture (up-weights small
+    domains, down-samples dominant ones), alpha = 1 keeps natural
+    proportions.
+
+    Returns {domain: keep_fraction} to feed :func:`mixture_sample`
+    (a rate of 1.0 keeps the whole domain; head domains get < 1).
+    The size-by-domain aggregation is one groupBy over the corpus
+    (weighted by ``token_col`` when given, else document counts); the
+    result is domain-cardinality-sized, collected to the driver by
+    design — it IS the mixture spec."""
+    agg = (
+        F.sum(token_col).cast("double") if token_col else F.count(F.lit(1)).cast("double")
+    )
+    sizes = {
+        r["d"]: r["w"]
+        for r in df.groupBy(F.col(domain_col).alias("d")).agg(agg.alias("w")).collect()
+    }
+    total = sum(sizes.values()) or 1.0
+    # target share ∝ p^alpha; dividing by natural share p gives the
+    # per-domain KEEP rate shape p^(alpha-1), scaled so max = 1
+    raw = {d: (w / total) ** (alpha - 1.0) for d, w in sizes.items()}
+    hi = max(raw.values()) if raw else 1.0
+    return {d: r / hi for d, r in raw.items()}
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score",
+    n_tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 1000,
+    exact: bool = False,
+) -> DataFrame:
+    """Quality-ranked data selection under a token budget: keep the
+    highest-``score_col`` documents whose cumulative ``n_tokens_col``
+    fits ``budget_tokens`` — the selection step (QuRating/DsDm-style)
+    that turns a scored corpus into a right-sized training set.
+
+    The naive form is a GLOBAL sort + running sum — a single-task
+    window at 100 TB. This implementation is the scale-safe two-pass
+    threshold search instead:
+
+    1. one aggregation buckets scores into ``n_buckets`` equi-width
+       bins and sums tokens per bin (bin table is driver-tiny);
+    2. the driver walks bins best-first to find the threshold bin
+       where the cumulative budget lands;
+    3. one filter keeps everything STRICTLY above the threshold bin —
+       pure map, pushdown-friendly.
+
+    Default (``exact=False``) stops there: the kept set undershoots
+    the budget by at most one bin's tokens (resolution = corpus
+    tokens / n_buckets, so 0.1% at the default — raise n_buckets for
+    finer). ``exact=True`` additionally rank-orders ONLY the
+    threshold bin (a window over ~1/n_buckets of the corpus,
+    deterministic (score desc, id) order) and takes its prefix, so
+    the result is exactly the global-sort answer at a fraction of its
+    cost."""
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).collect()[0]
+    if stats["lo"] is None:
+        return df.filter(F.lit(False))
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_buckets or 1.0
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(score_col) - lo) / width).cast("int"),
+    )
+    bins = {
+        r["b"]: r["t"]
+        for r in df.select(bucket.alias("b"), F.col(n_tokens_col).alias("t"))
+        .groupBy("b")
+        .agg(F.sum("t").alias("t"))
+        .collect()
+    }
+    spent, thresh = 0, n_buckets
+    for b in sorted(bins, reverse=True):
+        if spent + bins[b] > budget_tokens:
+            thresh = b
+            break
+        spent += bins[b]
+    else:
+        return df  # whole corpus fits the budget
+    kept = df.filter(bucket > thresh)
+    if not exact:
+        return kept
+    remaining = budget_tokens - spent
+    edge = df.filter(bucket == thresh)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+    edge_kept = (
+        edge.withColumn("__cum", F.sum(n_tokens_col).over(w))
+        .filter(F.col("__cum") <= remaining)
+        .drop("__cum")
+    )
+    return kept.unionByName(edge_kept)
