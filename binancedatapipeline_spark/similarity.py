@@ -281,7 +281,9 @@ def semantic_dedup(
         corpus, id_col, vec_col, threshold, n_cells, centroids, seed
     )
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
-    return corpus.join(F.broadcast(drop), id_col, "left_anti")
+    # no broadcast hint: AQE broadcasts the drop set when it is small;
+    # on a dup-heavy corpus it is corpus-sized and must shuffle
+    return corpus.join(drop, id_col, "left_anti")
 
 
 def train_ivf_centroids(
