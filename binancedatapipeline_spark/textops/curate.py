@@ -63,28 +63,30 @@ def curation_flags(
     out = redact_pii(docs, text_col=text_col, out_col="__pii_clean")
     out = clean_lines(out, text_col="__pii_clean", min_words=min_line_words)
     out = out.drop("__pii_clean")
+
+    # The downstream fan-out (frequent-line inventory, dedup
+    # aggregate, decontamination probe) consists of separate subtrees
+    # over the SAME cleaned corpus — without materialization the
+    # redact/clean regex kernel executes once per subtree (a measured
+    # ~2x wall cost at 250k docs). Persist the cleaned rows HERE,
+    # before the first aggregating consumer, so every subtree reads
+    # the cache; the stages after this point are cheap maps worth
+    # recomputing per subtree. At real scale, checkpoint the cleaned
+    # corpus to storage instead (the persist is the single-job form
+    # of that checkpoint).
+    if materialize:
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
     if frequent_line_doc_frac is not None:
         # corpus-level boilerplate pass (lines recurring across >= frac
-        # of documents): the inventory subtree re-runs the redact+clean
-        # kernel once (it aggregates BEFORE the persist below), the
-        # removal itself is a broadcast array filter on the main path
+        # of documents): the inventory aggregates the persisted cleaned
+        # corpus, the removal itself is a broadcast array filter
         out = drop_frequent_lines(
             out, text_col="text_clean", max_doc_frac=frequent_line_doc_frac
         ).withColumnRenamed("n_lines_dropped", "n_freq_lines_dropped")
     out = gopher_filter(out, text_col="text_clean", **(gopher_overrides or {}))
     out = out.withColumnRenamed("keep", "keep_shape")
-
-    # The dedup aggregate and the decontamination probe are separate
-    # subtrees over the SAME cleaned corpus — without materialization
-    # the redact/clean/Gopher kernel executes once per subtree (3x, a
-    # measured ~2x wall cost at 250k docs). Persist the cleaned rows
-    # so each downstream consumer reads them instead of recomputing;
-    # at real scale, checkpoint the cleaned corpus to storage instead
-    # (the persist is the single-job form of that checkpoint).
-    if materialize:
-        from pyspark import StorageLevel
-
-        out = out.persist(StorageLevel.MEMORY_AND_DISK)
 
     # canonical copy per digest of the CLEANED text: aggregate to
     # (digest, min_id), join back; rows whose id isn't the canonical
@@ -147,12 +149,18 @@ def curate(
 def curation_report(flags: DataFrame) -> DataFrame:
     """One-row funnel summary over a :func:`curation_flags` result —
     the audit you print before committing to thresholds."""
+    freq = (
+        [F.sum("n_freq_lines_dropped").alias("frequent_lines_dropped")]
+        if "n_freq_lines_dropped" in flags.columns
+        else []
+    )
     return flags.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_pii")).alias("pii_spans"),
         F.sum((F.col("n_lines") - F.col("n_lines_kept")).cast("long")).alias(
             "boilerplate_lines_dropped"
         ),
+        *freq,
         F.sum((~F.col("keep_shape")).cast("long")).alias("shape_dropped"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
         F.sum(F.col("is_contaminated").cast("long")).alias("contaminated"),

@@ -126,19 +126,26 @@ def score_documents(
             F.col("logp").isNull().cast("int").alias("__oov"),
         )
     )
+    # aggregate under internal names, then withColumn the public ones:
+    # withColumn REPLACES a same-named existing column, so composing
+    # with with_tokens/with_quality (which also emit n_tokens) scores
+    # cleanly instead of dying on an ambiguous reference — the score
+    # columns take precedence, documented behavior
     per_doc = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("__oov").alias("n_oov"),
-        F.avg("__lp").alias("avg_logp"),
+        F.count(F.lit(1)).alias("__lm_nt"),
+        F.sum("__oov").alias("__lm_oov"),
+        F.avg("__lp").alias("__lm_avg"),
     )
     return (
         df.join(per_doc, id_col, "left")
-        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
-        .withColumn("n_oov", F.coalesce("n_oov", F.lit(0)))
+        .withColumn("n_tokens", F.coalesce("__lm_nt", F.lit(0)))
+        .withColumn("n_oov", F.coalesce("__lm_oov", F.lit(0)))
+        .withColumn("avg_logp", F.col("__lm_avg"))
         .withColumn(
             "pseudo_ppl",
             F.when(F.col("avg_logp").isNotNull(), F.exp(-F.col("avg_logp"))),
         )
+        .drop("__lm_nt", "__lm_oov", "__lm_avg")
     )
 
 
@@ -171,7 +178,12 @@ def score_documents_map(
             / (F.sum("n") + float(smoothing) * (F.count(F.lit(1)) + 1))
         ).alias("__oov_logp"),
     )
-    toks = F.filter(tokens_col(F.col(text_col)), lambda t: t != F.lit(""))
+    # null text == empty text (n_tokens 0), matching score_documents'
+    # left-join path — without the coalesce every fold yields null
+    toks = F.filter(
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
     out = (
         df.crossJoin(F.broadcast(packed))
         .withColumn("__toks", toks)

@@ -56,7 +56,10 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    toks = tokens_col(F.col(text_col))
+    # null text behaves like empty text (one empty chunk): without the
+    # coalesce, size(null) is null and least/greatest null-skipping
+    # would fabricate a chunk claiming max_tokens tokens
+    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
     return (
         df.select(F.col(id_col), toks.alias("__toks"))
         .select(

@@ -218,6 +218,11 @@ def temperature_mixture_rates(
         r["d"]: r["w"]
         for r in df.groupBy(F.col(domain_col).alias("d")).agg(agg.alias("w")).collect()
     }
+    # zero/null-weight domains (all-empty or all-null token sums) have
+    # no mass to reweight — p^(alpha-1) would divide by zero; they are
+    # omitted from the returned spec so mixture_sample's default_rate
+    # governs them
+    sizes = {d: w for d, w in sizes.items() if w}
     total = sum(sizes.values()) or 1.0
     # target share ∝ p^alpha; dividing by natural share p gives the
     # per-domain KEEP rate shape p^(alpha-1), scaled so max = 1
@@ -268,9 +273,15 @@ def select_token_budget(
         return df.filter(F.lit(False))
     lo, hi = float(stats["lo"]), float(stats["hi"])
     width = (hi - lo) / n_buckets or 1.0
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor((F.col(score_col) - lo) / width).cast("int"),
+    # null scores sort LAST (bin -1): least/greatest skip nulls, so
+    # without the explicit branch a null score would land in the TOP
+    # bin and poison the threshold walk (score_documents emits null
+    # avg_logp for token-less docs — a realistic input here)
+    bucket = F.when(F.col(score_col).isNull(), F.lit(-1)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((F.col(score_col) - lo) / width).cast("int"),
+        )
     )
     bins = {
         r["b"]: r["t"]

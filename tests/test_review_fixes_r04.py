@@ -1,0 +1,93 @@
+"""Regression pins for the round-4 review findings: null-score /
+null-text / zero-weight-domain handling and scorer composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops.analysis import with_tokens
+from binancedatapipeline_spark.textops.curate import curation_flags, curation_report
+from binancedatapipeline_spark.textops.lm import (
+    score_documents,
+    score_documents_map,
+    unigram_model,
+)
+from binancedatapipeline_spark.textops.packing import chunk_documents
+from binancedatapipeline_spark.textops.sampling import (
+    select_token_budget,
+    temperature_mixture_rates,
+)
+
+
+def test_null_scores_sort_last_in_budget_selection(spark):
+    df = spark.createDataFrame(
+        [(1, 0.9, 10), (2, None, 5), (3, 0.1, 10)],
+        "doc_id long, score double, n_tokens long",
+    )
+    kept = {r["doc_id"] for r in select_token_budget(df, 12, exact=True).collect()}
+    assert kept == {1}
+    # with budget for everything the null-score doc still comes last
+    kept = {r["doc_id"] for r in select_token_budget(df, 21, exact=True).collect()}
+    assert kept == {1, 3}
+
+
+def test_null_text_chunks_like_empty(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "two words")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in chunk_documents(df, max_tokens=512, overlap=64).collect()}
+    assert rows[1]["chunk_text"] == "" and rows[1]["chunk_tokens"] == 1
+    assert rows[2]["chunk_tokens"] == 2
+
+
+def test_zero_weight_domain_omitted_from_rates(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 0)], "doc_id long, domain string, n_tokens long"
+    )
+    rates = temperature_mixture_rates(df, "domain", alpha=0.7, token_col="n_tokens")
+    assert rates == {"a": 1.0}  # 'b' governed by mixture_sample default_rate
+
+
+def test_scorer_composes_with_with_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a dog ran")], "doc_id long, text string"
+    )
+    m = unigram_model(docs)
+    out = score_documents(with_tokens(docs), m)  # both add n_tokens
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 3  # LM count wins, no ambiguity crash
+    assert rows[1]["avg_logp"] is not None
+
+
+def test_scorers_agree_on_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    m = unigram_model(docs.filter("doc_id = 1"))
+    cols = ["doc_id", "n_tokens", "n_oov", "avg_logp"]
+    a = {r["doc_id"]: tuple(r[c] for c in cols) for r in score_documents(docs, m).select(*cols).collect()}
+    b = {r["doc_id"]: tuple(r[c] for c in cols) for r in score_documents_map(docs, m).select(*cols).collect()}
+    assert a == b
+    assert a[2][1] == 0 and a[2][2] == 0 and a[2][3] is None
+
+
+def test_curation_report_counts_frequent_lines(spark):
+    # deliberately NOT a C4 marker phrase — those are removed by
+    # clean_lines before the corpus-level stage ever sees them
+    boiler = "recurring footer navigation text for every page"
+    rows = [
+        (i, f"real content line number {i} here\n{boiler}") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flags = curation_flags(
+        df, min_line_words=1, gopher_overrides={"min_words": 2},
+        frequent_line_doc_frac=0.05,
+    )
+    rep = curation_report(flags).first()
+    assert rep["frequent_lines_dropped"] == 10
+    # without the stage the column (and counter) stay absent
+    rep2 = curation_report(
+        curation_flags(df, min_line_words=1, gopher_overrides={"min_words": 2})
+    ).first()
+    assert "frequent_lines_dropped" not in rep2.asDict()

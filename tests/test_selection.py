@@ -61,11 +61,12 @@ def test_approximate_mode_bounds(spark):
         nt for i, s, nt in rows if i in _ref_exact(rows, budget)
     )
     assert exact_spent - spent <= max_bin + 150
-    # kept docs are score-dominant: every kept doc scores >= every
-    # dropped doc outside the threshold bin's resolution
+    # kept docs are score-dominant: every kept doc scores at least as
+    # high as every dropped doc, up to one bin of resolution
+    # ((hi-lo)/n_buckets = ~0.001 on this corpus)
     kept_min = min(r["score"] for r in got)
     dropped = [s for i, s, nt in rows if i not in {r["doc_id"] for r in got}]
-    assert kept_min >= min(kept_min, max(dropped) - 0.002)
+    assert kept_min >= max(dropped) - 0.002
 
 
 def test_budget_larger_than_corpus_keeps_all(spark):
