@@ -54,6 +54,10 @@ from binancedatapipeline_spark.textops.decontam import (
     decontaminate,
 )
 from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
+from binancedatapipeline_spark.textops.recipe import (
+    RecipeResult,
+    prepare_training_corpus,
+)
 from binancedatapipeline_spark.textops.sampling import (
     hash_sample,
     select_token_budget,
@@ -103,6 +107,8 @@ __all__ = [
     "hash_sample",
     "mixture_oversample",
     "mixture_sample",
+    "RecipeResult",
+    "prepare_training_corpus",
     "select_token_budget",
     "shuffle_rows",
     "temperature_mixture_rates",

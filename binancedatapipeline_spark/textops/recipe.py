@@ -1,0 +1,133 @@
+"""The full training-data preparation recipe — every stage in this
+package composed into one callable pipeline, in the order a
+production corpus build runs them:
+
+    curate (PII → line clean → corpus-frequent lines → Gopher →
+            exact dedup → decontaminate → splits)
+  → near-duplicate cluster resolution (MinHash-LSH → components →
+            one survivor per duplicate group)
+  → unigram-LM perplexity filter (fit on the surviving corpus)
+  → quality-ranked token-budget selection (optional)
+  → temperature-flattened domain mixture (optional)
+  → deterministic epoch shuffle
+  → context-window chunking or token-budget packing
+
+Each stage is the already-tested operator; this module contributes
+the composition, the stage-boundary materialization policy, and a
+per-stage row/token audit so a corpus build is inspectable before it
+is committed. Heavy multi-consumer intermediates are persisted at
+exactly two points (the curated corpus and the dedup survivors);
+everything else stays one lazy plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from binancedatapipeline_spark.textops.curate import curate
+from binancedatapipeline_spark.textops.dedup import near_dedup
+from binancedatapipeline_spark.textops.lm import (
+    perplexity_filter,
+    unigram_model,
+)
+from binancedatapipeline_spark.textops.packing import chunk_documents
+from binancedatapipeline_spark.textops.sampling import (
+    mixture_sample,
+    select_token_budget,
+    shuffle_rows,
+    temperature_mixture_rates,
+)
+
+
+@dataclass
+class RecipeResult:
+    """The prepared corpus plus the per-stage audit trail."""
+
+    corpus: DataFrame  # shuffled, chunked training rows
+    audit: list[tuple[str, int]] = field(default_factory=list)  # (stage, rows out)
+
+    def audit_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(self.audit, "stage string, rows long")
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    bench: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str | None = None,
+    curate_kwargs: dict | None = None,
+    dedup_kwargs: dict | None = None,
+    max_ppl: float | None = 1e4,
+    lm_vocab_size: int = 50_000,
+    budget_tokens: int | None = None,
+    mixture_alpha: float | None = None,
+    shuffle_seed: int = 0,
+    chunk_max_tokens: int = 512,
+    chunk_overlap: int = 64,
+) -> RecipeResult:
+    """Run the full prep chain; every stage optional-by-default off
+    except curation, near-dedup, LM filter, shuffle and chunking.
+
+    ``bench`` enables decontamination inside curation; ``domain_col``
+    + ``mixture_alpha`` enable temperature mixture flattening;
+    ``budget_tokens`` enables quality-ranked selection (scored by the
+    LM fit on the deduped corpus — lower perplexity ranks higher).
+
+    The audit list records surviving row counts after each enabled
+    stage — the same funnel a 100 TB build prints before committing.
+    Each count is one cheap action against a persisted boundary."""
+    audit: list[tuple[str, int]] = [("input", docs.count())]
+
+    out = curate(docs, bench, id_col=id_col, text_col=text_col,
+                 **(curate_kwargs or {}))
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    audit.append(("curate", out.count()))
+
+    out = near_dedup(out, id_col=id_col, text_col=text_col,
+                     **(dedup_kwargs or {}))
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    audit.append(("near_dedup", out.count()))
+
+    model = unigram_model(out, text_col=text_col, vocab_size=lm_vocab_size)
+    if max_ppl is not None:
+        scored = perplexity_filter(
+            out, model, id_col=id_col, text_col=text_col, max_ppl=max_ppl
+        )
+    else:
+        from binancedatapipeline_spark.textops.lm import score_documents
+
+        scored = score_documents(out, model, id_col=id_col, text_col=text_col)
+    audit.append(("lm_filter", scored.count()))
+
+    if budget_tokens is not None:
+        scored = select_token_budget(
+            scored.withColumn("__quality", -F.col("pseudo_ppl")),
+            budget_tokens,
+            score_col="__quality",
+            n_tokens_col="n_tokens",
+            id_col=id_col,
+            exact=False,
+        ).drop("__quality")
+        audit.append(("token_budget", scored.count()))
+
+    if domain_col is not None and mixture_alpha is not None:
+        rates = temperature_mixture_rates(scored, domain_col, alpha=mixture_alpha)
+        scored = mixture_sample(scored, domain_col, rates, id_col=id_col)
+        audit.append(("mixture", scored.count()))
+
+    scored = scored.drop("n_tokens", "n_oov", "avg_logp", "pseudo_ppl")
+    ordered = shuffle_rows(scored, id_col=id_col, seed=shuffle_seed)
+    chunks = chunk_documents(
+        ordered,
+        id_col=id_col,
+        text_col=text_col,
+        max_tokens=chunk_max_tokens,
+        overlap=chunk_overlap,
+    )
+    audit.append(("chunks", chunks.count()))
+    return RecipeResult(corpus=chunks, audit=audit)

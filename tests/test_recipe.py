@@ -1,0 +1,81 @@
+"""End-to-end training-corpus recipe: the composed chain must drop
+exactly the planted junk and emit reproducible, well-formed chunks."""
+
+from __future__ import annotations
+
+from binancedatapipeline_spark.textops.recipe import prepare_training_corpus
+
+GOOD = " ".join(
+    f"sentence{i} with natural flowing words continues here" for i in range(12)
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, GOOD + " alpha", "web"),
+        (2, GOOD + " beta", "web"),          # near-dup of 1 (one-token delta)
+        (3, "too short", "web"),             # shape-filtered
+        (4, " ".join(f"chapter{i} about mountain climbing routes and gear" for i in range(12)), "books"),
+        # high perplexity under the self-fit model: every token unique
+        # (repetitive junk would score LOW — frequency is probability)
+        (5, " ".join(f"zxq{i}gib" for i in range(40)), "web"),
+        (6, GOOD + " alpha", "web"),         # exact dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, domain string")
+
+
+def test_full_recipe_funnel(spark):
+    res = prepare_training_corpus(
+        _corpus(spark),
+        curate_kwargs={"min_line_words": 1, "gopher_overrides": {"min_words": 10}},
+        dedup_kwargs={"k": 16, "bands": 8},
+        max_ppl=50.0,
+        chunk_max_tokens=16,
+        chunk_overlap=4,
+    )
+    stages = dict(res.audit)
+    assert stages["input"] == 6
+    assert stages["curate"] == 4          # drops 3 (shape) and 6 (exact dup)
+    assert stages["near_dedup"] == 3      # collapses 2 into 1
+    assert stages["lm_filter"] == 2       # drops the gibberish doc
+    kept_ids = {r["doc_id"] for r in res.corpus.select("doc_id").distinct().collect()}
+    assert kept_ids == {1, 4}
+    # chunks well-formed
+    rows = res.corpus.collect()
+    assert stages["chunks"] == len(rows)
+    assert all(1 <= r["chunk_tokens"] <= 16 for r in rows)
+    # audit_df mirrors the funnel
+    adf = {r["stage"]: r["rows"] for r in res.audit_df(spark).collect()}
+    assert adf == stages
+
+
+def test_recipe_is_reproducible(spark):
+    kw = dict(
+        curate_kwargs={"min_line_words": 1, "gopher_overrides": {"min_words": 10}},
+        dedup_kwargs={"k": 16, "bands": 8},
+        max_ppl=50.0,
+        chunk_max_tokens=16,
+        chunk_overlap=4,
+        shuffle_seed=9,
+    )
+    a = prepare_training_corpus(_corpus(spark), **kw).corpus.collect()
+    b = prepare_training_corpus(_corpus(spark), **kw).corpus.collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_recipe_with_budget_and_mixture(spark):
+    res = prepare_training_corpus(
+        _corpus(spark),
+        domain_col="domain",
+        mixture_alpha=0.6,
+        budget_tokens=70,
+        curate_kwargs={"min_line_words": 1, "gopher_overrides": {"min_words": 10}},
+        dedup_kwargs={"k": 16, "bands": 8},
+        max_ppl=50.0,
+        chunk_max_tokens=16,
+        chunk_overlap=4,
+    )
+    stages = dict(res.audit)
+    assert "token_budget" in stages and "mixture" in stages
+    assert stages["token_budget"] <= stages["lm_filter"]
+    assert stages["mixture"] <= stages["token_budget"]
