@@ -36,13 +36,15 @@ def chunk_documents(
     text_col: str = "text",
     max_tokens: int = 512,
     overlap: int = 64,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each document into overlapping fixed-size token windows —
     the context-length chunking step that feeds tokenization.
 
-    One output row per chunk: the parent id, ``chunk_id`` (0-based),
-    ``chunk_text`` (the window's tokens re-joined with single spaces),
-    and ``chunk_tokens``. Windows start every ``max_tokens − overlap``
+    One output row per chunk: the parent id, any ``keep_cols``
+    passed through from the parent row (split labels, domains...),
+    ``chunk_id`` (0-based), ``chunk_text`` (the window's tokens
+    re-joined with single spaces), and ``chunk_tokens``. Windows start every ``max_tokens − overlap``
     tokens, so consecutive chunks share ``overlap`` tokens; a document
     of ≤ ``max_tokens`` tokens yields exactly one chunk (its full,
     whitespace-normalized text). Start offsets past the last token are
@@ -56,14 +58,22 @@ def chunk_documents(
     if not 0 <= overlap < max_tokens:
         raise ValueError("need 0 <= overlap < max_tokens")
     step = max_tokens - overlap
-    # null text behaves like empty text (one empty chunk): without the
-    # coalesce, size(null) is null and least/greatest null-skipping
-    # would fabricate a chunk claiming max_tokens tokens
-    toks = tokens_col(F.coalesce(F.col(text_col), F.lit("")))
+    # null text behaves like empty text (without the coalesce,
+    # size(null) is null and least/greatest null-skipping would
+    # fabricate a chunk claiming max_tokens tokens), and empty text
+    # yields one chunk of ZERO tokens — tokens_col('') returns ['']
+    # whose phantom element must not count, matching score_documents'
+    # n_tokens = 0 for the same document
+    toks = F.filter(
+        tokens_col(F.coalesce(F.col(text_col), F.lit(""))),
+        lambda t: t != F.lit(""),
+    )
+    passthru = [F.col(c) for c in keep_cols]
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        df.select(F.col(id_col), *passthru, toks.alias("__toks"))
         .select(
             id_col,
+            *keep_cols,
             F.col("__toks"),
             F.posexplode(
                 F.expr(f"sequence(1, greatest(size(__toks) - {overlap}, 1), {step})")
@@ -71,6 +81,7 @@ def chunk_documents(
         )
         .select(
             id_col,
+            *keep_cols,
             "chunk_id",
             F.concat_ws(
                 " ", F.slice("__toks", F.col("__start"), F.lit(max_tokens))

@@ -49,9 +49,18 @@ class RecipeResult:
 
     corpus: DataFrame  # shuffled, chunked training rows
     audit: list[tuple[str, int]] = field(default_factory=list)  # (stage, rows out)
+    _cached: list[DataFrame] = field(default_factory=list)
 
     def audit_df(self, spark) -> DataFrame:
         return spark.createDataFrame(self.audit, "stage string, rows long")
+
+    def release(self) -> None:
+        """Unpersist the recipe's remaining cached boundary (call
+        after the corpus has been written/consumed). Intermediate
+        boundaries are already released as the chain advances."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
 
 
 def prepare_training_corpus(
@@ -80,18 +89,26 @@ def prepare_training_corpus(
 
     The audit list records surviving row counts after each enabled
     stage — the same funnel a 100 TB build prints before committing.
-    Each count is one cheap action against a persisted boundary."""
+    Each count is one cheap action against a persisted boundary, and
+    each boundary is unpersisted as soon as the next one is
+    materialized, so at most two corpus-sized caches are live at any
+    moment (curate's internal kernel cache plus the current
+    boundary). Call ``RecipeResult.release()`` after consuming the
+    corpus to drop the last one."""
     audit: list[tuple[str, int]] = [("input", docs.count())]
 
+    # no recipe-level persist of the curate output: curate's own
+    # materialize already caches the expensive regex-kernel relation,
+    # and the filter over it is cheap to replay per consumer
     out = curate(docs, bench, id_col=id_col, text_col=text_col,
                  **(curate_kwargs or {}))
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
     audit.append(("curate", out.count()))
 
-    out = near_dedup(out, id_col=id_col, text_col=text_col,
-                     **(dedup_kwargs or {}))
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    audit.append(("near_dedup", out.count()))
+    dedup_bound = near_dedup(out, id_col=id_col, text_col=text_col,
+                             **(dedup_kwargs or {}))
+    dedup_bound = dedup_bound.persist(StorageLevel.MEMORY_AND_DISK)
+    audit.append(("near_dedup", dedup_bound.count()))
+    out = dedup_bound
 
     model = unigram_model(out, text_col=text_col, vocab_size=lm_vocab_size)
     if max_ppl is not None:
@@ -102,7 +119,12 @@ def prepare_training_corpus(
         from binancedatapipeline_spark.textops.lm import score_documents
 
         scored = score_documents(out, model, id_col=id_col, text_col=text_col)
+    # the scored boundary feeds up to five later actions (budget
+    # stats/bins, mixture rates, counts, the final corpus); persist it
+    # and release the dedup boundary it supersedes
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     audit.append(("lm_filter", scored.count()))
+    dedup_bound.unpersist()
 
     if budget_tokens is not None:
         scored = select_token_budget(
@@ -120,14 +142,21 @@ def prepare_training_corpus(
         scored = mixture_sample(scored, domain_col, rates, id_col=id_col)
         audit.append(("mixture", scored.count()))
 
-    scored = scored.drop("n_tokens", "n_oov", "avg_logp", "pseudo_ppl")
-    ordered = shuffle_rows(scored, id_col=id_col, seed=shuffle_seed)
+    final = scored.drop("n_tokens", "n_oov", "avg_logp", "pseudo_ppl")
+    ordered = shuffle_rows(final, id_col=id_col, seed=shuffle_seed)
+    # split (and domain, when present) ride through chunking so the
+    # output is self-describing — val/test chunks are excludable
+    # without re-joining the parent corpus
+    passthru = tuple(
+        c for c in ("split", domain_col) if c and c in ordered.columns
+    )
     chunks = chunk_documents(
         ordered,
         id_col=id_col,
         text_col=text_col,
         max_tokens=chunk_max_tokens,
         overlap=chunk_overlap,
+        keep_cols=passthru,
     )
     audit.append(("chunks", chunks.count()))
-    return RecipeResult(corpus=chunks, audit=audit)
+    return RecipeResult(corpus=chunks, audit=audit, _cached=[scored])

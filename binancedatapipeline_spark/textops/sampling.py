@@ -96,7 +96,9 @@ def mixture_sample(
     ``ceil(rate)`` with a fractional keep for the remainder).
     """
     rate_expr = None
-    for domain, rate in sorted(rates.items()):
+    # key=str: a stray None key must not crash the sort (a null domain
+    # never matches the equality CASE below, so its rate is inert)
+    for domain, rate in sorted(rates.items(), key=lambda kv: str(kv[0])):
         keep = int(round(min(max(rate, 0.0), 1.0) * buckets))
         cond = F.col(domain_col) == domain
         rate_expr = (
@@ -219,10 +221,11 @@ def temperature_mixture_rates(
         for r in df.groupBy(F.col(domain_col).alias("d")).agg(agg.alias("w")).collect()
     }
     # zero/null-weight domains (all-empty or all-null token sums) have
-    # no mass to reweight — p^(alpha-1) would divide by zero; they are
-    # omitted from the returned spec so mixture_sample's default_rate
-    # governs them
-    sizes = {d: w for d, w in sizes.items() if w}
+    # no mass to reweight — p^(alpha-1) would divide by zero — and a
+    # NULL domain can't be matched by mixture_sample's equality CASE
+    # anyway; both are omitted from the returned spec so
+    # mixture_sample's default_rate governs them
+    sizes = {d: w for d, w in sizes.items() if w and d is not None}
     total = sum(sizes.values()) or 1.0
     # target share ∝ p^alpha; dividing by natural share p gives the
     # per-domain KEEP rate shape p^(alpha-1), scaled so max = 1
@@ -283,9 +286,14 @@ def select_token_budget(
             F.floor((F.col(score_col) - lo) / width).cast("int"),
         )
     )
+    # null token counts count as 0 (F.sum would otherwise return a
+    # None bin total and crash the driver walk)
     bins = {
-        r["b"]: r["t"]
-        for r in df.select(bucket.alias("b"), F.col(n_tokens_col).alias("t"))
+        r["b"]: r["t"] or 0
+        for r in df.select(
+            bucket.alias("b"),
+            F.coalesce(F.col(n_tokens_col), F.lit(0)).alias("t"),
+        )
         .groupBy("b")
         .agg(F.sum("t").alias("t"))
         .collect()

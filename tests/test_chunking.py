@@ -10,8 +10,6 @@ from binancedatapipeline_spark.textops.packing import chunk_documents
 
 def _ref_chunks(text: str, max_tokens: int, overlap: int):
     toks = text.split()
-    if not toks:
-        toks = [""]
     step = max_tokens - overlap
     starts = list(range(0, max(len(toks) - overlap, 1), step))
     return [

@@ -27,7 +27,7 @@ CHUNK_CASE = st.tuples(
 
 
 def _ref_chunks(n_toks: int, max_tokens: int, overlap: int):
-    toks = [f"t{j}" for j in range(n_toks)] or [""]
+    toks = [f"t{j}" for j in range(n_toks)]
     step = max_tokens - overlap
     starts = range(0, max(len(toks) - overlap, 1), step)
     return [

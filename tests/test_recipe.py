@@ -40,6 +40,9 @@ def test_full_recipe_funnel(spark):
     assert stages["lm_filter"] == 2       # drops the gibberish doc
     kept_ids = {r["doc_id"] for r in res.corpus.select("doc_id").distinct().collect()}
     assert kept_ids == {1, 4}
+    # split labels ride through chunking
+    assert "split" in res.corpus.columns
+    assert all(r["split"] in ("train", "val", "test") for r in res.corpus.collect())
     # chunks well-formed
     rows = res.corpus.collect()
     assert stages["chunks"] == len(rows)
@@ -79,3 +82,5 @@ def test_recipe_with_budget_and_mixture(spark):
     assert "token_budget" in stages and "mixture" in stages
     assert stages["token_budget"] <= stages["lm_filter"]
     assert stages["mixture"] <= stages["token_budget"]
+    assert "domain" in res.corpus.columns  # mixture col passes through
+    res.release()  # drops the scored cache without error

@@ -37,7 +37,7 @@ def test_null_text_chunks_like_empty(spark):
         [(1, None), (2, "two words")], "doc_id long, text string"
     )
     rows = {r["doc_id"]: r for r in chunk_documents(df, max_tokens=512, overlap=64).collect()}
-    assert rows[1]["chunk_text"] == "" and rows[1]["chunk_tokens"] == 1
+    assert rows[1]["chunk_text"] == "" and rows[1]["chunk_tokens"] == 0
     assert rows[2]["chunk_tokens"] == 2
 
 
