@@ -134,13 +134,21 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    keep_eow: bool = False,
 ) -> DataFrame:
     """Tokenize ``text_col`` with a learned merge list — adds
-    ``out_col`` (array of subword strings, EOW markers stripped) and
-    ``n_bpe_tokens``. Pure map stage: the merge ranks are a plain
-    closure shipped with the task, applied per word by an
-    Arrow-batched pandas UDF (the standard greedy lowest-rank-first
-    BPE encode loop)."""
+    ``out_col`` (array of subword strings) and ``n_bpe_tokens``.
+    Pure map stage: the merge ranks are a plain closure shipped with
+    the task, applied per word by an Arrow-batched pandas UDF (the
+    standard greedy lowest-rank-first BPE encode loop).
+
+    ``keep_eow=False`` (default) strips the end-of-word marker for a
+    human-readable, text-concatenation-lossless stream. Building a
+    token→id table from :func:`bpe_vocab` (whose word-final units
+    carry the marker, as trained) needs ``keep_eow=True`` — with the
+    marker stripped, a word-final unit would conflate with the
+    identical word-internal unit and lose the boundary distinction
+    standard BPE preserves."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @F.pandas_udf("array<string>")
@@ -161,7 +169,10 @@ def apply_bpe(
         def one(text) -> list[str]:
             out: list[str] = []
             for w in (text or "").split():
-                out.extend(s.replace(EOW, "") for s in enc_word(w))
+                units = enc_word(w)
+                if not keep_eow:
+                    units = [s.replace(EOW, "") for s in units]
+                out.extend(units)
             return [s for s in out if s]
 
         return texts.map(one)

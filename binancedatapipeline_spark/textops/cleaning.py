@@ -195,6 +195,7 @@ def drop_frequent_lines(
     text_col: str = "text",
     max_doc_frac: float = 0.01,
     min_docs: int = 2,
+    eager_inventory: bool = False,
 ) -> DataFrame:
     """Remove corpus-frequent boilerplate lines from every document
     (RefinedWeb-style inter-document line dedup). Adds ``text_clean``
@@ -205,13 +206,25 @@ def drop_frequent_lines(
     entries regardless of corpus size — and broadcast-crossJoins back,
     so the removal itself is a pure per-row array filter: one
     explode+groupBy shuffle total, corpus scanned twice, no join on
-    the corpus side."""
+    the corpus side.
+
+    ``eager_inventory=True`` collects that bounded set to the driver
+    NOW and embeds it as a literal — the right mode when the result
+    feeds multiple actions (the curation chain does this): a lazy
+    inventory subtree would re-run its corpus-wide explode+groupBy
+    once per consuming action, a literal runs it exactly once."""
     freq = frequent_lines(df, text_col, max_doc_frac, min_docs)
-    freq_set = freq.agg(
-        F.coalesce(
-            F.collect_set("line_hash"), F.array().cast("array<bigint>")
-        ).alias("__freq")
-    )
+    if eager_inventory:
+        hashes = sorted(r["line_hash"] for r in freq.collect())
+        freq_set = df.sparkSession.createDataFrame(
+            [(hashes,)], "__freq array<bigint>"
+        )
+    else:
+        freq_set = freq.agg(
+            F.coalesce(
+                F.collect_set("line_hash"), F.array().cast("array<bigint>")
+            ).alias("__freq")
+        )
     lines = F.split(F.col(text_col), r"\n")
     return (
         df.crossJoin(F.broadcast(freq_set))

@@ -81,9 +81,13 @@ def curation_flags(
     if frequent_line_doc_frac is not None:
         # corpus-level boilerplate pass (lines recurring across >= frac
         # of documents): the inventory aggregates the persisted cleaned
-        # corpus, the removal itself is a broadcast array filter
+        # corpus ONCE, eagerly — flags feed many actions (dedup agg,
+        # decontam probe, audits), and a lazy inventory subtree would
+        # re-run its corpus-wide explode+groupBy in each; the removal
+        # itself is a literal-array per-row filter
         out = drop_frequent_lines(
-            out, text_col="text_clean", max_doc_frac=frequent_line_doc_frac
+            out, text_col="text_clean", max_doc_frac=frequent_line_doc_frac,
+            eager_inventory=True,
         ).withColumnRenamed("n_lines_dropped", "n_freq_lines_dropped")
     out = gopher_filter(out, text_col="text_clean", **(gopher_overrides or {}))
     out = out.withColumnRenamed("keep", "keep_shape")

@@ -106,12 +106,15 @@ def score_documents(
     cannot cross the top-k vocab cap, so without a persist the fit's
     explode+groupBy would run once per consumer. Vocab-sized, so the
     cache cost is trivial; measured 1.9× end-to-end on the fit+score
-    path (tools/bench_textops.py). The cache is left to LRU eviction
-    (callers scoring many corpora against one model WANT it warm);
-    `spark.catalog.clearCache()` drops it explicitly."""
+    path (tools/bench_textops.py). An already-persisted model is NOT
+    re-persisted — loop callers should persist the model themselves
+    and unpersist when done (prepare_training_corpus does exactly
+    this); a one-off call's cache is left to LRU eviction /
+    `spark.catalog.clearCache()`."""
     from pyspark.storagelevel import StorageLevel
 
-    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    if not (model.storageLevel.useMemory or model.storageLevel.useDisk):
+        model = model.persist(StorageLevel.MEMORY_AND_DISK)
     toks = (
         spread(df)
         .select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))

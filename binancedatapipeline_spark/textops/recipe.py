@@ -110,7 +110,11 @@ def prepare_training_corpus(
     audit.append(("near_dedup", dedup_bound.count()))
     out = dedup_bound
 
+    # persist the model HERE (score_documents skips re-persisting an
+    # already-cached model) so the recipe owns its lifecycle and
+    # release() can drop it — a per-call leak otherwise
     model = unigram_model(out, text_col=text_col, vocab_size=lm_vocab_size)
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
     if max_ppl is not None:
         scored = perplexity_filter(
             out, model, id_col=id_col, text_col=text_col, max_ppl=max_ppl
@@ -121,10 +125,14 @@ def prepare_training_corpus(
         scored = score_documents(out, model, id_col=id_col, text_col=text_col)
     # the scored boundary feeds up to five later actions (budget
     # stats/bins, mixture rates, counts, the final corpus); persist it
-    # and release the dedup boundary it supersedes
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
-    audit.append(("lm_filter", scored.count()))
+    # and release the dedup boundary it supersedes. Keep the HANDLE of
+    # the persisted DataFrame itself — release() must unpersist this
+    # exact object (unpersisting a derived DataFrame is a no-op on the
+    # parent's cache), so later stages reassign a different variable.
+    scored_bound = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    audit.append(("lm_filter", scored_bound.count()))
     dedup_bound.unpersist()
+    scored = scored_bound
 
     if budget_tokens is not None:
         scored = select_token_budget(
@@ -159,4 +167,4 @@ def prepare_training_corpus(
         keep_cols=passthru,
     )
     audit.append(("chunks", chunks.count()))
-    return RecipeResult(corpus=chunks, audit=audit, _cached=[scored])
+    return RecipeResult(corpus=chunks, audit=audit, _cached=[scored_bound, model])

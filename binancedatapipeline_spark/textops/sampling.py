@@ -135,7 +135,9 @@ def mixture_oversample(
 
     rate_expr = None
     frac_expr = None
-    for domain, rate in sorted(rates.items()):
+    # key=str mirrors mixture_sample: a stray None key must not crash
+    # the sort (a null domain never matches the equality CASE)
+    for domain, rate in sorted(rates.items(), key=lambda kv: str(kv[0])):
         rate = max(rate, 0.0)
         whole = int(math.floor(rate))
         frac_keep = int(round((rate - whole) * buckets))
