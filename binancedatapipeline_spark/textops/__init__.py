@@ -13,7 +13,10 @@ from binancedatapipeline_spark.textops.analysis import (
     with_tokens,
 )
 from binancedatapipeline_spark.textops.dedup import (
+    band_index,
     dedup_clusters,
+    incremental_lsh_pairs,
+    incremental_near_dedup,
     exact_duplicates,
     minhash_signatures,
     lsh_candidate_pairs,
@@ -73,7 +76,10 @@ __all__ = [
     "with_lang_guess",
     "with_quality",
     "with_tokens",
+    "band_index",
     "dedup_clusters",
+    "incremental_lsh_pairs",
+    "incremental_near_dedup",
     "exact_duplicates",
     "minhash_signatures",
     "lsh_candidate_pairs",
