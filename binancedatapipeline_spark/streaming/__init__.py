@@ -2,6 +2,7 @@ from binancedatapipeline_spark.streaming.jobs import (
     resample_klines,
     sessionize_windows,
     stream_curate_upsert,
+    stream_incremental_dedup,
     stream_dedup,
     stream_near_dedup,
     stream_premium,
@@ -12,6 +13,7 @@ __all__ = [
     "resample_klines",
     "sessionize_windows",
     "stream_curate_upsert",
+    "stream_incremental_dedup",
     "stream_dedup",
     "stream_near_dedup",
     "stream_premium",

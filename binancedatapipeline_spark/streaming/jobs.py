@@ -311,3 +311,60 @@ def stream_near_dedup(
             F.col("novel_bands"),
         )
     )
+
+
+def stream_incremental_dedup(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    docs_spec: TableSpec,
+    index_spec: TableSpec,
+    checkpoint_dir: str,
+    dedup_kwargs: dict | None = None,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Continuous near-dedup at ingest against ALL stored history:
+    per micro-batch, probe the warehouse-stored LSH band index
+    (textops/dedup.py ``incremental_near_dedup``), PK-upsert the
+    surviving documents, and upsert the survivors' index rows.
+
+    This is the unbounded-history counterpart of
+    :func:`stream_near_dedup` (whose state lives inside the streaming
+    engine and is bounded by the watermark horizon): here the state IS
+    a warehouse table keyed (band, bh, id), so a duplicate of a
+    document ingested months ago is still caught, at the price of one
+    bucketed index probe per batch — measured flat in history size
+    (tools/bench_incremental_dedup.py, FLAGSHIP.md).
+
+    Replay-idempotent end-to-end: the canonical copy only ever
+    collides with itself in the index (self-matches excluded by id),
+    so re-processing a batch re-selects the same survivors, and both
+    upserts replace rather than append."""
+    from binancedatapipeline_spark.textops.dedup import incremental_near_dedup
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index = warehouse.read(index_spec)
+        kept, kept_idx = incremental_near_dedup(
+            batch_df, index, **(dedup_kwargs or {})
+        )
+        # materialize survivors once: both upserts consume them, and
+        # the second must not recompute the probe after the first has
+        # already changed the index table
+        kept = kept.persist()
+        n = kept.count()
+        if n:
+            warehouse.upsert(docs_spec, kept)
+            warehouse.upsert(index_spec, kept_idx)
+        if on_batch:
+            on_batch(batch_id, n)
+        kept.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

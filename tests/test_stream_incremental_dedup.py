@@ -1,0 +1,74 @@
+"""Streaming ingest with unbounded-history near-dedup: each
+micro-batch probes the warehouse-stored LSH band index, so duplicates
+of documents ingested in ANY earlier batch are suppressed."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from binancedatapipeline_spark.catalog import TableSpec
+from binancedatapipeline_spark.streaming.jobs import stream_incremental_dedup
+from binancedatapipeline_spark.warehouse import Warehouse
+
+DOCS_SPEC = TableSpec(
+    name="docs_store",
+    primary_keys=("doc_id",),
+    schema=T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]),
+    kind="fact",
+)
+
+INDEX_SPEC = TableSpec(
+    name="docs_lsh_index",
+    primary_keys=("band", "bh", "id"),
+    schema=T.StructType([
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bh", T.StringType()),
+        T.StructField("id", T.LongType()),
+    ]),
+    kind="fact",
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew quartz potions under a pale midnight sky near the old harbor"
+)
+OTHER = (
+    "completely different second story about mountain goats climbing "
+    "steep granite walls in the early alpine morning light with bells"
+)
+
+
+def test_cross_batch_history_dedup(spark, tmp_path):
+    chunks = [
+        [(1, BASE), (2, OTHER)],                      # batch 1: both novel
+        [(10, BASE + " trailing bit"), (11, "novel third text about sonar mapping of deep trenches")],  # 10 dups batch-1 doc
+        [(20, OTHER + " extra"), (21, BASE + " trailing bit!")],  # both dup history
+    ]
+    stage = str(tmp_path / "in")
+    schema = "doc_id long, text string"
+    for rows in chunks:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(stage)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    seen = []
+    q = stream_incremental_dedup(
+        stream, wh, DOCS_SPEC, INDEX_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_kwargs={"k": 16, "bands": 8},
+        on_batch=lambda bid, n: seen.append(n),
+    )
+    q.awaitTermination(180)
+
+    kept = sorted(r["doc_id"] for r in wh.read(DOCS_SPEC).collect())
+    assert kept == [1, 2, 11]  # 10, 20, 21 were near-dups of history
+    idx_ids = {r["id"] for r in wh.read(INDEX_SPEC).collect()}
+    assert idx_ids == {1, 2, 11}  # index holds canonical docs only
+    assert sum(seen) == 3
