@@ -332,26 +332,38 @@ def stream_incremental_dedup(
     This is the unbounded-history counterpart of
     :func:`stream_near_dedup` (whose state lives inside the streaming
     engine and is bounded by the watermark horizon): here the state IS
-    a warehouse table keyed (band, bh, id), so a duplicate of a
+    a warehouse table of (band, bh, id) rows, so a duplicate of a
     document ingested months ago is still caught, at the price of one
     bucketed index probe per batch — measured flat in history size
     (tools/bench_incremental_dedup.py, FLAGSHIP.md).
 
-    Replay-idempotent end-to-end: the canonical copy only ever
-    collides with itself in the index (self-matches excluded by id),
-    so re-processing a batch re-selects the same survivors, and both
-    upserts replace rather than append."""
+    ``index_spec`` MUST be keyed ``(id, band)`` — each document has
+    exactly one band hash per band, so that PK makes the index upsert
+    REPLACE a re-ingested id's hashes; keying by (band, bh, id) would
+    strand the old text's rows forever, and future look-alikes of the
+    replaced text would be dropped against phantom state.
+
+    Replay-idempotent at the WAREHOUSE level: re-processing a batch
+    leaves both tables unchanged — already-stored canonicals either
+    re-survive (they match only themselves; upserts replace) or are
+    re-suppressed by their own cluster's stored representative."""
     from binancedatapipeline_spark.textops.dedup import incremental_near_dedup
+
+    if set(index_spec.primary_keys) != {"id", "band"}:
+        raise ValueError("index_spec must be keyed (id, band); see docstring")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         index = warehouse.read(index_spec)
         kept, kept_idx = incremental_near_dedup(
             batch_df, index, **(dedup_kwargs or {})
         )
-        # materialize survivors once: both upserts consume them, and
-        # the second must not recompute the probe after the first has
-        # already changed the index table
+        # materialize both outputs once: each feeds an upsert that
+        # would otherwise re-run the signature+probe+components chain
+        # per consuming action (correctness against the index
+        # overwrite is already guaranteed by upsert's two-phase tmp
+        # staging; the persist is purely a cost fix)
         kept = kept.persist()
+        kept_idx = kept_idx.persist()
         n = kept.count()
         if n:
             warehouse.upsert(docs_spec, kept)
@@ -359,6 +371,7 @@ def stream_incremental_dedup(
         if on_batch:
             on_batch(batch_id, n)
         kept.unpersist()
+        kept_idx.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -79,10 +79,34 @@ def test_incremental_near_dedup_first_writer_wins(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [11]
     # only the survivor's bands get appended
     assert {r["id"] for r in kept_idx.collect()} == {11}
-    # replaying the SAME batch against the updated index is idempotent:
-    # the canonical doc matches only ITSELF in the index (self-matches
-    # are excluded by id) so it survives again — with the PK upsert
-    # downstream that is a no-op — while the duplicates still drop
+    # replaying the SAME batch against the updated index is
+    # warehouse-idempotent: doc 11's component now contains 12, whose
+    # collision with STORED doc 11 contaminates it, so nothing new is
+    # selected — and nothing needs to be, 11 is already stored
     idx2 = idx.union(kept_idx)
     kept2, _ = incremental_near_dedup(new, idx2, k=16, bands=8)
-    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
+    assert kept2.count() == 0
+    # a canonical re-arriving ALONE matches only itself -> survives
+    solo, solo_idx = incremental_near_dedup(
+        new.filter("doc_id = 11"), idx2, k=16, bands=8
+    )
+    assert [r["doc_id"] for r in solo.collect()] == [11]
+    assert {r["id"] for r in solo_idx.collect()} == {11}
+
+
+def test_chain_through_dropped_batchmate(spark):
+    # a doc whose only collision is an already-dropped batch-mate
+    # resolves with that mate's component (transitively similar to
+    # stored content -> dropped), not by id-order accident
+    old = _df(spark, [(1, BASE)])
+    idx = band_index(old, k=16, bands=8)
+    new = _df(
+        spark,
+        [
+            (10, BASE + " tail one"),          # dups history
+            (11, BASE + " tail one more"),     # dups 10 (and 1): same component
+            (12, "fully novel content about tidal marsh ecology and herons"),
+        ],
+    )
+    kept, _ = incremental_near_dedup(new, idx, k=16, bands=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12]

@@ -4,6 +4,8 @@ of documents ingested in ANY earlier batch are suppressed."""
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import types as T
 
 from binancedatapipeline_spark.catalog import TableSpec
@@ -22,7 +24,7 @@ DOCS_SPEC = TableSpec(
 
 INDEX_SPEC = TableSpec(
     name="docs_lsh_index",
-    primary_keys=("band", "bh", "id"),
+    primary_keys=("id", "band"),  # one row per doc per band: upsert REPLACES a re-ingested id's hashes
     schema=T.StructType([
         T.StructField("band", T.IntegerType()),
         T.StructField("bh", T.StringType()),
@@ -51,6 +53,7 @@ def test_cross_batch_history_dedup(spark, tmp_path):
     schema = "doc_id long, text string"
     for rows in chunks:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(stage)
+        time.sleep(1.05)  # distinct mtimes: FileStreamSource orders by timestamp
 
     wh = Warehouse(spark, str(tmp_path / "wh"))
     stream = (
@@ -65,10 +68,49 @@ def test_cross_batch_history_dedup(spark, tmp_path):
         dedup_kwargs={"k": 16, "bands": 8},
         on_batch=lambda bid, n: seen.append(n),
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(300), "stream did not finish"
 
     kept = sorted(r["doc_id"] for r in wh.read(DOCS_SPEC).collect())
     assert kept == [1, 2, 11]  # 10, 20, 21 were near-dups of history
     idx_ids = {r["id"] for r in wh.read(INDEX_SPEC).collect()}
     assert idx_ids == {1, 2, 11}  # index holds canonical docs only
     assert sum(seen) == 3
+
+
+def test_reingested_id_replaces_index_rows(spark, tmp_path):
+    """Same doc_id re-delivered with CHANGED text: the (id, band) PK
+    makes the index upsert replace the old hashes, so future docs
+    similar to the RETIRED text are not dropped against phantom
+    state."""
+    chunks = [
+        [(1, BASE)],                 # original text A
+        [(1, OTHER)],                # same id, corrected text B
+        [(30, BASE + " echo")],      # similar to retired A -> must SURVIVE
+        [(31, OTHER + " echo")],     # similar to live B -> dropped
+    ]
+    stage = str(tmp_path / "in")
+    for rows in chunks:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+        time.sleep(1.05)
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_incremental_dedup(
+        stream, wh, DOCS_SPEC, INDEX_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_kwargs={"k": 16, "bands": 8},
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    docs = {r["doc_id"]: r["text"] for r in wh.read(DOCS_SPEC).collect()}
+    assert docs[1] == OTHER            # text B replaced A
+    assert 30 in docs and 31 not in docs
+    # index holds exactly one row per (id, band): no stranded A hashes
+    idx = wh.read(INDEX_SPEC)
+    assert idx.count() == idx.select("id", "band").distinct().count()

@@ -53,17 +53,30 @@ def main() -> None:
 
     spark = get_session(app_name="bench_incr_dedup")
     sec: dict[str, dict[str, float]] = {"incremental": {}, "full_recompute": {}, "index_build": {}}
+    survivors: dict[str, int] = {}
     reps = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
 
     for H in sizes:
-        # history = first H docs; batch = B fresh ids, every 17th a
-        # near-dup of a history doc (gen_corpus's duplication pattern
-        # reseeded into the history id space)
+        # history = ids [0, H); batch = mostly-novel ids [H, H+B)
+        # (text derives from the actual id, so novel batch docs share
+        # no content with history) with every 17th batch doc REPLACED
+        # by an exact copy of a spread-out history doc — the ~6%
+        # cross-history duplicate load a real ingest carries. (An
+        # earlier version shifted ids after generation, which made the
+        # batch 100% history copies and the survivor path a no-op.)
         hist = gen_corpus(spark, H).persist()
         hist.count()
+        novel = gen_corpus(spark, B, start=H)
+        dup_map = novel.filter(F.col("doc_id") % 17 == 0).select(
+            "doc_id", (F.col("doc_id") * 31 % H).alias("__src")
+        )
+        dups = dup_map.join(
+            hist.select(F.col("doc_id").alias("__src"), F.col("text").alias("__t")),
+            "__src",
+        ).select("doc_id", F.col("__t").alias("text"))
         batch = (
-            gen_corpus(spark, B)
-            .withColumn("doc_id", F.col("doc_id") + H)
+            novel.join(dups.select("doc_id"), "doc_id", "left_anti")
+            .unionByName(dups)
             .persist()
         )
         batch.count()
@@ -91,6 +104,11 @@ def main() -> None:
             samples["full_recompute"].append(time.perf_counter() - t0)
         for k, runs in samples.items():
             sec[k][str(H)] = round(min(runs), 2)
+        # workload honesty check (untimed): survivors must be the
+        # ~94% novel fraction, proving the probe does real filtering
+        # work rather than running on a degenerate all-dup batch
+        kept, _ = incremental_near_dedup(batch, idx, k=16, bands=8)
+        survivors[str(H)] = kept.count()
         hist.unpersist()
         batch.unpersist()
         if idx is not None:
@@ -101,8 +119,9 @@ def main() -> None:
         "history": sizes,
         "batch": B,
         "sec": sec,
-        # incremental cost growth across a len(sizes)-fold history
-        # growth; ~1.0 means the per-ingest cost is flat in history
+        "survivors": survivors,
+        # incremental cost growth across the max/min history-size
+        # ratio; ~1.0 means the per-ingest cost is flat in history
         "flat_ratio": round(
             sec["incremental"][hi] / max(sec["incremental"][lo], 1e-9), 2
         ),

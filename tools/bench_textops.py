@@ -55,10 +55,16 @@ from binancedatapipeline_spark.textops.cleaning import (
 from binancedatapipeline_spark.textops.curate import curate
 
 
-def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame:
+def gen_corpus(
+    spark: SparkSession, n_docs: int, tokens: int = 120, start: int = 0
+) -> DataFrame:
     """Deterministic corpus: doc i is 120 tokens hashed from (seed, j)
     into a ~1M-word space; every 17th document is an exact copy of its
-    predecessor (~6% dup rate).
+    predecessor (~6% dup rate). ``start`` offsets the id range —
+    because text derives from the ACTUAL id, two corpora over disjoint
+    id ranges share no content (an earlier incremental-dedup bench
+    shifted ids AFTER generation, which silently made the batch 100%
+    copies of history).
 
     The token function must be NON-LINEAR in (seed, position): two
     earlier linear variants (token = seed*A + j*B mod p, for any
@@ -70,9 +76,9 @@ def gen_corpus(spark: SparkSession, n_docs: int, tokens: int = 120) -> DataFrame
     quadratic operator). xxhash64(seed, j) breaks the progression:
     distinct docs now collide per-token at ~1e-6 and per-3-shingle at
     ~1e-18 — effectively never."""
-    ids = spark.range(0, n_docs, 1, 64)
+    ids = spark.range(start, start + n_docs, 1, 64)
     seed = F.when(
-        (F.col("id") % 17 == 0) & (F.col("id") > 0), F.col("id") - 1
+        (F.col("id") % 17 == 0) & (F.col("id") > start), F.col("id") - 1
     ).otherwise(F.col("id"))
     text = F.concat_ws(
         " ",
