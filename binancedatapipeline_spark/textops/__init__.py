@@ -18,6 +18,7 @@ from binancedatapipeline_spark.textops.dedup import (
     incremental_lsh_pairs,
     incremental_near_dedup,
     exact_duplicates,
+    exact_rep_map,
     minhash_signatures,
     lsh_candidate_pairs,
     near_dedup,
@@ -79,6 +80,7 @@ __all__ = [
     "band_index",
     "dedup_clusters",
     "incremental_lsh_pairs",
+    "exact_rep_map",
     "incremental_near_dedup",
     "exact_duplicates",
     "minhash_signatures",

@@ -1,0 +1,211 @@
+"""Round-5 fixes: exact-collapse before LSH pair emission (the
+adversarial-duplication guard), and the incremental-dedup
+within-batch staleness fix (re-ingested ids' stale index rows no
+longer contaminate the history probe)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops.dedup import (
+    _collapsed_rep_pairs,
+    band_index,
+    dedup_clusters,
+    exact_rep_map,
+    incremental_near_dedup,
+    lsh_candidate_pairs,
+    near_dedup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew quartz potions under a pale midnight sky near the old harbor"
+)
+OTHER = (
+    "completely different second story about mountain goats climbing "
+    "steep granite walls in the early alpine morning light with bells"
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rand_doc(rng, vocab, n=30):
+    return " ".join(rng.choice(vocab) for _ in range(n))
+
+
+def test_exact_rep_map_basics(spark):
+    df = _df(spark, [(1, "a b c"), (2, "a b c"), (5, "x y"), (3, "a b c")])
+    got = {r["doc_id"]: r["__rep_id"] for r in exact_rep_map(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5}
+
+
+def test_exact_rep_map_null_text_is_own_rep(spark):
+    df = _df(spark, [(1, None), (2, None), (3, "t u v")])
+    got = {r["doc_id"]: r["__rep_id"] for r in exact_rep_map(df).collect()}
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_planted_1k_twin_group_pair_cardinality_is_o_groups(spark):
+    """The VERDICT round-4 action item: a 1000-member exact-duplicate
+    group (the shape FLAGSHIP.md's negative result #1 showed going
+    quadratic at 437s) must emit O(groups²-per-bucket) candidate
+    pairs, not O(members²) — i.e. the band self-join never sees more
+    than one member per byte-identical group."""
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    distinct = [(1_000_000 + i, _rand_doc(rng, vocab)) for i in range(50)]
+    twins = [(i, BASE) for i in range(1000)]
+    df = _df(spark, twins + distinct)
+
+    rep_map, rep_ids, pairs = _collapsed_rep_pairs(
+        df, "doc_id", "text", n=3, k=16, bands=4
+    )
+    n_reps = rep_ids.count()
+    assert n_reps == 51  # 1 rep for the twin group + 50 distinct docs
+    n_pairs = pairs.count()
+    # uncollapsed, the twin group alone contributes C(1000,2) = 499500
+    assert n_pairs <= n_reps * (n_reps - 1) // 2
+    assert n_pairs < 1000
+
+    # end-to-end: exactly one twin survives (the min id, 0), and every
+    # twin is labeled with cluster 0
+    clusters = dedup_clusters(df, k=16, bands=4)
+    twin_labels = {
+        r["cluster_id"]
+        for r in clusters.filter(F.col("doc_id") < 1000).collect()
+    }
+    assert twin_labels == {0}
+    kept = near_dedup(df, k=16, bands=4)
+    assert kept.filter(F.col("doc_id") < 1000).count() == 1
+    assert kept.filter(F.col("doc_id") == 0).count() == 1
+
+
+def test_collapsed_clusters_equal_uncollapsed(spark):
+    """collapse_exact=True must be a pure performance change: cluster
+    labels match the pre-round-5 uncollapsed plan row-for-row on a
+    corpus mixing exact dups, near dups, and uniques."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(300)]
+    rows = []
+    for i in range(40):
+        rows.append((i, _rand_doc(rng, vocab)))
+    # exact-dup groups of the first 5 docs
+    for g in range(5):
+        for c in range(4):
+            rows.append((100 + g * 10 + c, rows[g][1]))
+    # near dups of docs 5..9 (append one word)
+    for g in range(5, 10):
+        rows.append((200 + g, rows[g][1] + " tail"))
+    df = _df(spark, rows)
+
+    a = dedup_clusters(df, k=16, bands=8, collapse_exact=True)
+    b = dedup_clusters(df, k=16, bands=8, collapse_exact=False)
+    sa = {(r["doc_id"], r["cluster_id"]) for r in a.collect()}
+    sb = {(r["doc_id"], r["cluster_id"]) for r in b.collect()}
+    assert sa == sb
+
+    ka = {r["doc_id"] for r in near_dedup(df, k=16, bands=8).collect()}
+    kb = {
+        r["doc_id"]
+        for r in near_dedup(df, k=16, bands=8, collapse_exact=False).collect()
+    }
+    assert ka == kb
+
+
+def test_collapsed_clusters_equal_uncollapsed_with_verify(spark):
+    rng = random.Random(13)
+    vocab = [f"v{i}" for i in range(300)]
+    rows = [(i, _rand_doc(rng, vocab)) for i in range(30)]
+    rows += [(500 + i, rows[i][1]) for i in range(6)]       # exact dups
+    rows += [(600 + i, rows[i][1] + " zz") for i in range(6, 12)]  # near dups
+    df = _df(spark, rows)
+    a = dedup_clusters(df, k=16, bands=8, verify_jaccard=0.5)
+    b = dedup_clusters(
+        df, k=16, bands=8, verify_jaccard=0.5, collapse_exact=False
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_incremental_collapse_equivalence(spark):
+    """Incremental ingest with collapse on/off keeps the same survivor
+    set and the same survivor index rows."""
+    old = _df(spark, [(1, BASE), (2, OTHER)])
+    idx = band_index(old, k=16, bands=8)
+    new = _df(
+        spark,
+        [
+            (10, BASE + " appended"),          # near dup of history 1
+            (11, "novel piece of standalone content one two three"),
+            (12, "novel piece of standalone content one two three"),  # exact dup of 11
+            (13, "novel piece of standalone content one two three"),  # exact dup of 11
+            (14, "another unrelated fresh document about glaciers melting"),
+        ],
+    )
+    kept_a, idx_a = incremental_near_dedup(new, idx, k=16, bands=8)
+    kept_b, idx_b = incremental_near_dedup(
+        new, idx, k=16, bands=8, collapse_exact=False
+    )
+    ids_a = {r["doc_id"] for r in kept_a.collect()}
+    ids_b = {r["doc_id"] for r in kept_b.collect()}
+    assert ids_a == ids_b == {11, 14}
+    assert {tuple(r) for r in idx_a.collect()} == {
+        tuple(r) for r in idx_b.collect()
+    }
+
+
+def test_incremental_twin_batch_pair_cardinality(spark):
+    """A batch that is itself a giant exact-duplicate group must not
+    go quadratic in the within-batch band self-join: survivors and
+    index rows stay O(1), and the probe index is rep-collapsed."""
+    old = _df(spark, [(1, OTHER)])
+    idx = band_index(old, k=16, bands=4)
+    new = _df(spark, [(i, BASE) for i in range(500)])
+    kept, kept_idx = incremental_near_dedup(new, idx, k=16, bands=4)
+    assert [r["doc_id"] for r in kept.collect()] == [0]
+    assert kept_idx.count() == 4  # one surviving doc x 4 bands
+
+
+def test_reingested_id_stale_bands_do_not_suppress_batchmates(spark):
+    """The ADVICE round-4 staleness fix: batch re-ingests id 1 with
+    CHANGED text, and the same batch carries doc 20 near-duplicating
+    id 1's OLD text. The old behavior dropped 20 against index rows
+    the batch itself retires; now those rows are excluded from the
+    probe, so 20 survives (it matches nothing live)."""
+    old = _df(spark, [(1, BASE), (2, OTHER)])
+    idx = band_index(old, k=16, bands=8)
+    new = _df(
+        spark,
+        [
+            (1, "totally rewritten replacement text for document one here"),
+            (20, BASE + " trailing"),  # near dup of id 1's OLD text only
+        ],
+    )
+    kept, kept_idx = incremental_near_dedup(new, idx, k=16, bands=8)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 20}
+    # survivor index rows cover both docs' NEW bands
+    assert kept_idx.count() == 2 * 8
+
+
+def test_reingested_id_still_deduped_against_other_history(spark):
+    """Excluding the re-ingested id's own stale rows must not exempt
+    its NEW text from dedup against OTHER history rows."""
+    old = _df(spark, [(1, BASE), (2, OTHER)])
+    idx = band_index(old, k=16, bands=8)
+    new = _df(spark, [(1, OTHER + " with a small suffix")])  # now dups id 2
+    kept, kept_idx = incremental_near_dedup(new, idx, k=16, bands=8)
+    assert kept.count() == 0
+    assert kept_idx.count() == 0
+
+
+def test_lsh_candidate_pairs_contract_unchanged(spark):
+    """lsh_candidate_pairs (the oracle-checked operator) still emits
+    member-level pairs — the collapse lives in the cluster/dedup
+    consumers, not in the raw pair generator."""
+    df = _df(spark, [(1, BASE), (2, BASE), (3, BASE)])
+    got = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df).collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
