@@ -19,12 +19,44 @@ layout:
 
 This is MERGE-ON-READ-free: readers see plain parquet with unique
 PKs, no dedup view needed.
+
+Write-audit-publish (round 5): every mutation (upsert / overwrite /
+maintain) stages its full output under ``<root>/_staging/<name>/<tx>``
+first, records a ``_PLAN.json`` once the stage is completely written,
+and only then publishes by RENAMING whole partition directories into
+place. The reference got crash atomicity from DuckDB/ClickHouse
+transactions (duckdb:1546-1594; ch:1757-1793); here it comes from the
+rename protocol:
+
+- **Crash before the plan file exists** → the live table was never
+  touched; ``recover`` discards the half-written stage.
+- **Crash mid-publish** → the plan replays idempotently: each
+  partition either still has its staged dir (swap it) or was already
+  swapped (skip); ``recover`` (called automatically at the start of
+  every mutation) rolls the transaction forward to completion.
+- **Reader contract**: each partition transitions atomically from its
+  complete old state to its complete new state (one directory rename
+  on a POSIX/HDFS filesystem) — a concurrent reader never sees a
+  partially-written partition. Across partitions the publish is
+  sequential, so a multi-partition reader can observe partition A new
+  while B is still old (and a partition mid-swap is briefly absent
+  from a directory listing); full snapshot isolation requires a table
+  format (Delta/Iceberg) and is explicitly out of scope.
+- **Writer contract**: one writer per table at a time. Staging makes
+  crashes recoverable, not concurrent writers serializable — the
+  reference had the same single-writer scheduler
+  (scheduler_clickhouse.py:120-133).
+- Renames are ``os.rename`` (atomic on local disk / NFS / anything
+  POSIX; HDFS renames are atomic too via the FileSystem API). Object
+  stores without atomic rename need a table format instead.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +115,94 @@ class Warehouse:
         delta = timedelta(**{unit if unit.endswith("s") else unit + "s": int(value)})
         return latest - delta
 
+    # ----------------------------------------------- transaction plumbing
+
+    def _staging_root(self, name: str) -> str:
+        return os.path.join(self.root, "_staging", name)
+
+    def _new_stage(self, name: str) -> str:
+        tx = datetime.now().strftime("%Y%m%d%H%M%S%f") + "-" + uuid.uuid4().hex[:8]
+        stage = os.path.join(self._staging_root(name), tx)
+        os.makedirs(stage)
+        return stage
+
+    def _rename(self, src: str, dst: str) -> None:
+        """Single-call seam for every publish-step rename — tests
+        inject crashes here to exercise recovery."""
+        os.rename(src, dst)
+
+    def _part_dir(self, name: str, ds: str) -> str:
+        return os.path.join(self.path(name), f"{DS_COL}={ds}")
+
+    def _write_plan(self, stage: str, plan: dict) -> None:
+        """The commit point: the plan file appears atomically
+        (write-then-replace), and its presence means the staged data
+        is complete and the transaction WILL be published (rolled
+        forward by ``recover`` if this process dies first)."""
+        tmp = os.path.join(stage, "_PLAN.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, os.path.join(stage, "_PLAN.json"))
+
+    def _publish(self, name: str, stage: str) -> None:
+        """Execute (or re-execute) a committed plan. Idempotent: every
+        step checks whether it already happened, so a crash at ANY
+        rename boundary is repaired by running this again."""
+        with open(os.path.join(stage, "_PLAN.json")) as f:
+            plan = json.load(f)
+        data = os.path.join(stage, "data")
+        old = os.path.join(stage, "_old")
+        os.makedirs(old, exist_ok=True)
+        if plan.get("whole_table"):
+            live = self.path(name)
+            if os.path.isdir(data):
+                if os.path.isdir(live):
+                    self._rename(live, os.path.join(old, "table"))
+                self._rename(data, live)
+        else:
+            for ds in plan["drops"]:
+                live = self._part_dir(name, ds)
+                if os.path.isdir(live):
+                    self._rename(live, os.path.join(old, f"{DS_COL}={ds}"))
+            for ds in plan["swaps"]:
+                staged = os.path.join(data, f"{DS_COL}={ds}")
+                live = self._part_dir(name, ds)
+                if os.path.isdir(staged):
+                    if os.path.isdir(live):
+                        self._rename(live, os.path.join(old, f"{DS_COL}={ds}"))
+                    self._rename(staged, live)
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _staged_partitions(self, data: str) -> list[str]:
+        return sorted(
+            d.split("=", 1)[1]
+            for d in os.listdir(data)
+            if d.startswith(f"{DS_COL}=")
+        )
+
+    def recover(self, name: str) -> int:
+        """Repair unfinished transactions for a table: committed plans
+        (plan file present ⇒ stage fully written) roll FORWARD to
+        their final state; uncommitted stages roll BACK (discarded —
+        the live table was never touched). Called automatically at the
+        start of every mutation, so after a crash the next pipeline
+        run self-heals; safe to call any time. Returns the number of
+        transactions repaired."""
+        sroot = self._staging_root(name)
+        if not os.path.isdir(sroot):
+            return 0
+        n = 0
+        for tx in sorted(os.listdir(sroot)):
+            stage = os.path.join(sroot, tx)
+            if not os.path.isdir(stage):
+                continue
+            if os.path.exists(os.path.join(stage, "_PLAN.json")):
+                self._publish(name, stage)
+            else:
+                shutil.rmtree(stage, ignore_errors=True)
+            n += 1
+        return n
+
     # ------------------------------------------------------------ write
 
     def _with_ds(self, spec: TableSpec, df: DataFrame) -> DataFrame:
@@ -100,12 +220,20 @@ class Warehouse:
             )
 
     def overwrite(self, spec: TableSpec, df: DataFrame) -> None:
-        """Full refresh (dimension tables, needs_incremental=False)."""
+        """Full refresh (dimension tables, needs_incremental=False).
+        Staged then swapped as ONE whole-table rename — a reader mid-
+        refresh sees the complete old table or the complete new one,
+        never Spark's delete-then-write window."""
+        self.recover(spec.name)
         out = self._with_ds(spec, spec.align(df))
-        writer = out.write.mode("overwrite")
+        stage = self._new_stage(spec.name)
+        data = os.path.join(stage, "data")
+        writer = out.write
         if spec.partition_date_source:
             writer = writer.partitionBy(DS_COL)
-        writer.parquet(self.path(spec.name))
+        writer.parquet(data)
+        self._write_plan(stage, {"whole_table": True})
+        self._publish(spec.name, stage)
 
     def write_bucketed(
         self,
@@ -135,12 +263,16 @@ class Warehouse:
 
     def upsert(self, spec: TableSpec, updates: DataFrame, order_col: str | None = None) -> None:
         """PK-upsert restricted to the date partitions the batch
-        touches. Replay-idempotent (T3/T4).
+        touches. Replay-idempotent (T3/T4); crash-atomic via the
+        stage-plan-publish protocol (module docstring).
 
         Plan: dedup batch keep-last → read ONLY affected partitions
         of the target → anti-join out superseded rows → union →
-        dynamic-partition overwrite of just those partitions.
+        stage the rewritten partitions → publish by per-partition
+        directory rename (plus explicit drops for touched partitions
+        whose every row moved elsewhere).
         """
+        self.recover(spec.name)
         # dedup before align: the ordering column may be auxiliary
         # (e.g. a batch sequence number) and not part of the schema
         if order_col is not None:
@@ -166,12 +298,13 @@ class Warehouse:
             merged = self.read(spec).join(
                 anti_build, on=list(spec.primary_keys), how="left_anti"
             ).unionByName(updates)
-            # two-phase write: materialize merge before overwriting source
-            tmp = self.path(f"__tmp_{spec.name}")
-            self._with_ds(spec, merged).write.mode("overwrite").parquet(tmp)
-            final = self.path(spec.name)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(final)
-            shutil.rmtree(tmp, ignore_errors=True)
+            # stage the merge (reading the live table), then swap the
+            # whole table directory in one rename
+            stage = self._new_stage(spec.name)
+            data = os.path.join(stage, "data")
+            self._with_ds(spec, merged).write.parquet(data)
+            self._write_plan(stage, {"whole_table": True})
+            self._publish(spec.name, stage)
             return
 
         updates_ds = self._with_ds(spec, updates)
@@ -205,39 +338,21 @@ class Warehouse:
         ).select(*spec.columns)
         merged = self._with_ds(spec, kept.unionByName(updates))
 
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf_key, "static")
-        self.spark.conf.set(conf_key, "dynamic")
-        try:
-            # stage the merge first: the dynamic overwrite reads-and-
-            # replaces the same partitions it scans
-            tmp = self.path(f"__tmp_{spec.name}")
-            merged.write.mode("overwrite").parquet(tmp)
-            staged = self.spark.read.parquet(tmp)
-            staged.write.mode("overwrite").partitionBy(DS_COL).parquet(
-                self.path(spec.name)
-            )
-            # dynamic overwrite only replaces partitions PRESENT in the
-            # written data — a touched partition whose every row was
-            # superseded (moved to another date) writes nothing and
-            # would keep its stale files; drop those explicitly
-            remaining = {
-                r[DS_COL] for r in staged.select(DS_COL).distinct().collect()
-            }
-            for ds in touched:
-                if ds not in remaining:
-                    shutil.rmtree(
-                        os.path.join(
-                            self.path(spec.name), f"{DS_COL}={ds.isoformat()}"
-                        ),
-                        ignore_errors=True,
-                    )
-            # the staged copy is merge-sized (the batch's partitions in
-            # full) — leaving it behind doubles the storage cost of every
-            # hot partition by the next tick
-            shutil.rmtree(tmp, ignore_errors=True)
-        finally:
-            self.spark.conf.set(conf_key, prev)
+        # stage the rewritten partitions, commit the plan, publish by
+        # rename. A touched partition whose every row was superseded
+        # (moved to another date) is absent from the staged output and
+        # becomes an explicit drop — its stale directory is renamed
+        # away at publish, closing the old dynamic-overwrite gap where
+        # empty partitions kept their files.
+        stage = self._new_stage(spec.name)
+        data = os.path.join(stage, "data")
+        merged.write.partitionBy(DS_COL).parquet(data)
+        swaps = self._staged_partitions(data)
+        drops = sorted({ds.isoformat() for ds in touched} - set(swaps))
+        self._write_plan(
+            stage, {"partitioned": True, "swaps": swaps, "drops": drops}
+        )
+        self._publish(spec.name, stage)
 
     # ------------------------------------------------------ maintenance
 
@@ -286,6 +401,7 @@ class Warehouse:
         never read or rewritten. Returns a stats dict."""
         import math
 
+        self.recover(spec.name)
         if not self.exists(spec.name):
             return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
         stats = self.partition_files(spec.name)
@@ -302,12 +418,10 @@ class Warehouse:
                 .coalesce(target)
                 .sortWithinPartitions(*pk)
             )
-            tmp = self.path(f"__tmp_{spec.name}")
-            merged.write.mode("overwrite").parquet(tmp)
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(
-                self.path(spec.name)
-            )
-            shutil.rmtree(tmp, ignore_errors=True)
+            stage = self._new_stage(spec.name)
+            merged.write.parquet(os.path.join(stage, "data"))
+            self._write_plan(stage, {"whole_table": True})
+            self._publish(spec.name, stage)
             return {"partitions_compacted": 1, "files_before": n_files,
                     "files_after": target}
 
@@ -334,21 +448,15 @@ class Warehouse:
             .repartitionByRange(total_target, DS_COL, *pk)
             .sortWithinPartitions(DS_COL, *pk)
         )
-        conf_key = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf_key, "static")
-        self.spark.conf.set(conf_key, "dynamic")
-        try:
-            tmp = self.path(f"__tmp_{spec.name}")
-            merged.write.mode("overwrite").parquet(tmp)
-            (
-                self.spark.read.parquet(tmp)
-                .write.mode("overwrite")
-                .partitionBy(DS_COL)
-                .parquet(self.path(spec.name))
-            )
-            shutil.rmtree(tmp, ignore_errors=True)
-        finally:
-            self.spark.conf.set(conf_key, prev)
+        stage = self._new_stage(spec.name)
+        data = os.path.join(stage, "data")
+        merged.write.partitionBy(DS_COL).parquet(data)
+        self._write_plan(
+            stage,
+            {"partitioned": True, "swaps": self._staged_partitions(data),
+             "drops": []},
+        )
+        self._publish(spec.name, stage)
         after = self.partition_files(spec.name)
         files_after = sum(
             after.get(ds, (0, 0))[0] for ds in fragmented

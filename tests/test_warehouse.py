@@ -94,24 +94,179 @@ def test_upsert_only_rewrites_touched_partitions(spark, wh, fixture_dir):
     assert changed == ["ds=2024-01-15"]
 
 
-def test_upsert_cleans_staging_dir(spark, wh, fixture_dir):
-    """The staged merge copy (__tmp_<name>) must not outlive the
-    upsert — at scale it is a full copy of every hot partition, so a
-    leak doubles the storage cost of the working set each tick."""
+def _staging_txs(wh, name):
     import os
 
+    sroot = wh._staging_root(name)
+    return sorted(os.listdir(sroot)) if os.path.isdir(sroot) else []
+
+
+def test_upsert_cleans_staging_dir(spark, wh, fixture_dir):
+    """The staged merge copy must not outlive a committed upsert — at
+    scale it is a full copy of every hot partition, so a leak doubles
+    the storage cost of the working set each tick."""
     spec = catalog.BN_SPOT_KLINES
     src = _klines(spark, fixture_dir)
     wh.overwrite(spec, src)
     wh.upsert(spec, src.limit(50).withColumn("close", F.lit(1.5)))
-    assert not os.path.exists(wh.path(f"__tmp_{spec.name}"))
+    assert _staging_txs(wh, spec.name) == []
 
     # unpartitioned branch (dimension table, no partition_date_source)
     dim_spec = catalog.BN_SPOT_SYMBOLS
     dim = spark.read.parquet(f"{fixture_dir}/bn_spot_symbols.parquet")
     wh.overwrite(dim_spec, dim)
     wh.upsert(dim_spec, dim.limit(3))
-    assert not os.path.exists(wh.path(f"__tmp_{dim_spec.name}"))
+    assert _staging_txs(wh, dim_spec.name) == []
+
+
+def test_crash_before_commit_leaves_table_untouched(spark, wh, fixture_dir):
+    """A writer dying before the plan file exists must be invisible:
+    the live table is byte-identical, and the next upsert discards the
+    orphaned stage and applies cleanly (write-audit-publish rollback)."""
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    batch = src.limit(50).withColumn("close", F.lit(-5.0))
+
+    def boom(stage, plan):
+        raise RuntimeError("injected crash before commit")
+
+    wh._write_plan = boom  # instance attr shadows the method
+    with pytest.raises(RuntimeError, match="before commit"):
+        wh.upsert(spec, batch)
+    del wh.__dict__["_write_plan"]
+
+    # live table untouched; the dead stage is still on disk
+    out = wh.read(spec)
+    assert out.count() == src.count()
+    assert out.filter(F.col("close") == -5.0).count() == 0
+    assert len(_staging_txs(wh, spec.name)) == 1
+
+    # replay self-heals: rollback the uncommitted stage, then apply
+    wh.upsert(spec, batch)
+    out = wh.read(spec)
+    assert out.count() == src.count()
+    assert out.filter(F.col("close") == -5.0).count() == 50
+    assert _staging_txs(wh, spec.name) == []
+
+
+def _two_date_batch(spark, src):
+    """Rows from exactly two ds partitions, values rewritten."""
+    dates = sorted(
+        r[0]
+        for r in src.select(F.to_date("timestamp").alias("d")).distinct().collect()
+    )
+    d1, d2 = dates[0], dates[1]
+    return (
+        src.filter(F.to_date("timestamp").isin([d1, d2]))
+        .withColumn("close", F.lit(-7.0)),
+        d1,
+        d2,
+    )
+
+
+def test_crash_mid_publish_is_per_partition_atomic_and_recoverable(
+    spark, wh, fixture_dir
+):
+    """Kill the writer BETWEEN partition swaps: the reader contract
+    says every partition is either fully old or fully new (never a
+    partially-written directory), and ``recover`` rolls the committed
+    plan forward to the exact final state."""
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    batch, d1, d2 = _two_date_batch(spark, src)
+    n1 = src.filter(F.to_date("timestamp") == d1).count()
+    n2 = src.filter(F.to_date("timestamp") == d2).count()
+
+    calls = {"n": 0}
+    orig = type(wh)._rename
+
+    def crashing(src_p, dst_p):
+        if calls["n"] >= 2:  # partition d1 fully swapped (2 renames)
+            raise RuntimeError("injected crash mid-publish")
+        calls["n"] += 1
+        orig(wh, src_p, dst_p)
+
+    wh._rename = crashing
+    with pytest.raises(RuntimeError, match="mid-publish"):
+        wh.upsert(spec, batch)
+    del wh.__dict__["_rename"]
+
+    # per-partition atomicity: d1 completely new, d2 completely old
+    out = wh.read(spec)
+    assert out.filter(F.to_date("timestamp") == d1).count() == n1
+    assert (
+        out.filter((F.to_date("timestamp") == d1) & (F.col("close") == -7.0)).count()
+        == n1
+    )
+    assert out.filter(F.to_date("timestamp") == d2).count() == n2
+    assert (
+        out.filter((F.to_date("timestamp") == d2) & (F.col("close") == -7.0)).count()
+        == 0
+    )
+
+    # the committed plan rolls forward to the exact intended state
+    assert wh.recover(spec.name) == 1
+    out = wh.read(spec)
+    assert out.count() == src.count()
+    assert out.filter(F.col("close") == -7.0).count() == n1 + n2
+    assert _staging_txs(wh, spec.name) == []
+
+
+def test_next_mutation_auto_recovers_crashed_publish(spark, wh, fixture_dir):
+    """No explicit recover call needed: the next pipeline tick's
+    upsert rolls the previous crashed transaction forward first."""
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    batch, d1, d2 = _two_date_batch(spark, src)
+
+    calls = {"n": 0}
+    orig = type(wh)._rename
+
+    def crashing(src_p, dst_p):
+        if calls["n"] >= 1:  # die mid-swap: d1's live dir renamed away
+            raise RuntimeError("injected crash mid-swap")
+        calls["n"] += 1
+        orig(wh, src_p, dst_p)
+
+    wh._rename = crashing
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        wh.upsert(spec, batch)
+    del wh.__dict__["_rename"]
+
+    # second tick: an update disjoint from the crashed batch's dates
+    # (so its PK replacement can't undo batch's close rewrites); the
+    # crashed tx publishes first
+    batch2 = (
+        src.filter(~F.to_date("timestamp").isin([d1, d2]))
+        .limit(10)
+        .withColumn("volume", F.lit(-1.0))
+    )
+    assert batch2.count() == 10
+    wh.upsert(spec, batch2)
+    out = wh.read(spec)
+    assert out.count() == src.count()
+    n_batch = batch.count()
+    assert out.filter(F.col("close") == -7.0).count() == n_batch
+    assert out.filter(F.col("volume") == -1.0).count() == 10
+    assert _staging_txs(wh, spec.name) == []
+
+
+def test_recover_discards_uncommitted_stage(spark, wh, fixture_dir):
+    import os
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    stage = wh._new_stage(spec.name)
+    os.makedirs(os.path.join(stage, "data"), exist_ok=True)
+    with open(os.path.join(stage, "data", "part-junk.parquet"), "w") as f:
+        f.write("half-written garbage")
+    assert wh.recover(spec.name) == 1
+    assert _staging_txs(wh, spec.name) == []
+    assert wh.read(spec).count() == src.count()
 
 
 def test_incremental_watermark(spark, wh, fixture_dir):
