@@ -531,19 +531,33 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct-count per group.
 
-    countDistinct plans an Expand (input ×2 for two distinct aggs)
-    followed by a two-stage distinct aggregate — it never materializes
-    the per-group value set, so a hot supplier key costs CPU, not
-    executor memory. The collect_set formulation is marginally faster
-    at toy scale but is an OOM hazard at 100 TB (unbounded in-memory
-    set per group); the Expand plan is the one that survives scale-up.
-    A plan regression test asserts no ObjectHashAggregate/collect_set
-    appears here."""
+    Plan: one distinct + count branch PER distinct aggregate, joined
+    on the group key — not the single countDistinct(…), countDistinct(…)
+    call, whose Expand doubles every scanned row before the partial
+    aggregate (that form measured 1.05s best-of-3 vs 0.62s for this
+    one at sf0.1; it was the registry's slowest query). Each branch
+    map-side-dedups (suppkey, value) pairs before its shuffle, the
+    count-per-suppkey rides the distinct's partitioning, and the final
+    join reuses the suppkey partitioning — so the trade against Expand
+    is one extra COLUMN-PRUNED scan (2 cols each vs 3 once, ~1.33x
+    scan bytes at 100 TB) for half the aggregate pipeline and no row
+    doubling. Neither form ever materializes a per-group value set: a
+    hot supplier costs CPU, not executor memory (the collect_set
+    formulation stays banned; plan-regression-tested)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_suppkey").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+    parts = (
+        li.select("l_suppkey", "l_partkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+    orders = (
+        li.select("l_suppkey", "l_orderkey")
+        .distinct()
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return parts.join(orders, "l_suppkey")
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -617,7 +631,10 @@ def q_doc_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    out = ngram_jaccard_pairs(d, min_jaccard=0.2)
+    # explicit prune mode: the sf corpora are far below the window/
+    # no-prune crossover, and skipping auto's count() probe saves one
+    # job per run (the probe is for callers who don't know their size)
+    out = ngram_jaccard_pairs(d, min_jaccard=0.2, prune="window")
     return out.select("id_a", "id_b", "n_common", "n_a", "n_b", _r6("jaccard").alias("jaccard"))
 
 

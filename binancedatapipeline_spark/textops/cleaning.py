@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops.analysis import tokens_col
 
+
+def _qcol(name: str) -> Column:
+    """Column by EXACT name: backtick-quoted so a name containing a
+    dot is not parsed as a struct accessor (and spaces/dashes resolve
+    too) — every operator here takes user-supplied column names."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
 # ---------------------------------------------------------------- PII
 
 # Deterministic, auditable patterns — a production pass would follow
@@ -66,25 +73,37 @@ def redact_pii(
     the checksum-gated card spans. No shuffle, no UDF.
     """
     out_col = out_col or text_col
-    col = F.col(text_col)
+    col = _qcol(text_col)
     n_pii = F.lit(0)
     for kind in kinds:
         if kind == "card":
             continue
         pat, token = PII_PATTERNS[kind]
-        n_pii = n_pii + F.size(F.expr(f"regexp_extract_all({text_col}, '{_sq(pat)}', 0)"))
+        # column-object form: interpolating text_col into an expr SQL
+        # string breaks on names that need backtick-quoting
+        n_pii = n_pii + F.size(
+            F.regexp_extract_all(_qcol(text_col), F.lit(pat), F.lit(0))
+        )
         col = F.regexp_replace(col, pat, token)
     out = df.withColumn("__redacted", col)
     if "card" in kinds:
         # extract candidates from the ORIGINAL text (placeholders
         # contain no digits, so order doesn't matter), keep the
         # Luhn-valid ones, then fold replace() over them.
+        # candidates extracted column-side (text_col never enters an
+        # expr string); the luhn_check lambda stays an expr because the
+        # function has no python binding — it references only the
+        # fixed internal name __cand
+        cand = F.regexp_extract_all(
+            _qcol(text_col), F.lit(CARD_CANDIDATE_RE), F.lit(0)
+        )
         valid_cards = F.expr(
-            f"filter(regexp_extract_all({text_col}, '{_sq(CARD_CANDIDATE_RE)}', 0), "
-            f"c -> luhn_check(regexp_replace(c, '[^0-9]', '')))"
+            "filter(__cand, c -> luhn_check(regexp_replace(c, '[^0-9]', '')))"
         )
         out = (
-            out.withColumn("__cards", valid_cards)
+            out.withColumn("__cand", cand)
+            .withColumn("__cards", valid_cards)
+            .drop("__cand")
             .withColumn(
                 "__redacted",
                 F.expr(
@@ -97,11 +116,6 @@ def redact_pii(
     else:
         out = out.withColumn("n_pii", n_pii)
     return out.withColumn(out_col, F.col("__redacted")).drop("__redacted")
-
-
-def _sq(pattern: str) -> str:
-    """Escape a regex for embedding in a single-quoted SQL literal."""
-    return pattern.replace("\\", "\\\\").replace("'", "\\'")
 
 
 # ------------------------------------------------------- line filtering
@@ -138,7 +152,7 @@ def clean_lines(
     if require_terminal_punct:
         conds.append("trim(line) rlike '[.!?\"]$'")
     keep = " and ".join(conds)
-    lines = F.split(F.col(text_col), r"\n")
+    lines = F.split(_qcol(text_col), r"\n")
     return (
         df.withColumn("__lines", lines)
         .withColumn("__kept", F.expr(f"filter(__lines, line -> {keep})"))
@@ -166,8 +180,11 @@ def frequent_lines(
     in ≥ frac·N docs number at most L/frac for average doc length L,
     independent of corpus size — which is what makes the removal step
     broadcastable at any scale."""
+    # column-object form (not an interpolated F.expr SQL string): a
+    # text column whose name needs backtick-quoting (space, dash, dot)
+    # would break or silently misparse inside expr
     lines = F.array_distinct(
-        F.expr(f"transform(split({text_col}, '\\n'), l -> trim(l))")
+        F.transform(F.split(_qcol(text_col), "\n"), lambda l: F.trim(l))
     )
     counts = (
         df.select(F.explode(lines).alias("__line"))
@@ -225,7 +242,7 @@ def drop_frequent_lines(
                 F.collect_set("line_hash"), F.array().cast("array<bigint>")
             ).alias("__freq")
         )
-    lines = F.split(F.col(text_col), r"\n")
+    lines = F.split(_qcol(text_col), r"\n")
     return (
         df.crossJoin(F.broadcast(freq_set))
         .withColumn("__lines", lines)
@@ -248,7 +265,7 @@ def drop_frequent_lines(
 def with_line_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher line-repetition signal: fraction of lines that are exact
     duplicates of an earlier line. Pure array expression per row."""
-    lines = F.split(F.col(text_col), r"\n")
+    lines = F.split(_qcol(text_col), r"\n")
     n = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     return df.withColumn(
@@ -279,7 +296,7 @@ def ngram_repetition(
     Collisions: a 64-bit hash conflating two grams within one
     document is ~1e-10 at 1M distinct grams/doc — acceptable for a
     filter threshold."""
-    toks = tokens_col(F.col(text_col))
+    toks = tokens_col(_qcol(text_col))
     grams = F.expr(
         "transform(sequence(1, greatest(size(__toks) - %d, 1)), "
         "i -> array_join(slice(__toks, i, %d), ' '))" % (n - 1, n)
@@ -288,7 +305,7 @@ def ngram_repetition(
         df.select(
             F.col(id_col),
             (F.length(text_col) + F.lit(0)).alias("__chars_doc"),
-            F.col(text_col),
+            _qcol(text_col),
         )
         .withColumn("__toks", toks)
         .withColumn("__grams", grams)
@@ -402,7 +419,7 @@ def gopher_filter(
     :func:`with_line_repetition` / :func:`ngram_repetition` for the
     repetition rules. The thresholds are the published ones."""
     p = {**GOPHER_DEFAULTS, **overrides}
-    t = F.col(text_col)
+    t = _qcol(text_col)
     toks = tokens_col(t)
     n_words = F.size(toks)
     safe_words = F.greatest(n_words, F.lit(1))

@@ -50,6 +50,7 @@ def curation_flags(
     gopher_overrides: dict[str, float] | None = None,
     materialize: bool = True,
     frequent_line_doc_frac: float | None = None,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
@@ -59,7 +60,13 @@ def curation_flags(
     everywhere when ``bench`` is None), ``split``; plus
     ``n_freq_lines_dropped`` when ``frequent_line_doc_frac`` enables
     the corpus-level frequent-line (cross-document boilerplate)
-    removal stage."""
+    removal stage.
+
+    ``cache_registry``: pass a list to receive the handle of the
+    internal cleaned-corpus persist (when ``materialize``), so the
+    caller can unpersist it after consuming the result —
+    prepare_training_corpus folds it into ``RecipeResult.release()``;
+    without a handle the corpus-sized cache lives until context GC."""
     out = redact_pii(docs, text_col=text_col, out_col="__pii_clean")
     out = clean_lines(out, text_col="__pii_clean", min_words=min_line_words)
     out = out.drop("__pii_clean")
@@ -78,6 +85,8 @@ def curation_flags(
         from pyspark import StorageLevel
 
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(out)
     if frequent_line_doc_frac is not None:
         # corpus-level boilerplate pass (lines recurring across >= frac
         # of documents): the inventory aggregates the persisted cleaned

@@ -101,31 +101,32 @@ def score_documents(
     (exp(−avg_logp)). The model joins BROADCAST (it is vocab-sized);
     per-doc aggregation shuffles once on the doc id.
 
-    The model is persisted here: it feeds three consumers (the scoring
-    join, the OOV floor, and any caller reuse) and exchange reuse
-    cannot cross the top-k vocab cap, so without a persist the fit's
-    explode+groupBy would run once per consumer. Vocab-sized, so the
-    cache cost is trivial; measured 1.9× end-to-end on the fit+score
-    path (tools/bench_textops.py). An already-persisted model is NOT
-    re-persisted — loop callers should persist the model themselves
-    and unpersist when done (prepare_training_corpus does exactly
-    this); a one-off call's cache is left to LRU eviction /
-    `spark.catalog.clearCache()`."""
-    from pyspark.storagelevel import StorageLevel
-
-    if not (model.storageLevel.useMemory or model.storageLevel.useDisk):
-        model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    The OOV floor (one scalar) is computed EAGERLY here — one small
+    job over the vocab relation at call time — so the returned lazy
+    plan references the model exactly once (the broadcast join) and
+    this function persists NOTHING: earlier rounds silently persisted
+    the caller's model as a side effect, which leaked one vocab-sized
+    cache per standalone call. A caller scoring repeatedly (or
+    running several actions over the result) should persist the model
+    itself and unpersist when done — prepare_training_corpus does
+    exactly that; the eager floor then reads the warm cache for
+    free."""
     toks = (
         spread(df)
         .select(F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token"))
         .filter(F.col("token") != "")
     )
+    floor_row = _oov_floor(model, smoothing).first()
+    oov_logp = (
+        F.lit(float(floor_row["__oov_logp"]))
+        if floor_row is not None and floor_row["__oov_logp"] is not None
+        else F.lit(None).cast("double")
+    )
     scored = (
         toks.join(F.broadcast(model.select("token", "logp")), "token", "left")
-        .crossJoin(F.broadcast(_oov_floor(model, smoothing)))
         .select(
             id_col,
-            F.coalesce("logp", F.col("__oov_logp")).alias("__lp"),
+            F.coalesce(F.col("logp"), oov_logp).alias("__lp"),
             F.col("logp").isNull().cast("int").alias("__oov"),
         )
     )

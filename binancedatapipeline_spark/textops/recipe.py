@@ -23,6 +23,7 @@ everything else stays one lazy plan.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from math import log as _ln
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,6 +73,7 @@ def prepare_training_corpus(
     curate_kwargs: dict | None = None,
     dedup_kwargs: dict | None = None,
     max_ppl: float | None = 1e4,
+    min_ppl: float = 0.0,
     lm_vocab_size: int = 50_000,
     budget_tokens: int | None = None,
     mixture_alpha: float | None = None,
@@ -84,8 +86,14 @@ def prepare_training_corpus(
 
     ``bench`` enables decontamination inside curation; ``domain_col``
     + ``mixture_alpha`` enable temperature mixture flattening;
-    ``budget_tokens`` enables quality-ranked selection (scored by the
-    LM fit on the deduped corpus — lower perplexity ranks higher).
+    ``budget_tokens`` enables quality-ranked selection. Selection
+    ranks by CLOSENESS to the corpus's median log-perplexity, not by
+    raw low perplexity: the LM is fit on the corpus itself, so its
+    lowest-ppl tail is degenerate repetition (the exact tail
+    ``perplexity_filter``'s floor exists to cut) and ranking by
+    ``-ppl`` would select that tail FIRST under tight budgets —
+    both extremes now rank last. ``min_ppl`` additionally hard-cuts
+    the degenerate floor before any ranking (0.0 = off).
 
     The audit list records surviving row counts after each enabled
     stage — the same funnel a 100 TB build prints before committing.
@@ -99,9 +107,12 @@ def prepare_training_corpus(
 
     # no recipe-level persist of the curate output: curate's own
     # materialize already caches the expensive regex-kernel relation,
-    # and the filter over it is cheap to replay per consumer
+    # and the filter over it is cheap to replay per consumer. The
+    # registry captures that internal persist's handle so release()
+    # can actually drop it (it used to leak until context GC).
+    curate_caches: list[DataFrame] = []
     out = curate(docs, bench, id_col=id_col, text_col=text_col,
-                 **(curate_kwargs or {}))
+                 cache_registry=curate_caches, **(curate_kwargs or {}))
     audit.append(("curate", out.count()))
 
     dedup_bound = near_dedup(out, id_col=id_col, text_col=text_col,
@@ -110,14 +121,15 @@ def prepare_training_corpus(
     audit.append(("near_dedup", dedup_bound.count()))
     out = dedup_bound
 
-    # persist the model HERE (score_documents skips re-persisting an
-    # already-cached model) so the recipe owns its lifecycle and
-    # release() can drop it — a per-call leak otherwise
+    # persist the model HERE so the scoring join, its eager OOV-floor
+    # probe, and the audit actions all read one warm vocab-sized
+    # cache the recipe owns (and release() drops)
     model = unigram_model(out, text_col=text_col, vocab_size=lm_vocab_size)
     model = model.persist(StorageLevel.MEMORY_AND_DISK)
     if max_ppl is not None:
         scored = perplexity_filter(
-            out, model, id_col=id_col, text_col=text_col, max_ppl=max_ppl
+            out, model, id_col=id_col, text_col=text_col,
+            max_ppl=max_ppl, min_ppl=min_ppl,
         )
     else:
         from binancedatapipeline_spark.textops.lm import score_documents
@@ -135,8 +147,17 @@ def prepare_training_corpus(
     scored = scored_bound
 
     if budget_tokens is not None:
+        # rank by |ln ppl − ln median(ppl)|: the self-fit LM's lowest
+        # perplexities are degenerate repetition, so distance from the
+        # corpus-typical perplexity is the quality signal — one cheap
+        # approxQuantile action against the persisted boundary
+        q = scored_bound.approxQuantile("pseudo_ppl", [0.5], 0.01)
+        med = q[0] if q else 1.0
         scored = select_token_budget(
-            scored.withColumn("__quality", -F.col("pseudo_ppl")),
+            scored.withColumn(
+                "__quality",
+                -F.abs(F.log("pseudo_ppl") - F.lit(float(_ln(med)))),
+            ),
             budget_tokens,
             score_col="__quality",
             n_tokens_col="n_tokens",
@@ -167,4 +188,7 @@ def prepare_training_corpus(
         keep_cols=passthru,
     )
     audit.append(("chunks", chunks.count()))
-    return RecipeResult(corpus=chunks, audit=audit, _cached=[scored_bound, model])
+    return RecipeResult(
+        corpus=chunks, audit=audit,
+        _cached=[scored_bound, model] + curate_caches,
+    )

@@ -109,15 +109,18 @@ def test_join_composite_key_scans_events_once(spark):
     assert "ReusedExchange" in plan, plan
 
 
-def test_count_distinct_uses_expand_not_collect_set(spark):
-    """countDistinct must plan the Expand + two-stage distinct
-    aggregate — never an ObjectHashAggregate materializing per-group
-    value sets (a hot-key OOM at 100 TB)."""
+def test_count_distinct_branches_never_materialize_sets(spark):
+    """Each distinct count is its own distinct+count branch (joined on
+    the group key) — no Expand row-doubling at the scan, and never an
+    ObjectHashAggregate materializing per-group value sets (a hot-key
+    OOM at 100 TB). Both branches must stay pure HashAggregates."""
     df = entry_mod.queries()["count_distinct"](spark, SF)
     plan = _final_plan(df)
-    assert "Expand" in plan, plan
+    assert "Expand" not in plan, plan
     assert "ObjectHashAggregate" not in plan, plan
     assert "collect_set" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_lsh_topk_is_index_probe_not_scan(spark):

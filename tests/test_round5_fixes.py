@@ -209,3 +209,129 @@ def test_lsh_candidate_pairs_contract_unchanged(spark):
     df = _df(spark, [(1, BASE), (2, BASE), (3, BASE)])
     got = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(df).collect()}
     assert got == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_ngram_prune_modes_identical_pairs(spark):
+    """window / none / auto prune modes are a pure plan choice — the
+    pair set (and jaccard values) must be identical."""
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(200)]
+    rows = [(i, _rand_doc(rng, vocab)) for i in range(40)]
+    rows += [(100 + i, rows[i][1] + " extra") for i in range(8)]
+    df = _df(spark, rows)
+    from binancedatapipeline_spark.textops.dedup import ngram_jaccard_pairs
+
+    def key(d):
+        return {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in d.collect()
+        }
+
+    w = key(ngram_jaccard_pairs(df, prune="window"))
+    n = key(ngram_jaccard_pairs(df, prune="none"))
+    auto_small = key(ngram_jaccard_pairs(df, prune="auto"))  # -> window
+    auto_big = key(ngram_jaccard_pairs(df, prune="auto", prune_threshold=0))  # -> none
+    assert w == n == auto_small == auto_big
+    assert len(w) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(df, prune="bogus")
+
+
+# ---------------------------------------------------- ADVICE round-4 fixes
+
+
+def test_score_documents_does_not_persist_callers_model(spark):
+    """score_documents used to persist the caller's model DataFrame as
+    a side effect (one leaked vocab-sized cache per standalone call);
+    it must leave the caller's object untouched."""
+    from binancedatapipeline_spark.textops.lm import score_documents, unigram_model
+
+    docs = _df(spark, [(1, "a a b c"), (2, "a b b d e")])
+    model = unigram_model(docs)
+    scored = score_documents(docs, model)
+    assert scored.count() == 2
+    assert model.storageLevel.useMemory is False
+    assert model.storageLevel.useDisk is False
+
+
+def test_frequent_lines_handles_backtick_column_names(spark):
+    """The inventory must accept column names that need backtick
+    quoting (spaces/dots) — it used to interpolate the raw name into
+    an F.expr SQL string."""
+    from binancedatapipeline_spark.textops.cleaning import frequent_lines, redact_pii
+
+    rows = [(i, "shared boilerplate line\nunique line %d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "doc text.col"])
+    inv = frequent_lines(df, text_col="doc text.col", max_doc_frac=0.5)
+    assert inv.count() == 1  # only the shared line recurs
+
+    pii = redact_pii(
+        spark.createDataFrame(
+            [(1, "mail me at a@b.com or card 4111 1111 1111 1111")],
+            ["doc_id", "doc text.col"],
+        ),
+        text_col="doc text.col",
+        out_col="clean",
+    ).first()
+    assert "<EMAIL>" in pii["clean"] and "<CARD>" in pii["clean"]
+    assert pii["n_pii"] == 2
+
+
+def test_curate_cache_registry_receives_persist_handle(spark):
+    from binancedatapipeline_spark.textops.curate import curate
+
+    import random as _random
+
+    rng = _random.Random(31)
+    vocab = [f"token{i}" for i in range(60)]
+    docs = _df(
+        spark,
+        [(i, " ".join(rng.choice(vocab) for _ in range(60)) + " final.")
+         for i in range(20)],
+    )
+    reg = []
+    out = curate(docs, cache_registry=reg)
+    assert out.count() > 0
+    assert len(reg) == 1
+    assert reg[0].storageLevel.useMemory or reg[0].storageLevel.useDisk
+    reg[0].unpersist()
+    assert reg[0].storageLevel.useMemory is False
+
+
+def test_recipe_budget_selection_skips_degenerate_low_ppl_tail(spark):
+    """Under a tight token budget, selection must prefer corpus-typical
+    documents over the degenerate lowest-perplexity tail (the self-fit
+    LM scores pure repetition as maximally probable)."""
+    import random as _random
+
+    from binancedatapipeline_spark.textops.recipe import prepare_training_corpus
+
+    rng = _random.Random(23)
+    vocab = [f"word{i}" for i in range(80)]
+    normal = [
+        (i, " ".join(rng.choice(vocab) for _ in range(60)) + " end.")
+        for i in range(30)
+    ]
+    # degenerate: a tiny repeated cycle (Gopher-passing length and
+    # word shape, but near-minimal pseudo_ppl under the self-fit LM);
+    # each gets a distinct id-token so exact dedup keeps them apart
+    degen = [
+        (100 + i, ("word0 word1 " * 30).strip() + f" tag{i} end.")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(normal + degen, "doc_id long, text string")
+
+    res = prepare_training_corpus(
+        docs,
+        budget_tokens=600,  # tight: ~10 normal docs' worth
+        chunk_max_tokens=64,
+        chunk_overlap=0,
+        dedup_kwargs={"k": 16, "bands": 4},
+    )
+    picked = {r["doc_id"] for r in res.corpus.select("doc_id").distinct().collect()}
+    res.release()
+    # the old -pseudo_ppl ranking picked the degenerate survivors first
+    assert len(picked & {100, 101, 102, 103, 104}) == 0
+    assert picked  # something was selected
