@@ -64,6 +64,61 @@ def _le_uint(col: str, pos: int, n: int) -> F.Column:
     return F.conv(F.concat(*parts), 16, 10).cast("long")
 
 
+# SOF marker bytes carrying frame dimensions: C0-C3, C5-C7, C9-CB,
+# CD-CF (C4=DHT, C8=JPG extension, CC=DAC carry no dims)
+_JPEG_SOF = "192,193,194,195,197,198,199,201,202,203,205,206,207"
+
+
+def _jpeg_sof_offset(c: str) -> F.Column:
+    """1-based offset of the JPEG SOF marker's 0xFF byte, or ≤0 when
+    absent/corrupt — a BOUNDED segment walk (48 segments) as one JVM
+    ``aggregate`` over a constant sequence, carrying the byte offset
+    in the accumulator. Each step reads the segment length field and
+    hops; standalone markers (RST, padding 0xFF fill) advance without
+    a length; SOS (0xDA, start of entropy data) aborts. Still a pure
+    per-row projection — no Python, no shuffle; EXIF/ICC blocks are
+    single segments, so 48 hops covers any sane header."""
+    b = f"`{c}`"
+    mk = (
+        lambda off: f"cast(conv(hex(substring({b}, cast({off} as int), 1)), 16, 10) as int)"
+    )
+    seglen = (
+        f"cast(conv(hex(substring({b}, cast(acc.off + 2 as int), 2)), 16, 10) as bigint)"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(1, 48),
+          named_struct('off', cast(3 as bigint), 'sof', cast(0 as bigint)),
+          (acc, i) -> CASE
+            WHEN acc.sof > 0 OR acc.off <= 0 OR acc.off + 8 > length({b}) THEN acc
+            WHEN {mk('acc.off')} <> 255
+              THEN named_struct('off', cast(-1 as bigint), 'sof', acc.sof)
+            WHEN {mk('acc.off + 1')} = 255
+              THEN named_struct('off', acc.off + 1, 'sof', acc.sof)
+            WHEN {mk('acc.off + 1')} in ({_JPEG_SOF})
+              THEN named_struct('off', acc.off, 'sof', acc.off)
+            WHEN {mk('acc.off + 1')} = 218
+              THEN named_struct('off', cast(-1 as bigint), 'sof', acc.sof)
+            WHEN {mk('acc.off + 1')} between 208 and 215 OR {mk('acc.off + 1')} = 1
+              THEN named_struct('off', acc.off + 2, 'sof', acc.sof)
+            ELSE named_struct('off', acc.off + 2 + {seglen}, 'sof', acc.sof)
+          END,
+          acc -> acc.sof
+        )
+        """
+    )
+
+
+def _jpeg_dim(c: str, field_off: int) -> F.Column:
+    """BE u16 at SOF + field_off (height: +5, width: +7), valid only
+    where ``__jpeg_sof`` > 0."""
+    b = f"`{c}`"
+    return F.expr(
+        f"cast(conv(hex(substring({b}, cast(__jpeg_sof + {field_off} as int), 2)), 16, 10) as bigint)"
+    )
+
+
 def with_image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Width/height/format from container HEADERS — no decode, no
     Python, no shuffle: magic-byte dispatch plus fixed-offset integer
@@ -71,12 +126,13 @@ def with_image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     gets filterable dimension metadata (``WHERE width >= 512``)
     without ever shipping bytes to a decoder.
 
-    Parses PNG (IHDR, big-endian), GIF87a/89a (LE u16) and BMP
+    Parses PNG (IHDR, big-endian), GIF87a/89a (LE u16), BMP
     (BITMAPINFOHEADER, LE u32; height is abs()'d — negative encodes
-    top-down row order). JPEG dimensions live in a variable-offset
-    SOF marker, which is a scan, not a fixed read — those rows (and
-    unknown formats) get format + NULL dims; route them through the
-    mapInPandas decode kernel instead."""
+    top-down row order), and JPEG — whose dimensions live in a
+    variable-offset SOF marker, handled by a bounded JVM-side segment
+    walk (:func:`_jpeg_sof_offset`) rather than a fixed read.
+    Truncated/corrupt rows and unknown formats get format + NULL
+    dims; route those through the mapInPandas decode kernel."""
     c = content_col
     magic8 = F.hex(F.expr(f"substring({c}, 1, 8)"))
     magic3 = F.hex(F.expr(f"substring({c}, 1, 3)"))
@@ -88,11 +144,16 @@ def with_image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
         .when(magic2 == "FFD8", F.lit("jpeg"))
         .otherwise(F.lit("unknown"))
     )
-    out = df.withColumn("img_format", fmt)
+    out = df.withColumn("img_format", fmt).withColumn(
+        "__jpeg_sof",
+        F.when(fmt == "jpeg", _jpeg_sof_offset(c)).otherwise(F.lit(None)),
+    )
+    jpeg_ok = (F.col("img_format") == "jpeg") & (F.col("__jpeg_sof") > 0)
     width = (
         F.when(F.col("img_format") == "png", _be_uint(c, 17, 4))
         .when(F.col("img_format") == "gif", _le_uint(c, 7, 2))
         .when(F.col("img_format") == "bmp", _le_uint(c, 19, 4))
+        .when(jpeg_ok, _jpeg_dim(c, 7))
     )
     height = (
         F.when(F.col("img_format") == "png", _be_uint(c, 21, 4))
@@ -107,8 +168,13 @@ def with_image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
                 ).otherwise(_le_uint(c, 23, 4))
             ),
         )
+        .when(jpeg_ok, _jpeg_dim(c, 5))
     )
-    return out.withColumn("img_width", width).withColumn("img_height", height)
+    return (
+        out.withColumn("img_width", width)
+        .withColumn("img_height", height)
+        .drop("__jpeg_sof")
+    )
 
 
 def _fake_decode(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
@@ -134,6 +200,14 @@ def decode_and_featurize(
     Arrow-batched kernel. Output: (media_id, feature: array<float>,
     mean_intensity: double).
 
+    ``fake=False`` uses Pillow when importable on the executors
+    (decode → RGB → bilinear resize to ``out_hw``); where Pillow is
+    absent — it is not in this container — the kernel raises
+    NotImplementedError at the exact plug point, so the real-decoder
+    contract stays an honest documented stub rather than silently
+    falling back to the fake. ``fake=True`` keeps the deterministic
+    sha256-keystream decoder for plumbing tests.
+
     Repartition upstream by content-size buckets if batches skew —
     each Arrow batch holds the decoded tensors of its rows in
     memory."""
@@ -143,15 +217,26 @@ def decode_and_featurize(
         T.StructField("mean_intensity", T.DoubleType()),
     ])
 
+    def _real_decode(content: bytes) -> np.ndarray:
+        try:
+            from PIL import Image
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode requires Pillow on the executors "
+                "(pip install pillow) — plug in here"
+            ) from exc
+        import io
+
+        h, w = out_hw
+        img = Image.open(io.BytesIO(content)).convert("RGB").resize((w, h))
+        return np.asarray(img, dtype=np.uint8)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, means = [], []
             for content in pdf[content_col]:
-                if not fake:
-                    raise NotImplementedError(
-                        "real image decode requires PIL/libvips — plug in here"
-                    )
-                px = _fake_decode(bytes(content) if content is not None else b"", out_hw)
+                raw = bytes(content) if content is not None else b""
+                px = _fake_decode(raw, out_hw) if fake else _real_decode(raw)
                 flat = (px.astype(np.float32) / 255.0).reshape(-1)
                 feats.append(flat)
                 means.append(float(px.mean()))

@@ -120,6 +120,80 @@ class SyntheticBinanceApi:
         window_start = last - (n - 1) * step if n else first_grid
         return self.klines(symbol, interval, window_start, end_ms) if n else []
 
+    def depth(self, symbol: str, limit: int = 100) -> dict:
+        """Order-book snapshot, /eapi/v1/depth wire shape
+        (reference utils.py:189-207): T, u, bids/asks as
+        [price, qty] string pairs, best-first."""
+        base = self._value(symbol, 0, 0)
+        ts = 1_700_000_000_000 + self._h(symbol) % 1_000_000
+        mk = lambda side, i: [
+            f"{base * (1 - 0.001 * (i + 1)) if side == 'b' else base * (1 + 0.001 * (i + 1)):.2f}",
+            f"{(self._h(symbol, side, i) % 1000) / 10:.1f}",
+        ]
+        n = min(limit, 100)
+        return {
+            "T": ts,
+            "u": self._h(symbol, "u") % 10_000_000,
+            "bids": [mk("b", i) for i in range(n)],
+            "asks": [mk("a", i) for i in range(n)],
+        }
+
+    def mark_price(self, symbol: str) -> list[dict]:
+        """/eapi/v1/mark wire shape (utils.py:245-259): one record per
+        symbol with price + greeks as strings."""
+        v = lambda f: self._value(symbol, 1, f)
+        return [{
+            "symbol": symbol,
+            "markPrice": f"{v(0):.4f}",
+            "bidIV": f"{v(1) / 100:.4f}",
+            "askIV": f"{v(2) / 100:.4f}",
+            "markIV": f"{v(3) / 100:.4f}",
+            "delta": f"{(self._h(symbol, 'd') % 2000 - 1000) / 1000:.4f}",
+            "theta": f"{-(self._h(symbol, 't') % 100) / 100:.4f}",
+            "gamma": f"{(self._h(symbol, 'g') % 100) / 10000:.4f}",
+            "vega": f"{(self._h(symbol, 'v') % 1000) / 100:.4f}",
+            "highPriceLimit": f"{v(0) * 1.5:.4f}",
+            "lowPriceLimit": f"{v(0) * 0.5:.4f}",
+            "riskFreeInterest": "0.05",
+        }]
+
+    def open_interest(self, underlying: str, expiration: str) -> list[dict]:
+        """/eapi/v1/openInterest wire shape (utils.py:171-187): one
+        record per listed contract of (underlying, expiration)."""
+        out = []
+        for strike in (40000, 50000, 60000):
+            for cp in ("C", "P"):
+                sym = f"{underlying}-{expiration}-{strike}-{cp}"
+                oi = (self._h(sym, "oi") % 100_000) / 100
+                out.append({
+                    "symbol": sym,
+                    "sumOpenInterest": f"{oi:.2f}",
+                    "sumOpenInterestUsd": f"{oi * self._value(sym, 0, 0):.2f}",
+                    "timestamp": str(1_700_000_000_000 + self._h(underlying) % 1_000_000),
+                })
+        return out
+
+    def historical_trades(self, symbol: str, limit: int = 100,
+                          from_id: int | None = None) -> list[dict]:
+        """/eapi/v1/historicalTrades wire shape (utils.py:259-280):
+        ascending trade ids, cursorable via fromId — each symbol has a
+        fixed synthetic tape of 260 trades so pagination is testable."""
+        tape_len = 260
+        start = 0 if from_id is None else from_id
+        out = []
+        for tid in range(start, min(start + min(limit, 500), tape_len)):
+            px = self._value(symbol, tid, 2)
+            qty = (self._h(symbol, tid, "q") % 500 + 1) / 100
+            out.append({
+                "id": tid,
+                "price": f"{px:.2f}",
+                "qty": f"{qty:.2f}",
+                "quoteQty": f"{px * qty:.2f}",
+                "time": 1_700_000_000_000 + tid * 1_000,
+                "side": "-1" if self._h(symbol, tid, "s") % 2 else "1",
+            })
+        return out
+
     def funding(self, symbol: str, start_ms: int, end_ms: int) -> list[dict]:
         step = self.INTERVAL_MS["8h"]
         first = ((start_ms + step - 1) // step) * step
@@ -420,4 +494,245 @@ def flatten_exchange_info(spark: SparkSession, payload: list[dict]) -> DataFrame
         F.col("baseAssetPrecision").alias("base_precision"),
         F.col("quoteAssetPrecision").alias("quote_precision"),
         "min_price", "max_price", "tick_size", "min_qty", "max_qty", "step_size",
+    )
+
+
+# ------------------------------------------------- latent API surfaces
+# The reference client exposes four more endpoints its pipeline tables
+# never consume (no TableConfig references): order-book depth
+# (utils.py:189-207), mark price + greeks (utils.py:245-259), option
+# open interest (utils.py:171-187) and historical trades
+# (utils.py:259-280). They are client-library parity, not pipeline
+# parity — provided here as the same fan-out + wire + typed-parse
+# shape as the consumed sources so a user extending the pipeline has
+# TableSpec-ready relations.
+
+DEPTH_WIRE_SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType()),
+    T.StructField("ts_ms", T.LongType()),
+    T.StructField("update_id", T.LongType()),
+    T.StructField("side", T.StringType()),
+    T.StructField("level", T.IntegerType()),
+    T.StructField("price", T.StringType()),
+    T.StructField("qty", T.StringType()),
+])
+
+
+def fetch_depth_distributed(
+    spark: SparkSession,
+    symbols: list[str] | DataFrame,
+    limit: int = 100,
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 8,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Order-book snapshot fan-out → typed ladder rows
+    (symbol, ts, update_id, side, level, price, qty) — the nested
+    bids/asks arrays flattened to one row per level, best level = 0."""
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = sym_df.repartition(parallelism, "symbol")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for symbol in pdf["symbol"]:
+                if bucket:
+                    bucket.acquire()
+                snap = api.depth(symbol, limit)
+                rows = [
+                    (symbol, snap["T"], snap["u"], side, lvl, px, qty)
+                    for side, ladder in (("bid", snap["bids"]), ("ask", snap["asks"]))
+                    for lvl, (px, qty) in enumerate(ladder)
+                ]
+                yield pd.DataFrame(rows, columns=[f.name for f in DEPTH_WIRE_SCHEMA.fields])
+
+    wire = sym_df.mapInPandas(fetch, DEPTH_WIRE_SCHEMA)
+    return wire.select(
+        "symbol",
+        F.lit("binance").alias("exchange"),
+        F.timestamp_millis("ts_ms").alias("timestamp"),
+        "update_id",
+        "side",
+        "level",
+        F.col("price").cast("double").alias("price"),
+        F.col("qty").cast("double").alias("qty"),
+    )
+
+
+MARK_WIRE_FIELDS = [
+    "markPrice", "bidIV", "askIV", "markIV", "delta", "theta", "gamma",
+    "vega", "highPriceLimit", "lowPriceLimit", "riskFreeInterest",
+]
+MARK_WIRE_SCHEMA = T.StructType(
+    [T.StructField("symbol", T.StringType())]
+    + [T.StructField(f, T.StringType()) for f in MARK_WIRE_FIELDS]
+)
+
+
+def fetch_mark_price_distributed(
+    spark: SparkSession,
+    symbols: list[str] | DataFrame,
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 8,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Mark price + greeks per option symbol, typed doubles."""
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = sym_df.repartition(parallelism, "symbol")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for symbol in pdf["symbol"]:
+                if bucket:
+                    bucket.acquire()
+                recs = api.mark_price(symbol)
+                yield pd.DataFrame(
+                    [
+                        [r["symbol"]] + [r.get(f) for f in MARK_WIRE_FIELDS]
+                        for r in recs
+                    ],
+                    columns=["symbol"] + MARK_WIRE_FIELDS,
+                )
+
+    wire = sym_df.mapInPandas(fetch, MARK_WIRE_SCHEMA)
+    return wire.select(
+        "symbol",
+        F.lit("binance").alias("exchange"),
+        *[F.col(f).try_cast("double").alias(f) for f in MARK_WIRE_FIELDS],
+    )
+
+
+OI_WIRE_SCHEMA = T.StructType([
+    T.StructField("underlying", T.StringType()),
+    T.StructField("expiration", T.StringType()),
+    T.StructField("symbol", T.StringType()),
+    T.StructField("sumOpenInterest", T.StringType()),
+    T.StructField("sumOpenInterestUsd", T.StringType()),
+    T.StructField("timestamp_ms", T.StringType()),
+])
+
+
+def fetch_open_interest_distributed(
+    spark: SparkSession,
+    underlying_expirations: list[tuple[str, str]] | DataFrame,
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 8,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Open interest per (underlyingAsset, expiration) pair — the
+    fan-out key is the PAIR (one API call each), mirroring the
+    reference's per-expiration loop."""
+    if isinstance(underlying_expirations, DataFrame):
+        pair_df = underlying_expirations.select(
+            F.col(underlying_expirations.columns[0]).alias("underlying"),
+            F.col(underlying_expirations.columns[1]).alias("expiration"),
+        )
+    else:
+        pair_df = spark.createDataFrame(
+            underlying_expirations, "underlying string, expiration string"
+        )
+    pair_df = pair_df.repartition(parallelism, "underlying", "expiration")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for und, exp in zip(pdf["underlying"], pdf["expiration"]):
+                if bucket:
+                    bucket.acquire()
+                recs = api.open_interest(und, exp)
+                yield pd.DataFrame({
+                    "underlying": und,
+                    "expiration": exp,
+                    "symbol": [r["symbol"] for r in recs],
+                    "sumOpenInterest": [r["sumOpenInterest"] for r in recs],
+                    "sumOpenInterestUsd": [r["sumOpenInterestUsd"] for r in recs],
+                    "timestamp_ms": [r["timestamp"] for r in recs],
+                })
+
+    wire = pair_df.mapInPandas(fetch, OI_WIRE_SCHEMA)
+    return wire.select(
+        "underlying",
+        "expiration",
+        "symbol",
+        F.lit("binance").alias("exchange"),
+        F.col("sumOpenInterest").cast("double").alias("sum_open_interest"),
+        F.col("sumOpenInterestUsd").cast("double").alias("sum_open_interest_usd"),
+        F.timestamp_millis(F.col("timestamp_ms").cast("long")).alias("timestamp"),
+    )
+
+
+TRADES_WIRE_SCHEMA = T.StructType([
+    T.StructField("symbol", T.StringType()),
+    T.StructField("trade_id", T.LongType()),
+    T.StructField("price", T.StringType()),
+    T.StructField("qty", T.StringType()),
+    T.StructField("quoteQty", T.StringType()),
+    T.StructField("time_ms", T.LongType()),
+    T.StructField("side", T.StringType()),
+])
+
+
+def fetch_historical_trades_distributed(
+    spark: SparkSession,
+    symbols: list[str] | DataFrame,
+    page_limit: int = 100,
+    api_factory: Callable[[], object] = SyntheticBinanceApi,
+    parallelism: int = 8,
+    rate_limit: tuple[int, float] | None = None,
+) -> DataFrame:
+    """Historical trades with fromId cursoring (the T7 partition-local
+    cursor pattern, same as kline pagination): each task walks its
+    symbol's tape page by page until a short page."""
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    sym_df = sym_df.repartition(parallelism, "symbol")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        api = api_factory()
+        bucket = TokenBucket(*rate_limit) if rate_limit else None
+        for pdf in batches:
+            for symbol in pdf["symbol"]:
+                cursor: int | None = None
+                while True:
+                    if bucket:
+                        bucket.acquire()
+                    page = api.historical_trades(symbol, page_limit, cursor)
+                    if not page:
+                        break
+                    yield pd.DataFrame({
+                        "symbol": symbol,
+                        "trade_id": [r["id"] for r in page],
+                        "price": [r["price"] for r in page],
+                        "qty": [r["qty"] for r in page],
+                        "quoteQty": [r["quoteQty"] for r in page],
+                        "time_ms": [r["time"] for r in page],
+                        "side": [r["side"] for r in page],
+                    })
+                    if len(page) < page_limit:
+                        break
+                    cursor = page[-1]["id"] + 1
+
+    wire = sym_df.mapInPandas(fetch, TRADES_WIRE_SCHEMA)
+    return wire.select(
+        "symbol",
+        F.lit("binance").alias("exchange"),
+        "trade_id",
+        F.col("price").cast("double").alias("price"),
+        F.col("qty").cast("double").alias("qty"),
+        F.col("quoteQty").cast("double").alias("quote_qty"),
+        F.timestamp_millis("time_ms").alias("time"),
+        # wire side is '1' (buy) / '-1' (sell)
+        F.when(F.col("side") == "1", F.lit("BUY")).otherwise(F.lit("SELL")).alias("side"),
     )

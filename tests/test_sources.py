@@ -101,3 +101,83 @@ def test_csv_json_scans_roundtrip(spark, fixture_dir, tmp_path):
     key = ["symbol", "fundingTime"]
     assert csv_back.join(src, key, "left_anti").count() == 0
     assert json_back.join(src, key, "left_anti").count() == 0
+
+
+# ------------------------------------------- latent API surface parity
+
+
+def test_fetch_depth_flattens_ladder(spark):
+    from binancedatapipeline_spark.sources.binance import fetch_depth_distributed
+
+    out = fetch_depth_distributed(spark, ["BTC-250627-55000-C", "ETH-250627-3000-P"], limit=10)
+    rows = out.collect()
+    assert len(rows) == 2 * 2 * 10  # symbols x sides x levels
+    cols = dict(out.dtypes)
+    assert cols["price"] == "double" and cols["qty"] == "double"
+    assert cols["timestamp"] == "timestamp"
+    one = [r for r in rows if r["symbol"].startswith("BTC") and r["side"] == "bid"]
+    assert sorted(r["level"] for r in one) == list(range(10))
+    # ladder ordering: best bid above deeper bids, asks above bids
+    best_bid = next(r["price"] for r in one if r["level"] == 0)
+    deep_bid = next(r["price"] for r in one if r["level"] == 9)
+    assert best_bid > deep_bid
+    best_ask = next(
+        r["price"] for r in rows
+        if r["symbol"].startswith("BTC") and r["side"] == "ask" and r["level"] == 0
+    )
+    assert best_ask > best_bid
+
+
+def test_fetch_mark_price_typed_record_per_symbol(spark):
+    from binancedatapipeline_spark.sources.binance import (
+        MARK_WIRE_FIELDS,
+        fetch_mark_price_distributed,
+    )
+
+    out = fetch_mark_price_distributed(spark, ["A-1", "B-2", "C-3"])
+    rows = {r["symbol"]: r for r in out.collect()}
+    assert set(rows) == {"A-1", "B-2", "C-3"}
+    cols = dict(out.dtypes)
+    for f in MARK_WIRE_FIELDS:
+        assert cols[f] == "double"
+    assert rows["A-1"]["riskFreeInterest"] == 0.05
+    assert rows["A-1"]["highPriceLimit"] > rows["A-1"]["lowPriceLimit"]
+
+
+def test_fetch_open_interest_per_pair(spark):
+    from binancedatapipeline_spark.sources.binance import fetch_open_interest_distributed
+
+    out = fetch_open_interest_distributed(
+        spark, [("BTC", "250627"), ("ETH", "250627")]
+    )
+    rows = out.collect()
+    assert len(rows) == 2 * 6  # 3 strikes x C/P per pair
+    assert all(r["symbol"].startswith(r["underlying"] + "-" + r["expiration"]) for r in rows)
+    cols = dict(out.dtypes)
+    assert cols["sum_open_interest"] == "double"
+    assert cols["timestamp"] == "timestamp"
+    # deterministic: replay yields identical values
+    again = {(r["symbol"]): r["sum_open_interest"]
+             for r in fetch_open_interest_distributed(
+                 spark, [("BTC", "250627"), ("ETH", "250627")]).collect()}
+    assert all(again[r["symbol"]] == r["sum_open_interest"] for r in rows)
+
+
+def test_fetch_historical_trades_cursors_full_tape(spark):
+    from binancedatapipeline_spark.sources.binance import (
+        fetch_historical_trades_distributed,
+    )
+
+    out = fetch_historical_trades_distributed(spark, ["X-1", "Y-2"], page_limit=100)
+    rows = out.collect()
+    # synthetic tape is 260 trades/symbol -> 3 pages (100+100+60), no
+    # duplicates or gaps from the fromId cursor walk
+    per_sym = {}
+    for r in rows:
+        per_sym.setdefault(r["symbol"], []).append(r["trade_id"])
+    assert set(per_sym) == {"X-1", "Y-2"}
+    for ids in per_sym.values():
+        assert sorted(ids) == list(range(260))
+    assert set(r["side"] for r in rows) == {"BUY", "SELL"}
+    cols = dict(out.dtypes)
+    assert cols["quote_qty"] == "double" and cols["time"] == "timestamp"

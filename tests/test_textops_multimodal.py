@@ -151,10 +151,10 @@ def test_image_dims_from_headers(spark):
         b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
         + struct.pack("<IiiHH", 40, 1024, -768, 1, 24)  # negative = top-down
     )
-    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 20
+    jpeg_bad = b"\xff\xd8\xff\xe0" + b"\x00" * 20  # zero-length APP0 -> corrupt
     junk = b"not an image at all"
 
-    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg), (5, junk)]
+    rows = [(1, png), (2, gif), (3, bmp), (4, jpeg_bad), (5, junk)]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: r for r in with_image_dims(df).collect()}
 
@@ -168,6 +168,59 @@ def test_image_dims_from_headers(spark):
     assert got[4]["img_width"] is None and got[4]["img_height"] is None
     assert got[5]["img_format"] == "unknown"
     assert got[5]["img_width"] is None
+
+
+def _jpeg_segment(marker: int, payload: bytes) -> bytes:
+    import struct
+
+    return b"\xff" + bytes([marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _jpeg_sof(marker: int, width: int, height: int) -> bytes:
+    import struct
+
+    # precision, height, width, 3 components x (id, sampling, qtable)
+    payload = b"\x08" + struct.pack(">HH", height, width) + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return _jpeg_segment(marker, payload)
+
+
+def test_jpeg_sof_header_dims(spark):
+    """JPEG dims via the bounded JVM segment walk: baseline SOF0
+    behind JFIF, progressive SOF2 behind a large EXIF APP1, 0xFF fill
+    padding, and failure modes (SOS before SOF, truncation) -> NULL."""
+    from binancedatapipeline_spark.multimodal import with_image_dims
+
+    baseline = (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + _jpeg_sof(0xC0, 1920, 1080)
+        + b"\xff\xda\x00\x02entropy-coded-data"
+    )
+    progressive = (
+        b"\xff\xd8"
+        + _jpeg_segment(0xE1, b"Exif\x00\x00" + b"\x42" * 5000)  # big EXIF
+        + _jpeg_segment(0xDB, b"\x00" + bytes(range(64)))        # DQT
+        + _jpeg_sof(0xC2, 800, 600)
+    )
+    padded = (
+        b"\xff\xd8" + b"\xff"  # fill byte before the marker
+        + _jpeg_sof(0xC1, 64, 32)[1:]  # fill consumed as segment's 0xFF
+    )
+    sos_first = b"\xff\xd8" + _jpeg_segment(0xDA, b"\x01\x00") + _jpeg_sof(0xC0, 9, 9)
+    truncated = b"\xff\xd8" + _jpeg_segment(0xE0, b"JFIF\x00")[:5]
+
+    rows = [
+        (1, baseline), (2, progressive), (3, padded), (4, sos_first), (5, truncated),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in with_image_dims(df).collect()}
+    for mid in got:
+        assert got[mid]["img_format"] == "jpeg"
+    assert (got[1]["img_width"], got[1]["img_height"]) == (1920, 1080)
+    assert (got[2]["img_width"], got[2]["img_height"]) == (800, 600)
+    assert (got[3]["img_width"], got[3]["img_height"]) == (64, 32)
+    assert got[4]["img_width"] is None and got[4]["img_height"] is None
+    assert got[5]["img_width"] is None and got[5]["img_height"] is None
 
 
 def test_image_dims_is_pure_projection(spark):
