@@ -360,8 +360,8 @@ def stream_incremental_dedup(
         # materialize both outputs once: each feeds an upsert that
         # would otherwise re-run the signature+probe+components chain
         # per consuming action (correctness against the index
-        # overwrite is already guaranteed by upsert's two-phase tmp
-        # staging; the persist is purely a cost fix)
+        # overwrite is already guaranteed by upsert's stage-and-
+        # rename publish; the persist is purely a cost fix)
         kept = kept.persist()
         kept_idx = kept_idx.persist()
         n = kept.count()
