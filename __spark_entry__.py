@@ -577,6 +577,20 @@ def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(d)
 
 
+def q_doc_rep_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 exact-collapse primitive (textops/dedup.py
+    exact_rep_map): every doc mapped to the min id of its
+    byte-identical group — the step that keeps near-dedup O(groups)
+    on adversarially duplicated corpora. SQL-expressible, so the
+    collapse itself is correctness-gated against the oracle."""
+    from binancedatapipeline_spark.textops.dedup import exact_rep_map
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_rep_map(d).select(
+        "doc_id", F.col("__rep_id").alias("rep_id")
+    )
+
+
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return with_tokens(d).select("doc_id", "n_tokens", "n_bpe_ish")
@@ -1043,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "json_extract": q_json_extract,
         "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_rep_map": q_doc_rep_map,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_guess": q_doc_lang_guess,
@@ -1328,6 +1343,12 @@ WHERE json_extract_string(props, '$.k')::INTEGER > 50
         "doc_exact_dedup": """
 SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
+""",
+        "doc_rep_map": """
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN doc_id
+            ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS rep_id
+FROM documents
 """,
         "doc_token_stats": f"""
 SELECT doc_id,
