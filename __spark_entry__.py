@@ -545,14 +545,19 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot supplier costs CPU, not executor memory (the collect_set
     formulation stays banned; plan-regression-tested)."""
     li = _t(spark, sf_dir, "lineitem")
+    # the isNotNull filters preserve COUNT(DISTINCT ...) NULL
+    # semantics (NULL is not a countable value); without them a
+    # null-bearing column would count one extra "distinct" per group
     parts = (
         li.select("l_suppkey", "l_partkey")
+        .filter(F.col("l_partkey").isNotNull())
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
     orders = (
         li.select("l_suppkey", "l_orderkey")
+        .filter(F.col("l_orderkey").isNotNull())
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -33,22 +33,33 @@ def format_alert(
     (scheduler_clickhouse.py:44-49), bounded for distributed inputs:
     at most ``max_rows`` rows are collected (``limit(max_rows+1)`` —
     one extra row only to detect truncation, never a count over the
-    relation), and the final text is clipped to Telegram's length
-    cap with the ``<pre>`` block kept well-formed."""
-    body = message
+    relation), and the final text is clipped to Telegram's length cap.
+
+    Message and table text are HTML-escaped (&, <, >) — Telegram
+    rejects the whole payload with a parse error on unescaped markup
+    characters under parse_mode=HTML, which would silently eat any
+    alert mentioning e.g. 'A&B' or a '<PERP>' symbol. The length clip
+    shrinks the TABLE text to fit (never slicing through a tag), and
+    falls back to clipping the bare message when even an empty block
+    would not fit — the output is always well-formed."""
+    from html import escape
+
+    body = escape(message)
     if df is not None:
         pdf = df.limit(max_rows + 1).toPandas()
         if len(pdf):
             truncated = len(pdf) > max_rows
-            table = pdf.head(max_rows).to_string(index=False)
+            table = escape(pdf.head(max_rows).to_string(index=False))
             if truncated:
                 table += "\n…"
-            body += "\n\n<pre>" + table + "</pre>"
-    if len(body) > max_len:
-        clipped = body[: max_len - len("…</pre>")]
-        if "<pre>" in clipped and "</pre>" not in clipped.rsplit("<pre>", 1)[1]:
-            clipped += "…</pre>"
-        body = clipped
+            frame_len = len("\n\n<pre></pre>")
+            room = max_len - len(body) - frame_len
+            if room >= 1:
+                if len(table) > room:
+                    table = table[: room - 1] + "…"
+                body += "\n\n<pre>" + table + "</pre>"
+    if len(body) > max_len:  # table-less message longer than the cap
+        body = body[: max_len - 1] + "…"
     return body
 
 

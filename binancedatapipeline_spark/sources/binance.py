@@ -212,6 +212,19 @@ class SyntheticBinanceApi:
         return out
 
 
+def _symbol_fanout(
+    spark: SparkSession, symbols: list[str] | DataFrame, parallelism: int
+) -> DataFrame:
+    """Normalize a symbol list/DataFrame to a one-column ``symbol``
+    relation repartitioned to the fetch parallelism — the fan-out
+    scaffold every per-symbol fetcher shares."""
+    if isinstance(symbols, DataFrame):
+        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
+    else:
+        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
+    return sym_df.repartition(parallelism, "symbol")
+
+
 def _paginate_klines(api, symbol: str, interval: str, start_ms: int, end_ms: int,
                      bucket: TokenBucket | None) -> Iterator[list[list]]:
     """Forward pagination: next page starts at last_ts + 1
@@ -242,11 +255,7 @@ def fetch_klines_distributed(
     Returns the raw wire relation (strings/epoch-ms); feed through
     ``parse_kline_records`` for the typed kline table.
     """
-    if isinstance(symbols, DataFrame):
-        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
-    else:
-        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
-    sym_df = sym_df.repartition(parallelism, "symbol")
+    sym_df = _symbol_fanout(spark, symbols, parallelism)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         api = api_factory()
@@ -302,11 +311,7 @@ def fetch_funding_rates_distributed(
     markPrice '' → NULL → 0.0 (pd.to_numeric(errors='coerce') +
     fillna(0), crypto_data_pipline_clickhouse.py:913-920) expressed
     as cast-to-double (bad string → NULL) + coalesce."""
-    if isinstance(symbols, DataFrame):
-        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
-    else:
-        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
-    sym_df = sym_df.repartition(parallelism, "symbol")
+    sym_df = _symbol_fanout(spark, symbols, parallelism)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         api = api_factory()
@@ -369,11 +374,7 @@ def fetch_klines_backward_distributed(
 ) -> DataFrame:
     """Backward-paginating variant (options path). Wire output also
     carries __page_seq so keep-first dedup is deterministic."""
-    if isinstance(symbols, DataFrame):
-        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
-    else:
-        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
-    sym_df = sym_df.repartition(parallelism, "symbol")
+    sym_df = _symbol_fanout(spark, symbols, parallelism)
     schema = T.StructType(KLINE_WIRE_SCHEMA.fields + [T.StructField("__page_seq", T.LongType())])
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -529,11 +530,7 @@ def fetch_depth_distributed(
     """Order-book snapshot fan-out → typed ladder rows
     (symbol, ts, update_id, side, level, price, qty) — the nested
     bids/asks arrays flattened to one row per level, best level = 0."""
-    if isinstance(symbols, DataFrame):
-        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
-    else:
-        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
-    sym_df = sym_df.repartition(parallelism, "symbol")
+    sym_df = _symbol_fanout(spark, symbols, parallelism)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         api = api_factory()
@@ -581,11 +578,7 @@ def fetch_mark_price_distributed(
     rate_limit: tuple[int, float] | None = None,
 ) -> DataFrame:
     """Mark price + greeks per option symbol, typed doubles."""
-    if isinstance(symbols, DataFrame):
-        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
-    else:
-        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
-    sym_df = sym_df.repartition(parallelism, "symbol")
+    sym_df = _symbol_fanout(spark, symbols, parallelism)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         api = api_factory()
@@ -693,11 +686,7 @@ def fetch_historical_trades_distributed(
     """Historical trades with fromId cursoring (the T7 partition-local
     cursor pattern, same as kline pagination): each task walks its
     symbol's tape page by page until a short page."""
-    if isinstance(symbols, DataFrame):
-        sym_df = symbols.select(F.col(symbols.columns[0]).alias("symbol"))
-    else:
-        sym_df = spark.createDataFrame([(s,) for s in symbols], "symbol string")
-    sym_df = sym_df.repartition(parallelism, "symbol")
+    sym_df = _symbol_fanout(spark, symbols, parallelism)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         api = api_factory()
@@ -720,8 +709,10 @@ def fetch_historical_trades_distributed(
                         "time_ms": [r["time"] for r in page],
                         "side": [r["side"] for r in page],
                     })
-                    if len(page) < page_limit:
-                        break
+                    # terminate ONLY on an empty page: a page shorter
+                    # than the REQUESTED limit may just mean the server
+                    # clamped it (the endpoint caps at 500), and
+                    # treating that as end-of-tape silently truncates
                     cursor = page[-1]["id"] + 1
 
     wire = sym_df.mapInPandas(fetch, TRADES_WIRE_SCHEMA)

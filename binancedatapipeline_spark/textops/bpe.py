@@ -99,12 +99,21 @@ def train_bpe(
     import heapq
     from collections import Counter, defaultdict
 
-    wc = word_counts(df, text_col)
-    if wc.count() > max_vocab_words:
-        wc = wc.orderBy(F.desc("n"), F.asc("word")).limit(max_vocab_words)
-    words: list[tuple[list[str], int]] = [
-        (list(r["word"]) + [EOW], r["n"]) for r in wc.collect()
-    ]
+    from pyspark.storagelevel import StorageLevel
+
+    # persist the reduced relation so the cap probe + collect read one
+    # materialization — without it the ONLY corpus-scale stage (the
+    # word-count explode+groupBy) would execute twice
+    base = word_counts(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wc = base
+        if base.count() > max_vocab_words:
+            wc = base.orderBy(F.desc("n"), F.asc("word")).limit(max_vocab_words)
+        words: list[tuple[list[str], int]] = [
+            (list(r["word"]) + [EOW], r["n"]) for r in wc.collect()
+        ]
+    finally:
+        base.unpersist()
 
     pair_counts: dict[tuple[str, str], int] = defaultdict(int)
     where: dict[tuple[str, str], set[int]] = defaultdict(set)

@@ -304,7 +304,7 @@ def ngram_repetition(
     per_gram = (
         df.select(
             F.col(id_col),
-            (F.length(text_col) + F.lit(0)).alias("__chars_doc"),
+            (F.length(_qcol(text_col)) + F.lit(0)).alias("__chars_doc"),
             _qcol(text_col),
         )
         .withColumn("__toks", toks)

@@ -86,7 +86,16 @@ class Warehouse:
     # ------------------------------------------------------------- read
 
     def read(self, spec: TableSpec) -> DataFrame:
-        """Read a table (without the internal ds partition column)."""
+        """Read a table (without the internal ds partition column).
+
+        Rolls forward any committed-but-unpublished transaction first
+        (a writer that died between partition swaps would otherwise
+        leave that partition invisible until the NEXT mutation — the
+        exact window where the pipeline being down is likeliest).
+        Readers going through this class therefore always see a fully
+        published table; external readers scanning the path directly
+        see the documented per-partition-atomic view instead."""
+        self.recover(spec.name, rollback_uncommitted=False)
         if not self.exists(spec.name):
             return spec.empty(self.spark)
         df = self.spark.read.parquet(self.path(spec.name))
@@ -147,9 +156,26 @@ class Warehouse:
     def _publish(self, name: str, stage: str) -> None:
         """Execute (or re-execute) a committed plan. Idempotent: every
         step checks whether it already happened, so a crash at ANY
-        rename boundary is repaired by running this again."""
-        with open(os.path.join(stage, "_PLAN.json")) as f:
-            plan = json.load(f)
+        rename boundary is repaired by running this again. Steps
+        additionally tolerate FileNotFoundError from the rename
+        itself — a reader-side ``recover`` racing the original
+        writer's publish means the other process already performed
+        the step between our existence check and our rename."""
+
+        def step(src: str, dst: str) -> None:
+            try:
+                self._rename(src, dst)
+            except FileNotFoundError:
+                pass  # the concurrent publisher won the race; done
+
+        plan_path = os.path.join(stage, "_PLAN.json")
+        try:
+            with open(plan_path) as f:
+                plan = json.load(f)
+        except FileNotFoundError:
+            if not os.path.isdir(stage):
+                return  # a concurrent recover published + cleaned it all
+            raise
         data = os.path.join(stage, "data")
         old = os.path.join(stage, "_old")
         os.makedirs(old, exist_ok=True)
@@ -157,20 +183,20 @@ class Warehouse:
             live = self.path(name)
             if os.path.isdir(data):
                 if os.path.isdir(live):
-                    self._rename(live, os.path.join(old, "table"))
-                self._rename(data, live)
+                    step(live, os.path.join(old, "table"))
+                step(data, live)
         else:
             for ds in plan["drops"]:
                 live = self._part_dir(name, ds)
                 if os.path.isdir(live):
-                    self._rename(live, os.path.join(old, f"{DS_COL}={ds}"))
+                    step(live, os.path.join(old, f"{DS_COL}={ds}"))
             for ds in plan["swaps"]:
                 staged = os.path.join(data, f"{DS_COL}={ds}")
                 live = self._part_dir(name, ds)
                 if os.path.isdir(staged):
                     if os.path.isdir(live):
-                        self._rename(live, os.path.join(old, f"{DS_COL}={ds}"))
-                    self._rename(staged, live)
+                        step(live, os.path.join(old, f"{DS_COL}={ds}"))
+                    step(staged, live)
         shutil.rmtree(stage, ignore_errors=True)
 
     def _staged_partitions(self, data: str) -> list[str]:
@@ -180,14 +206,17 @@ class Warehouse:
             if d.startswith(f"{DS_COL}=")
         )
 
-    def recover(self, name: str) -> int:
+    def recover(self, name: str, rollback_uncommitted: bool = True) -> int:
         """Repair unfinished transactions for a table: committed plans
         (plan file present ⇒ stage fully written) roll FORWARD to
         their final state; uncommitted stages roll BACK (discarded —
         the live table was never touched). Called automatically at the
         start of every mutation, so after a crash the next pipeline
-        run self-heals; safe to call any time. Returns the number of
-        transactions repaired."""
+        run self-heals; ``read`` calls it too with
+        ``rollback_uncommitted=False`` — a plan-less stage there may
+        be a LIVE writer mid-stage, and only the writer path (which
+        owns the single-writer lock by contract) may discard one.
+        Returns the number of transactions repaired."""
         sroot = self._staging_root(name)
         if not os.path.isdir(sroot):
             return 0
@@ -198,8 +227,10 @@ class Warehouse:
                 continue
             if os.path.exists(os.path.join(stage, "_PLAN.json")):
                 self._publish(name, stage)
-            else:
+            elif rollback_uncommitted:
                 shutil.rmtree(stage, ignore_errors=True)
+            else:
+                continue
             n += 1
         return n
 

@@ -80,18 +80,15 @@ def test_incremental_near_dedup_first_writer_wins(spark):
     # only the survivor's bands get appended
     assert {r["id"] for r in kept_idx.collect()} == {11}
     # replaying the SAME batch against the updated index is
-    # warehouse-idempotent: doc 11 appears in the batch, so its stored
-    # rows are excluded from the probe (the round-5 staleness rule —
-    # a re-ingested id is judged by its NEW text, not its stored
-    # bands) and 11 is re-selected with byte-identical doc + index
-    # rows; the PK upsert rewrites the same state. 10 and 12 still
-    # resolve exactly as before.
+    # warehouse-idempotent: doc 11's re-ingested content is UNCHANGED,
+    # so its stored rows stay in the probe (the round-5 staleness rule
+    # only retires rows whose (band, bh) no longer matches the
+    # re-signing); 12's collision with STORED doc 11 contaminates the
+    # component, so nothing new is selected — and nothing needs to be,
+    # 11 is already stored.
     idx2 = idx.union(kept_idx)
-    kept2, kept_idx2 = incremental_near_dedup(new, idx2, k=16, bands=8)
-    assert sorted(r["doc_id"] for r in kept2.collect()) == [11]
-    assert {tuple(r) for r in kept_idx2.collect()} == {
-        tuple(r) for r in kept_idx.collect()
-    }
+    kept2, _ = incremental_near_dedup(new, idx2, k=16, bands=8)
+    assert kept2.count() == 0
     # a canonical re-arriving ALONE matches only itself -> survives
     solo, solo_idx = incremental_near_dedup(
         new.filter("doc_id = 11"), idx2, k=16, bands=8

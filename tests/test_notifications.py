@@ -94,3 +94,24 @@ def test_pipeline_notify_integration(spark, tmp_path):
     n = pipe.update_table(spec.name, now=datetime(2024, 1, 1))
     assert n == 1
     assert any("bn_spot_symbols" in p["text"] for p in sent)
+
+
+def test_format_alert_escapes_html_entities(spark):
+    df = spark.createDataFrame([("BTC<PERP>", "A&B")], "sym string, pair string")
+    text = format_alert("spread < 0.1% & rising", df)
+    # no raw markup characters outside the <pre> frame tags
+    stripped = text.replace("<pre>", "").replace("</pre>", "")
+    assert "<" not in stripped and ">" not in stripped
+    assert "&lt;" in text and "&amp;" in text
+    assert "BTC<PERP>" not in text  # escaped form only
+    assert text.count("<pre>") == 1 and text.count("</pre>") == 1
+
+
+def test_format_alert_clip_never_slices_tags(spark):
+    # sweep max_len so the cut lands on every boundary around the tags
+    df = spark.createDataFrame([("y" * 50,)], "blob string")
+    for max_len in range(20, 120, 3):
+        text = format_alert("x" * 30, df, max_rows=5, max_len=max_len)
+        assert len(text) <= max_len
+        assert text.count("<pre>") == text.count("</pre>")
+        assert "<pr" not in text.replace("<pre>", "")

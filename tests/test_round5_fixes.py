@@ -335,3 +335,23 @@ def test_recipe_budget_selection_skips_degenerate_low_ppl_tail(spark):
     # the old -pseudo_ppl ranking picked the degenerate survivors first
     assert len(picked & {100, 101, 102, 103, 104}) == 0
     assert picked  # something was selected
+
+
+def test_replayed_twin_does_not_displace_stored_canonical(spark):
+    """Review regression: warehouse stores (5, T); a batch replays
+    (5, T) unchanged AND adds a new twin (3, T). The unchanged stored
+    rows must stay in the probe (only rows whose band hashes changed
+    are retired), so the component anchors to stored doc 5 and the
+    smaller-id twin 3 is dropped — not elected survivor beside the
+    stored duplicate."""
+    stored = _df(spark, [(5, BASE), (2, OTHER)])
+    idx = band_index(stored, k=16, bands=8)
+    batch = _df(spark, [(5, BASE), (3, BASE)])
+    kept, kept_idx = incremental_near_dedup(batch, idx, k=16, bands=8)
+    assert kept.count() == 0
+    assert kept_idx.count() == 0
+
+    # same shape with a NEAR (not exact) twin: still suppressed
+    batch2 = _df(spark, [(5, BASE), (3, BASE + " almost identical tail")])
+    kept2, _ = incremental_near_dedup(batch2, idx, k=16, bands=8)
+    assert kept2.count() == 0

@@ -181,3 +181,16 @@ def test_fetch_historical_trades_cursors_full_tape(spark):
     assert set(r["side"] for r in rows) == {"BUY", "SELL"}
     cols = dict(out.dtypes)
     assert cols["quote_qty"] == "double" and cols["time"] == "timestamp"
+
+
+def test_fetch_historical_trades_requested_limit_above_server_cap(spark):
+    """A requested page size above the server clamp must not truncate
+    the walk: the cursor terminates on an EMPTY page, not on a page
+    shorter than requested."""
+    from binancedatapipeline_spark.sources.binance import (
+        fetch_historical_trades_distributed,
+    )
+
+    out = fetch_historical_trades_distributed(spark, ["Z-9"], page_limit=1000)
+    ids = sorted(r["trade_id"] for r in out.collect())
+    assert ids == list(range(260))

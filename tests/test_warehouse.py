@@ -193,8 +193,10 @@ def test_crash_mid_publish_is_per_partition_atomic_and_recoverable(
         wh.upsert(spec, batch)
     del wh.__dict__["_rename"]
 
-    # per-partition atomicity: d1 completely new, d2 completely old
-    out = wh.read(spec)
+    # per-partition atomicity, as an EXTERNAL reader (raw path scan —
+    # Warehouse.read would roll the committed plan forward itself):
+    # d1 completely new, d2 completely old, nothing partial
+    out = spark.read.parquet(wh.path(spec.name))
     assert out.filter(F.to_date("timestamp") == d1).count() == n1
     assert (
         out.filter((F.to_date("timestamp") == d1) & (F.col("close") == -7.0)).count()
@@ -206,12 +208,13 @@ def test_crash_mid_publish_is_per_partition_atomic_and_recoverable(
         == 0
     )
 
-    # the committed plan rolls forward to the exact intended state
-    assert wh.recover(spec.name) == 1
+    # a warehouse-mediated reader self-heals: read() rolls the
+    # committed plan forward to the exact intended state
     out = wh.read(spec)
     assert out.count() == src.count()
     assert out.filter(F.col("close") == -7.0).count() == n1 + n2
     assert _staging_txs(wh, spec.name) == []
+    assert wh.recover(spec.name) == 0  # nothing left to repair
 
 
 def test_next_mutation_auto_recovers_crashed_publish(spark, wh, fixture_dir):
@@ -382,3 +385,21 @@ def test_maintain_noop_when_compact(spark, wh, fixture_dir):
     # repeat is stable
     assert wh.maintain(spec, max_files_per_partition=64)["partitions_compacted"] == 0
     assert wh.read(spec).count() == n
+
+
+def test_read_rolls_forward_but_never_rolls_back_live_stage(spark, wh, fixture_dir):
+    """read() must repair committed-but-unpublished transactions, yet
+    leave a plan-less stage alone — that may be a LIVE writer still
+    staging; only the writer path may discard it."""
+    import os
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    stage = wh._new_stage(spec.name)  # simulated in-flight stage, no plan
+    os.makedirs(os.path.join(stage, "data"), exist_ok=True)
+    assert wh.read(spec).count() == src.count()
+    assert len(_staging_txs(wh, spec.name)) == 1  # untouched by the read
+    # the next mutation (the writer path) is the one to clean it
+    wh.upsert(spec, src.limit(5))
+    assert _staging_txs(wh, spec.name) == []
