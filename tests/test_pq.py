@@ -1,0 +1,159 @@
+"""Product-quantization ANN: codebook training, encoding, ADC search,
+and the IVF-PQ composition — recall measured against the exact
+brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.similarity import (
+    cosine_topk,
+    ivfpq_topk,
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
+
+DIM = 32
+
+
+def _corpus(spark, n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    # clustered structure so neighborhoods are meaningful
+    centers = rng.standard_normal((8, DIM)) * 3
+    rows = []
+    for i in range(n):
+        v = centers[i % 8] + rng.standard_normal(DIM) * 0.5
+        v = v / np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _queries(spark, corpus_rows, ids=(3, 57, 130), noise=0.05, seed=9):
+    rng = np.random.default_rng(seed)
+    out = []
+    by_id = {r["vec_id"]: np.array(r["embedding"]) for r in corpus_rows}
+    for qid, cid in enumerate(ids):
+        v = by_id[cid] + rng.standard_normal(DIM) * noise
+        v = v / np.linalg.norm(v)
+        out.append((qid, [float(x) for x in v]))
+    return spark.createDataFrame(out, "query_id long, query_vec array<float>")
+
+
+def test_pq_encode_shape_and_range(spark):
+    corpus = _corpus(spark, n=200)
+    cb = train_pq_codebooks(corpus, m=8, n_codes=32, sample_rows=200)
+    assert cb.shape == (8, 32, DIM // 8)
+    enc = pq_encode(corpus, cb).select("vec_id", "pq_code").collect()
+    for r in enc:
+        assert len(r["pq_code"]) == 8
+        assert all(0 <= c < 32 for c in r["pq_code"])
+    # deterministic: second encode identical
+    enc2 = pq_encode(corpus, cb).select("vec_id", "pq_code").collect()
+    assert {r["vec_id"]: r["pq_code"] for r in enc} == {
+        r["vec_id"]: r["pq_code"] for r in enc2
+    }
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    corpus = _corpus(spark, n=50)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(corpus, m=5, sample_rows=50)
+
+
+def test_pq_reconstruction_improves_with_codes(spark):
+    corpus = _corpus(spark, n=300)
+    rows = corpus.collect()
+    x = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def recon_err(n_codes):
+        cb = train_pq_codebooks(corpus, m=8, n_codes=n_codes, sample_rows=300)
+        enc = {r["vec_id"]: r["pq_code"] for r in pq_encode(corpus, cb).collect()}
+        dsub = DIM // 8
+        err = 0.0
+        for r in rows:
+            rec = np.concatenate([cb[j][enc[r["vec_id"]][j]] for j in range(8)])
+            err += float(((np.array(r["embedding"]) - rec) ** 2).sum())
+        return err / len(rows)
+
+    assert recon_err(64) < recon_err(4) * 0.5
+
+
+def test_pq_adc_recall_vs_bruteforce(spark):
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    queries = _queries(spark, rows)
+    exact = cosine_topk(corpus, queries, k=10)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    cb = train_pq_codebooks(corpus, m=8, n_codes=64, sample_rows=400)
+    enc = pq_encode(corpus, cb)
+    # normalized corpus -> IP ADC approximates cosine ranking. Raw ADC
+    # ranking is noisy at quantization-error scale (the test corpus's
+    # within-cluster gaps are tiny), so assert the modest pointwise
+    # floor here and the production-grade number on the
+    # shortlist+rerank path below.
+    approx = pq_topk(enc, queries, cb, k=10, metric="ip")
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3
+
+    from binancedatapipeline_spark.similarity import pq_topk_rerank
+
+    rr = pq_topk_rerank(enc, corpus, queries, cb, k=10, shortlist_factor=4)
+    rr_sets = {}
+    for r in rr.collect():
+        rr_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rr_recalls = [
+        len(exact_sets[q] & rr_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(rr_recalls) / len(rr_recalls) >= 0.7
+    # rank column well-formed: exactly k rows per query, ranks 1..k
+    per_q = {}
+    for r in approx.collect():
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, 11))
+
+
+def test_pq_l2_metric_orders_ascending(spark):
+    corpus = _corpus(spark, n=100)
+    rows = corpus.collect()
+    queries = _queries(spark, rows, ids=(7,))
+    cb = train_pq_codebooks(corpus, m=4, n_codes=32, sample_rows=100)
+    enc = pq_encode(corpus, cb)
+    got = pq_topk(enc, queries, cb, k=5, metric="l2").collect()
+    scores = [r["score"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert scores == sorted(scores)  # ascending distance
+    with pytest.raises(ValueError, match="metric"):
+        pq_topk(enc, queries, cb, k=5, metric="hamming")
+
+
+def test_ivfpq_recall_with_generous_probe(spark):
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    queries = _queries(spark, rows)
+    exact = cosine_topk(corpus, queries, k=10)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    approx = ivfpq_topk(
+        corpus, queries, k=10, n_cells=8, nprobe=4, m=8, n_codes=64
+    )
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
