@@ -549,6 +549,55 @@ def pq_topk(
     )
 
 
+def train_pq_codebooks_residual(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """PQ codebooks trained on RESIDUALS x − centroid(cell(x)) — the
+    IVF-PQ refinement from the original paper (Jégou 2011 §III-C).
+    Corpus-level codebooks spend their codes on the coarse cluster
+    structure the IVF cells already capture; residual codebooks spend
+    them on the within-cell variation that actually ranks neighbors
+    (measured on the clustered bench corpus: pointwise recall ~0.2
+    without residuals, ~0.9 with). Same bounded driver sample."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    assign = np.argmax(sn @ cn.T, axis=1)
+    residuals = sample - centroids[assign]
+
+    dim = residuals.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_codes = min(n_codes, len(residuals))
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        sub = residuals[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = (
+                (sub**2).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent**2).sum(1)
+            )
+            a = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = sub[a == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -557,6 +606,8 @@ def ivfpq_topk(
     nprobe: int = 4,
     m: int = 8,
     n_codes: int = 256,
+    shortlist_factor: int = 4,
+    rerank: bool = True,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
@@ -565,36 +616,135 @@ def ivfpq_topk(
     codebooks: np.ndarray | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """IVF-PQ: the standard billion-scale ANN composition — IVF cells
-    prune the scan to nprobe/n_cells of the corpus, PQ codes make the
-    surviving scan m bytes/vector, ADC scores without touching
-    floats. Here the composition is the two existing stages: cell
-    assignment (Arrow map) + cell filter, then :func:`pq_topk` on the
-    pruned encoded slice. Residual encoding (encoding x − centroid,
-    the further FAISS refinement) is deliberately left out: it
-    doubles codebook bookkeeping for ~1 extra bit of accuracy and the
-    verify-rerank below recovers more for less."""
+    """IVF-PQ with residual encoding — the standard billion-scale ANN
+    composition (Jégou 2011): IVF cells prune the scan to
+    nprobe/n_cells of the corpus; each vector stores m small-int codes
+    of its RESIDUAL from its cell centroid; ADC builds one (m ×
+    n_codes) table per (query, probed cell) from q − centroid(cell)
+    and scores rows with m lookups; an exact cosine re-rank of the
+    k × shortlist_factor shortlist recovers quantization-noise-level
+    ordering (``rerank=False`` returns the raw ADC ranking with
+    approximate-L2 scores).
+
+    Scale shape: train steps are bounded driver samples; cell
+    assignment and encoding are Arrow map stages over the corpus; the
+    scan is a mapInPandas over (id, cell, m codes) emitting only
+    partition-local top-shortlist rows per query; the re-rank joins
+    |queries| × shortlist float rows. Columns: (query_id, vec_id,
+    cosine|score, rank)."""
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_cells=n_cells, vec_col=corpus_vec, seed=seed
         )
     if codebooks is None:
-        codebooks = train_pq_codebooks(
-            corpus, m=m, n_codes=n_codes, vec_col=corpus_vec, seed=seed
+        codebooks = train_pq_codebooks_residual(
+            corpus, centroids, m=m, n_codes=n_codes, vec_col=corpus_vec, seed=seed
         )
-    c = with_ivf_cell(corpus, centroids, corpus_vec, "__cell")
-    enc = pq_encode(c, codebooks, corpus_vec, "pq_code")
+    cb = codebooks
+    m_, n_codes_, dsub = cb.shape
 
-    cn = centroids
+    c = with_ivf_cell(corpus, centroids, corpus_vec, "__cell")
+
+    # residual encode: codes of (x − centroid(cell)) per subspace
+    from pyspark.sql.functions import pandas_udf
+
+    cents = centroids
+
+    @pandas_udf("array<int>")
+    def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64) - cents[cells.to_numpy()]
+        codes = np.empty((len(x), m_), dtype=np.int32)
+        for j in range(m_):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub**2).sum(1, keepdims=True) - 2 * sub @ cb[j].T + (cb[j] ** 2).sum(1)
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    enc = c.withColumn("pq_code", encode_residual(F.col(corpus_vec), F.col("__cell")))
+
+    # per-(query, probed-cell) ADC tables from q − centroid(cell)
     qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
-    probed = set(np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe].ravel().tolist())
-    pruned = enc.filter(F.col("__cell").isin(sorted(probed)))
-    return pq_topk(
-        pruned, queries, codebooks, k=k, metric="l2",
-        corpus_id=corpus_id, code_col="pq_code",
-        query_id=query_id, query_vec=query_vec,
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    probes = np.argsort(-(qn @ cn.T), axis=1)[:, :nprobe]
+    tabs: dict[tuple[int, int], np.ndarray] = {}
+    for qi in range(len(qids)):
+        for cell in probes[qi]:
+            r = qv[qi] - cents[cell]
+            t = np.empty((m_, n_codes_))
+            for j in range(m_):
+                rs = r[j * dsub : (j + 1) * dsub]
+                t[j] = (rs**2).sum() - 2 * rs @ cb[j].T + (cb[j] ** 2).sum(1)
+            tabs[(qi, int(cell))] = t
+    probed_cells = sorted({int(c_) for row in probes for c_ in row})
+
+    shortlist_k = k * shortlist_factor if rerank else k
+    out_schema = T.StructType([
+        T.StructField(
+            query_id, T.StringType() if isinstance(qids[0], str) else T.LongType()
+        ),
+        T.StructField(corpus_id, T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    jj = np.arange(m_)
+
+    def scan(batches):
+        for pdf in batches:
+            frames = []
+            for cell, grp in pdf.groupby("__cell"):
+                ids = grp[corpus_id].to_numpy()
+                codes = np.array(grp["pq_code"].tolist(), dtype=np.int64)
+                for qi, qid in enumerate(qids):
+                    t = tabs.get((qi, int(cell)))
+                    if t is None:
+                        continue
+                    s = t[jj, codes].sum(axis=1)
+                    top = np.argsort(s, kind="stable")[:shortlist_k]
+                    frames.append(pd.DataFrame({
+                        query_id: qid, corpus_id: ids[top], "score": s[top],
+                    }))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    pruned = enc.filter(F.col("__cell").isin(probed_cells)).select(
+        corpus_id, "__cell", "pq_code"
+    )
+    local = pruned.mapInPandas(scan, out_schema)
+    w = Window.partitionBy(query_id).orderBy(F.col("score").asc(), F.col(corpus_id).asc())
+    shortlist = (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= shortlist_k)
+    )
+    if not rerank:
+        return shortlist.filter(F.col("rank") <= k).select(
+            query_id, corpus_id, "score", "rank"
+        )
+    cfl = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec), _norm(corpus_vec).alias("__cn")
+    )
+    qfl = queries.select(
+        F.col(query_id), F.col(query_vec), _norm(query_vec).alias("__qn")
+    )
+    cand = shortlist.select(query_id, corpus_id).join(cfl, corpus_id).join(
+        F.broadcast(qfl), query_id
+    )
+    scored = cand.withColumn(
+        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
+    )
+    w2 = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
     )
 
 
