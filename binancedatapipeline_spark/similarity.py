@@ -598,6 +598,40 @@ def train_pq_codebooks_residual(
     return books
 
 
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """The materializable IVF-PQ index relation: corpus columns +
+    ``__cell`` (IVF cell) + ``pq_code`` (m residual codes) — encode
+    once, persist/write, query many times. One Arrow map stage."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks
+    m_, n_codes_, dsub = cb.shape
+    cents = centroids
+
+    c = with_ivf_cell(corpus, centroids, corpus_vec, "__cell")
+
+    @pandas_udf("array<int>")
+    def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
+        x = np.array(vecs.tolist(), dtype=np.float64) - cents[cells.to_numpy()]
+        codes = np.empty((len(x), m_), dtype=np.int32)
+        for j in range(m_):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            d2 = (
+                (sub**2).sum(1, keepdims=True) - 2 * sub @ cb[j].T + (cb[j] ** 2).sum(1)
+            )
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return c.withColumn(
+        "pq_code", encode_residual(F.col(corpus_vec), F.col("__cell"))
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -614,6 +648,7 @@ def ivfpq_topk(
     query_vec: str = "query_vec",
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
+    encoded: DataFrame | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-PQ with residual encoding — the standard billion-scale ANN
@@ -630,8 +665,11 @@ def ivfpq_topk(
     assignment and encoding are Arrow map stages over the corpus; the
     scan is a mapInPandas over (id, cell, m codes) emitting only
     partition-local top-shortlist rows per query; the re-rank joins
-    |queries| × shortlist float rows. Columns: (query_id, vec_id,
-    cosine|score, rank)."""
+    |queries| × shortlist float rows. Pass ``encoded`` (a persisted
+    :func:`ivfpq_encode` result) to reuse a built index across query
+    batches — a real deployment encodes once and stores
+    (id, cell, codes) as the index table; building inline is one-shot
+    convenience. Columns: (query_id, vec_id, cosine|score, rank)."""
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -646,26 +684,10 @@ def ivfpq_topk(
     cb = codebooks
     m_, n_codes_, dsub = cb.shape
 
-    c = with_ivf_cell(corpus, centroids, corpus_vec, "__cell")
-
-    # residual encode: codes of (x − centroid(cell)) per subspace
-    from pyspark.sql.functions import pandas_udf
-
+    enc = encoded if encoded is not None else ivfpq_encode(
+        corpus, centroids, codebooks, corpus_vec=corpus_vec
+    )
     cents = centroids
-
-    @pandas_udf("array<int>")
-    def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
-        x = np.array(vecs.tolist(), dtype=np.float64) - cents[cells.to_numpy()]
-        codes = np.empty((len(x), m_), dtype=np.int32)
-        for j in range(m_):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            d2 = (
-                (sub**2).sum(1, keepdims=True) - 2 * sub @ cb[j].T + (cb[j] ** 2).sum(1)
-            )
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
-
-    enc = c.withColumn("pq_code", encode_residual(F.col(corpus_vec), F.col("__cell")))
 
     # per-(query, probed-cell) ADC tables from q − centroid(cell)
     qrows = queries.select(query_id, query_vec).collect()

@@ -52,7 +52,7 @@ from binancedatapipeline_spark.similarity import (
 
 
 def gen_embeddings(
-    spark: SparkSession, n: int, dim: int, n_clusters: int = 64
+    spark: SparkSession, n: int, dim: int, n_clusters: int | None = None
 ) -> DataFrame:
     """Deterministic CLUSTERED unit vectors: vector i = 3·center(i mod
     n_clusters) + 0.5·noise(i), every component an xxhash64-derived
@@ -60,7 +60,13 @@ def gen_embeddings(
     make ANN recall meaningless — every neighbor is near-orthogonal
     with vanishing cosine gaps, so no index can beat chance; real
     embedding corpora are clustered, and the cluster structure is what
-    the IVF/LSH/PQ strategies exploit."""
+    the IVF/LSH/PQ strategies exploit. ``n_clusters`` defaults to
+    n/312 (fixed ~312-member clusters): with a FIXED cluster count,
+    growing the corpus grows every cluster, making top-10 intrinsically
+    harder at larger n — recall curves would measure the corpus, not
+    the index."""
+    if n_clusters is None:
+        n_clusters = max(64, n // 312)
     ids = spark.range(0, n, 1, 64)
     g = (
         lambda *keys: f"(cast(pmod(xxhash64({', '.join(keys)}), 100000) as double) / 50000.0 - 1.0)"
@@ -135,24 +141,32 @@ def main() -> None:
                 corpus, queries, k=args.k, n_planes=16, max_hamming=3, dim=args.dim
             ),
         }
-        cent = train_ivf_centroids(corpus, n_cells=32, sample_rows=5000)
+        cent = train_ivf_centroids(corpus, n_cells=64, sample_rows=20000)
         strategies["ivf"] = lambda: ivf_topk(
-            corpus, queries, k=args.k, n_cells=32, nprobe=6, centroids=cent
+            corpus, queries, k=args.k, n_cells=64, nprobe=8, centroids=cent
         )
-        cb = train_pq_codebooks(corpus, m=16, n_codes=256, sample_rows=5000)
+        cb = train_pq_codebooks(corpus, m=16, n_codes=256, sample_rows=20000)
         enc = pq_encode(corpus, cb).persist()
         enc.count()
         strategies["pq_adc_rerank"] = lambda: pq_topk_rerank(
             enc, corpus, queries, cb, k=args.k, shortlist_factor=8
         )
-        from binancedatapipeline_spark.similarity import train_pq_codebooks_residual
+        from binancedatapipeline_spark.similarity import (
+            ivfpq_encode,
+            train_pq_codebooks_residual,
+        )
 
         rcb = train_pq_codebooks_residual(
-            corpus, cent, m=16, n_codes=256, sample_rows=5000
+            corpus, cent, m=16, n_codes=256, sample_rows=20000
         )
+        # index build measured separately; queries reuse the persisted index
+        t0 = time.perf_counter()
+        ivf_enc = ivfpq_encode(corpus, cent, rcb).persist()
+        ivf_enc.count()
+        sec.setdefault("ivfpq_build", {})[str(n)] = round(time.perf_counter() - t0, 2)
         strategies["ivfpq_residual"] = lambda: ivfpq_topk(
-            corpus, queries, k=args.k, n_cells=32, nprobe=6, m=16, n_codes=256,
-            centroids=cent, codebooks=rcb,
+            corpus, queries, k=args.k, n_cells=64, nprobe=8, m=16, n_codes=256,
+            centroids=cent, codebooks=rcb, encoded=ivf_enc,
         )
 
         for name, build in strategies.items():
@@ -162,6 +176,7 @@ def main() -> None:
             recall.setdefault(name, {})[str(n)] = r
             print(f"  n={n} {name}: {best:.2f}s recall={r}", file=sys.stderr, flush=True)
         enc.unpersist()
+        ivf_enc.unpersist()
         corpus.unpersist()
 
     print(json.dumps({"sizes": sizes, "dim": args.dim, "sec": sec, "recall": recall}))
