@@ -135,15 +135,17 @@ def main() -> None:
         queries = spark.createDataFrame(qrows, "query_id long, query_vec array<float>")
 
         exact = cosine_topk(corpus, queries, k=args.k)
+        exact.write.format("noop").mode("overwrite").save()  # codegen warmup
+        n_cells = max(64, n // 1500)  # cells track corpus size (std IVF sizing)
         strategies = {
             "exact_cosine": lambda: cosine_topk(corpus, queries, k=args.k),
             "lsh_probe": lambda: lsh_bucketed_topk(
                 corpus, queries, k=args.k, n_planes=16, max_hamming=3, dim=args.dim
             ),
         }
-        cent = train_ivf_centroids(corpus, n_cells=64, sample_rows=20000)
+        cent = train_ivf_centroids(corpus, n_cells=n_cells, sample_rows=20000)
         strategies["ivf"] = lambda: ivf_topk(
-            corpus, queries, k=args.k, n_cells=64, nprobe=8, centroids=cent
+            corpus, queries, k=args.k, n_cells=n_cells, nprobe=8, centroids=cent
         )
         cb = train_pq_codebooks(corpus, m=16, n_codes=256, sample_rows=20000)
         enc = pq_encode(corpus, cb).persist()
@@ -165,8 +167,8 @@ def main() -> None:
         ivf_enc.count()
         sec.setdefault("ivfpq_build", {})[str(n)] = round(time.perf_counter() - t0, 2)
         strategies["ivfpq_residual"] = lambda: ivfpq_topk(
-            corpus, queries, k=args.k, n_cells=64, nprobe=8, m=16, n_codes=256,
-            centroids=cent, codebooks=rcb, encoded=ivf_enc,
+            corpus, queries, k=args.k, n_cells=n_cells, nprobe=8, m=16, n_codes=256,
+            centroids=cent, codebooks=rcb, encoded=ivf_enc, shortlist_factor=8,
         )
 
         for name, build in strategies.items():
