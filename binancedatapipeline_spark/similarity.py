@@ -394,6 +394,101 @@ def ivf_topk(
 
 # ---------------------------------------------------- product quantization
 
+def _nearest_code(sub: np.ndarray, book: np.ndarray) -> np.ndarray:
+    """argmin_c ||sub_i − book_c||² per row — the one distance kernel
+    every PQ train/encode step shares."""
+    d2 = (sub**2).sum(1, keepdims=True) - 2 * sub @ book.T + (book**2).sum(1)
+    return np.argmin(d2, axis=1)
+
+
+def _subspace_kmeans(
+    matrix: np.ndarray, m: int, n_codes: int, iters: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Per-subspace L2 Lloyd k-means over a driver-side sample matrix
+    — shared by the plain and residual codebook trainers (one
+    implementation, so empty-cluster handling and convergence changes
+    cannot drift between them)."""
+    dim = matrix.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    n_codes = min(n_codes, len(matrix))
+    books = np.empty((m, n_codes, dsub))
+    for j in range(m):
+        sub = matrix[:, j * dsub : (j + 1) * dsub]
+        cent = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            assign = _nearest_code(sub, cent)
+            for c in range(n_codes):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def _encode_matrix(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """(n, m) nearest-entry codes for a float matrix under codebooks."""
+    m, _, dsub = cb.shape
+    codes = np.empty((len(x), m), dtype=np.int32)
+    for j in range(m):
+        codes[:, j] = _nearest_code(x[:, j * dsub : (j + 1) * dsub], cb[j])
+    return codes
+
+
+def _exact_cosine_rerank(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """Exact cosine re-rank of a (query_id, corpus_id) candidate
+    relation against the float corpus — the shared tail of every
+    shortlist-then-verify strategy (PQ rerank, IVF-PQ). Queries
+    broadcast; only candidate rows are ever scored."""
+    from pyspark.sql import Window
+
+    c = corpus.select(
+        F.col(corpus_id), F.col(corpus_vec), _norm(corpus_vec).alias("__cn")
+    )
+    q = queries.select(
+        F.col(query_id), F.col(query_vec), _norm(query_vec).alias("__qn")
+    )
+    cand = candidates.join(c, corpus_id).join(F.broadcast(q), query_id)
+    scored = cand.withColumn(
+        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
+    )
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def _empty_result(
+    queries: DataFrame, query_id: str, id_field, value_name: str
+) -> DataFrame:
+    """Typed empty result for an empty query set (the other strategies
+    fall through joins to empty output; the collected-query paths
+    must construct theirs)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(query_id, queries.schema[query_id].dataType),
+        id_field,
+        T.StructField(value_name, T.DoubleType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+    return queries.sparkSession.createDataFrame([], schema)
+
+
 def train_pq_codebooks(
     corpus: DataFrame,
     m: int = 8,
@@ -415,29 +510,7 @@ def train_pq_codebooks(
         [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
         dtype=np.float64,
     )
-    dim = sample.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    n_codes = min(n_codes, len(sample))
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, n_codes, dsub))
-    for j in range(m):
-        sub = sample[:, j * dsub : (j + 1) * dsub]
-        cent = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
-        for _ in range(iters):
-            d2 = (
-                (sub**2).sum(1, keepdims=True)
-                - 2 * sub @ cent.T
-                + (cent**2).sum(1)
-            )
-            assign = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = sub[assign == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j] = cent
-    return books
+    return _subspace_kmeans(sample, m, n_codes, iters, np.random.default_rng(seed))
 
 
 def pq_encode(
@@ -453,21 +526,11 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     cb = codebooks
-    m, n_codes, dsub = cb.shape
 
     @pandas_udf("array<int>")
     def encode(vecs: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=np.float64)
-        codes = np.empty((len(x), m), dtype=np.int32)
-        for j in range(m):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            d2 = (
-                (sub**2).sum(1, keepdims=True)
-                - 2 * sub @ cb[j].T
-                + (cb[j] ** 2).sum(1)
-            )
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_encode_matrix(x, cb)))
 
     return df.withColumn(out, encode(F.col(vec_col)))
 
@@ -505,6 +568,8 @@ def pq_topk(
     cb = codebooks
     m, n_codes, dsub = cb.shape
     qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return _empty_result(queries, query_id, encoded.schema[corpus_id], "score")
     qids = [r[0] for r in qrows]
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     tabs = np.empty((len(qids), m, n_codes))
@@ -518,9 +583,10 @@ def pq_topk(
             tabs[:, j, :] = qs @ cb[j].T
     asc = metric == "l2"
 
+    # id columns keep their NATIVE types (string fingerprints, longs…)
     out_schema = T.StructType([
-        T.StructField(query_id, T.StringType() if isinstance(qids[0], str) else T.LongType()),
-        T.StructField(corpus_id, T.LongType()),
+        T.StructField(query_id, queries.schema[query_id].dataType),
+        encoded.schema[corpus_id],
         T.StructField("score", T.DoubleType()),
     ])
     jj = np.arange(m)
@@ -574,28 +640,7 @@ def train_pq_codebooks_residual(
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     assign = np.argmax(sn @ cn.T, axis=1)
     residuals = sample - centroids[assign]
-
-    dim = residuals.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    dsub = dim // m
-    n_codes = min(n_codes, len(residuals))
-    rng = np.random.default_rng(seed)
-    books = np.empty((m, n_codes, dsub))
-    for j in range(m):
-        sub = residuals[:, j * dsub : (j + 1) * dsub]
-        cent = sub[rng.choice(len(sub), size=n_codes, replace=False)].copy()
-        for _ in range(iters):
-            d2 = (
-                (sub**2).sum(1, keepdims=True) - 2 * sub @ cent.T + (cent**2).sum(1)
-            )
-            a = np.argmin(d2, axis=1)
-            for c in range(n_codes):
-                members = sub[a == c]
-                if len(members):
-                    cent[c] = members.mean(axis=0)
-        books[j] = cent
-    return books
+    return _subspace_kmeans(residuals, m, n_codes, iters, np.random.default_rng(seed))
 
 
 def ivfpq_encode(
@@ -610,7 +655,6 @@ def ivfpq_encode(
     from pyspark.sql.functions import pandas_udf
 
     cb = codebooks
-    m_, n_codes_, dsub = cb.shape
     cents = centroids
 
     c = with_ivf_cell(corpus, centroids, corpus_vec, "__cell")
@@ -618,14 +662,7 @@ def ivfpq_encode(
     @pandas_udf("array<int>")
     def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=np.float64) - cents[cells.to_numpy()]
-        codes = np.empty((len(x), m_), dtype=np.int32)
-        for j in range(m_):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            d2 = (
-                (sub**2).sum(1, keepdims=True) - 2 * sub @ cb[j].T + (cb[j] ** 2).sum(1)
-            )
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
+        return pd.Series(list(_encode_matrix(x, cb)))
 
     return c.withColumn(
         "pq_code", encode_residual(F.col(corpus_vec), F.col("__cell"))
@@ -673,6 +710,12 @@ def ivfpq_topk(
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    if encoded is not None and (centroids is None or codebooks is None):
+        raise ValueError(
+            "encoded= requires the exact centroids and codebooks the index "
+            "was built with — retraining defaults here would score stored "
+            "codes against mismatched tables (silently wrong neighbors)"
+        )
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_cells=n_cells, vec_col=corpus_vec, seed=seed
@@ -691,6 +734,11 @@ def ivfpq_topk(
 
     # per-(query, probed-cell) ADC tables from q − centroid(cell)
     qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return _empty_result(
+            queries, query_id, enc.schema[corpus_id],
+            "cosine" if rerank else "score",
+        )
     qids = [r[0] for r in qrows]
     qv = np.array([r[1] for r in qrows], dtype=np.float64)
     qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
@@ -709,10 +757,8 @@ def ivfpq_topk(
 
     shortlist_k = k * shortlist_factor if rerank else k
     out_schema = T.StructType([
-        T.StructField(
-            query_id, T.StringType() if isinstance(qids[0], str) else T.LongType()
-        ),
-        T.StructField(corpus_id, T.LongType()),
+        T.StructField(query_id, queries.schema[query_id].dataType),
+        enc.schema[corpus_id],
         T.StructField("score", T.DoubleType()),
     ])
     jj = np.arange(m_)
@@ -748,25 +794,9 @@ def ivfpq_topk(
         return shortlist.filter(F.col("rank") <= k).select(
             query_id, corpus_id, "score", "rank"
         )
-    cfl = corpus.select(
-        F.col(corpus_id), F.col(corpus_vec), _norm(corpus_vec).alias("__cn")
-    )
-    qfl = queries.select(
-        F.col(query_id), F.col(query_vec), _norm(query_vec).alias("__qn")
-    )
-    cand = shortlist.select(query_id, corpus_id).join(cfl, corpus_id).join(
-        F.broadcast(qfl), query_id
-    )
-    scored = cand.withColumn(
-        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
-    )
-    w2 = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
+    return _exact_cosine_rerank(
+        shortlist.select(query_id, corpus_id), corpus, queries, k,
+        corpus_id, corpus_vec, query_id, query_vec,
     )
 
 
@@ -799,21 +829,7 @@ def pq_topk_rerank(
         corpus_id=corpus_id, code_col=code_col,
         query_id=query_id, query_vec=query_vec,
     ).select(query_id, corpus_id)
-    c = corpus.select(
-        F.col(corpus_id), F.col(corpus_vec), _norm(corpus_vec).alias("__cn")
-    )
-    q = queries.select(
-        F.col(query_id), F.col(query_vec), _norm(query_vec).alias("__qn")
-    )
-    cand = shortlist.join(c, corpus_id).join(F.broadcast(q), query_id)
-    scored = cand.withColumn(
-        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
-    )
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(corpus_id).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, corpus_id, "cosine", "rank")
+    return _exact_cosine_rerank(
+        shortlist, corpus, queries, k,
+        corpus_id, corpus_vec, query_id, query_vec,
     )

@@ -157,3 +157,56 @@ def test_ivfpq_recall_with_generous_probe(spark):
         len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_pq_empty_queries_returns_typed_empty(spark):
+    corpus = _corpus(spark, n=60)
+    cb = train_pq_codebooks(corpus, m=4, n_codes=16, sample_rows=60)
+    enc = pq_encode(corpus, cb)
+    empty_q = spark.createDataFrame([], "query_id long, query_vec array<float>")
+    out = pq_topk(enc, empty_q, cb, k=5)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "vec_id", "score", "rank"]
+    out2 = ivfpq_topk(corpus, empty_q, k=5, n_cells=4, nprobe=2, m=4, n_codes=16)
+    assert out2.count() == 0
+    assert out2.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_pq_string_ids_preserved(spark):
+    import numpy as _np
+
+    rng = _np.random.default_rng(2)
+    rows = [
+        (f"doc-{i}", [float(x) for x in rng.standard_normal(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    queries = spark.createDataFrame(
+        [("q0", rows[7][1])], "query_id string, query_vec array<float>"
+    )
+    cb = train_pq_codebooks(corpus, m=4, n_codes=16, sample_rows=40)
+    enc = pq_encode(corpus, cb)
+    got = pq_topk(enc, queries, cb, k=3, metric="ip").collect()
+    assert got and all(isinstance(r["vec_id"], str) for r in got)
+    assert got[0]["query_id"] == "q0"
+
+
+def test_ivfpq_encoded_requires_matching_artifacts(spark):
+    from binancedatapipeline_spark.similarity import (
+        ivfpq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    corpus = _corpus(spark, n=80)
+    cent = train_ivf_centroids(corpus, n_cells=4, sample_rows=80)
+    rcb = train_pq_codebooks_residual(corpus, cent, m=4, n_codes=16, sample_rows=80)
+    enc = ivfpq_encode(corpus, cent, rcb)
+    queries = _queries(spark, corpus.collect(), ids=(3,))
+    with pytest.raises(ValueError, match="centroids and codebooks"):
+        ivfpq_topk(corpus, queries, encoded=enc)
+    # with matching artifacts the prebuilt path works
+    got = ivfpq_topk(
+        corpus, queries, k=3, n_cells=4, nprobe=2, m=4, n_codes=16,
+        centroids=cent, codebooks=rcb, encoded=enc,
+    )
+    assert got.count() == 3

@@ -95,14 +95,16 @@ def _timed(build) -> float:
     return time.perf_counter() - t0
 
 
-def _recall(exact: DataFrame, approx: DataFrame, k: int) -> float:
-    ex: dict[int, set] = {}
-    for r in exact.collect():
-        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
-    ap: dict[int, set] = {}
-    for r in approx.collect():
-        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
-    vals = [len(ex[q] & ap.get(q, set())) / k for q in ex]
+def _sets(df: DataFrame) -> dict[int, set]:
+    out: dict[int, set] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(exact_sets: dict[int, set], approx: DataFrame, k: int) -> float:
+    ap = _sets(approx)
+    vals = [len(exact_sets[q] & ap.get(q, set())) / k for q in exact_sets]
     return round(sum(vals) / len(vals), 3)
 
 
@@ -135,7 +137,7 @@ def main() -> None:
         queries = spark.createDataFrame(qrows, "query_id long, query_vec array<float>")
 
         exact = cosine_topk(corpus, queries, k=args.k)
-        exact.write.format("noop").mode("overwrite").save()  # codegen warmup
+        exact_sets = _sets(exact)  # collected ONCE; doubles as codegen warmup
         n_cells = max(64, n // 1500)  # cells track corpus size (std IVF sizing)
         strategies = {
             "exact_cosine": lambda: cosine_topk(corpus, queries, k=args.k),
@@ -174,7 +176,7 @@ def main() -> None:
         for name, build in strategies.items():
             best = min(_timed(build) for _ in range(2))
             sec.setdefault(name, {})[str(n)] = round(best, 2)
-            r = 1.0 if name == "exact_cosine" else _recall(exact, build(), args.k)
+            r = 1.0 if name == "exact_cosine" else _recall(exact_sets, build(), args.k)
             recall.setdefault(name, {})[str(n)] = r
             print(f"  n={n} {name}: {best:.2f}s recall={r}", file=sys.stderr, flush=True)
         enc.unpersist()
