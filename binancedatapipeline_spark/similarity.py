@@ -833,3 +833,123 @@ def pq_topk_rerank(
         shortlist, corpus, queries, k,
         corpus_id, corpus_vec, query_id, query_vec,
     )
+
+
+# ------------------------------------------- incremental semantic dedup
+
+def _vec_rep_map(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, __rep_id): every vector mapped to the min id of its
+    byte-identical group — the embedding-space twin of
+    textops.dedup.exact_rep_map, and the same adversarial-duplication
+    guard: a batch of 10^5 identical embeddings must not enter the
+    within-cell pair join as 10^5 members. The digest hashes the
+    array's string form (deterministic for identical arrays); the
+    shuffle carries (id, digest) only."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__digest")
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(F.col(vec_col).cast("string").cast("binary")).alias("__digest"),
+        )
+        .withColumn(
+            "__rep_id",
+            F.when(F.col("__digest").isNull(), F.col(id_col)).otherwise(
+                F.min(id_col).over(w)
+            ),
+        )
+        .select(id_col, "__rep_id")
+    )
+
+
+def incremental_semantic_dedup(
+    new_vecs: DataFrame,
+    stored: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Ingest-time semantic dedup of a vector batch against ALL stored
+    history — the embedding-space counterpart of
+    ``textops.dedup.incremental_near_dedup`` (L37): returns the
+    surviving new rows WITH their cell assignment, ready to append to
+    the cell-partitioned store.
+
+    Semantics mirror the text path exactly:
+
+    - byte-identical embeddings collapse to one representative before
+      any pair-emitting join;
+    - within-batch near-dup pairs (cosine ≥ threshold, same k-means
+      cell — the SemDeDup blocking approximation) close transitively
+      into components;
+    - any component touching LIVE stored history drops wholesale (the
+      canonical copy already exists); clean components keep their
+      minimum id;
+    - stored rows whose id is re-ingested in this batch with a
+      CHANGED embedding are excluded from the probe (stale state must
+      not suppress batch-mates); unchanged re-ingests keep anchoring
+      their component to the stored copy, so replays are idempotent.
+
+    Cost: cell assignment is an Arrow map over the batch; the history
+    probe is one cell-equi-join of the (small) batch against only the
+    touched cells of the store — history is never self-joined, and a
+    cell-partitioned store never re-shuffles. ``stored`` must carry
+    ``cell_col`` (it is what this function returns for appending); it
+    is assigned here if absent (first ingest / migration)."""
+    from binancedatapipeline_spark.operators.components import connected_components
+
+    if cell_col not in stored.columns:
+        stored = with_ivf_cell(stored, centroids, vec_col, cell_col)
+    new_c = with_ivf_cell(new_vecs, centroids, vec_col, cell_col)
+
+    rep_map = _vec_rep_map(new_vecs, id_col, vec_col)
+    rep_ids = rep_map.filter(F.col(id_col) == F.col("__rep_id")).select(id_col)
+    reps = new_c.join(rep_ids, id_col, "left_semi")
+
+    # LIVE history = rows outside the batch ∪ re-ingests whose
+    # embedding is unchanged (array equality join)
+    batch_ids = new_vecs.select(id_col)
+    outside = stored.join(batch_ids, id_col, "left_anti")
+    unchanged = stored.join(
+        new_vecs.select(id_col, vec_col), [id_col, vec_col], "left_semi"
+    )
+    fresh = outside.unionByName(unchanged.select(*outside.columns))
+
+    within = cosine_near_dup_pairs(
+        reps, threshold=threshold, block_col=cell_col,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    a = reps.select(
+        F.col(cell_col),
+        F.col(id_col).alias("__nid"),
+        F.col(vec_col).alias("__nv"),
+        _norm(vec_col).alias("__nn"),
+    )
+    b = fresh.select(
+        F.col(cell_col),
+        F.col(id_col).alias("__hid"),
+        F.col(vec_col).alias("__hv"),
+        _norm(vec_col).alias("__hn"),
+    )
+    hist_hits = (
+        a.join(b, cell_col)
+        .filter(F.col("__nid") != F.col("__hid"))
+        .withColumn("__cos", _dot("__nv", "__hv") / (F.col("__nn") * F.col("__hn")))
+        .filter(F.col("__cos") >= threshold)
+        .select(F.col("__nid").alias("node"))
+        .distinct()
+    )
+
+    comp = connected_components(within, "id_a", "id_b", nodes=rep_ids)
+    bad = comp.join(hist_hits, "node", "left_semi").select("component").distinct()
+    survivors = (
+        comp.join(bad, "component", "left_anti")
+        .groupBy("component")
+        .agg(F.min("node").alias(id_col))
+        .select(id_col)
+    )
+    return new_c.join(survivors, id_col, "left_semi")
