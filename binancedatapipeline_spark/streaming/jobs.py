@@ -381,3 +381,58 @@ def stream_incremental_dedup(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def stream_semantic_dedup(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    vecs_spec: TableSpec,
+    centroids,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Continuous SEMANTIC dedup at ingest against all stored vectors
+    — the embedding-space sibling of :func:`stream_incremental_dedup`:
+    per micro-batch, probe the warehouse-stored (cell-partitioned)
+    vector table via ``similarity.incremental_semantic_dedup`` and
+    PK-upsert only the survivors (with their cell, so the store stays
+    probe-ready). ``centroids`` is the frozen k-means cell model —
+    frozen deliberately: re-training per batch would silently move
+    cell boundaries under the stored assignments. ``vecs_spec`` must
+    include ``cell_col`` in its schema and use ``id_col`` as PK so a
+    re-ingested id REPLACES its row. Replay-idempotent at the
+    warehouse level for the same reasons as the text path (unchanged
+    stored copies anchor their components)."""
+    from binancedatapipeline_spark.similarity import incremental_semantic_dedup
+
+    if cell_col not in vecs_spec.columns:
+        raise ValueError(f"vecs_spec must carry the {cell_col!r} column")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        stored = warehouse.read(vecs_spec)
+        kept = incremental_semantic_dedup(
+            batch_df, stored, centroids,
+            id_col=id_col, vec_col=vec_col,
+            threshold=threshold, cell_col=cell_col,
+        ).persist()
+        n = kept.count()
+        if n:
+            warehouse.upsert(vecs_spec, kept)
+        if on_batch:
+            on_batch(batch_id, n)
+        kept.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
