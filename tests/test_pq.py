@@ -210,3 +210,30 @@ def test_ivfpq_encoded_requires_matching_artifacts(spark):
         centroids=cent, codebooks=rcb, encoded=enc,
     )
     assert got.count() == 3
+
+
+def test_ivfpq_materialized_index_partition_prunes(spark, tmp_path):
+    """The 100 TB claim behind ivfpq_encode: a cell-partitioned index
+    on disk lets the probe scan ONLY the probed cells — pinned by the
+    physical plan's partition filters, not just row counts."""
+    from binancedatapipeline_spark.similarity import (
+        ivfpq_encode,
+        train_ivf_centroids,
+        train_pq_codebooks_residual,
+    )
+
+    corpus = _corpus(spark, n=200)
+    cent = train_ivf_centroids(corpus, n_cells=4, sample_rows=200)
+    rcb = train_pq_codebooks_residual(corpus, cent, m=4, n_codes=16, sample_rows=200)
+    enc = ivfpq_encode(corpus, cent, rcb)
+    path = str(tmp_path / "pq_index")
+    enc.write.partitionBy("__cell").parquet(path)
+
+    stored = spark.read.parquet(path)
+    pruned = stored.filter(F.col("__cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "__cell" in plan.split("PartitionFilters")[1][:120]
+    # and the pruned read is correct
+    expect = enc.filter(F.col("__cell").isin([0, 1])).count()
+    assert pruned.count() == expect > 0
