@@ -403,3 +403,53 @@ def test_read_rolls_forward_but_never_rolls_back_live_stage(spark, wh, fixture_d
     # the next mutation (the writer path) is the one to clean it
     wh.upsert(spec, src.limit(5))
     assert _staging_txs(wh, spec.name) == []
+
+
+def test_crash_point_sweep_every_rename_boundary(spark, wh, fixture_dir, tmp_path):
+    """Exhaustive crash-point sweep: for EVERY rename boundary in a
+    multi-partition upsert's publish, kill the writer there, recover,
+    and assert the final table is byte-equivalent (row multiset) to
+    the no-crash outcome. This is the WAP protocol's core invariant —
+    no crash point may yield a third state."""
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+
+    # no-crash reference outcome
+    ref_wh = Warehouse(spark, str(tmp_path / "ref"))
+    ref_wh.overwrite(spec, src)
+    batch, d1, d2 = _two_date_batch(spark, src)
+    ref_wh.upsert(spec, batch)
+    expected = sorted(
+        (r["symbol"], str(r["timestamp"]), r["close"])
+        for r in ref_wh.read(spec).collect()
+    )
+
+    # count renames in a clean publish (2 partitions x 2 renames)
+    n_renames = 4
+    orig = type(wh)._rename
+    for crash_at in range(n_renames + 1):
+        root = str(tmp_path / f"sweep{crash_at}")
+        w = Warehouse(spark, root)
+        w.overwrite(spec, src)
+        calls = {"n": 0}
+
+        def crashing(src_p, dst_p, _c=calls, _at=crash_at, _w=None):
+            if _c["n"] >= _at:
+                raise RuntimeError(f"crash at rename {_at}")
+            _c["n"] += 1
+            orig(w, src_p, dst_p)
+
+        w._rename = crashing
+        if crash_at < n_renames:
+            with pytest.raises(RuntimeError, match=f"crash at rename {crash_at}"):
+                w.upsert(spec, batch)
+        else:
+            w.upsert(spec, batch)  # enough budget: publish completes
+        del w.__dict__["_rename"]
+        w.recover(spec.name)
+        got = sorted(
+            (r["symbol"], str(r["timestamp"]), r["close"])
+            for r in w.read(spec).collect()
+        )
+        assert got == expected, f"divergent state after crash at rename {crash_at}"
+        assert _staging_txs(w, spec.name) == []
