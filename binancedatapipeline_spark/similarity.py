@@ -840,26 +840,14 @@ def pq_topk_rerank(
 def _vec_rep_map(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, __rep_id): every vector mapped to the min id of its
     byte-identical group — the embedding-space twin of
-    textops.dedup.exact_rep_map, and the same adversarial-duplication
-    guard: a batch of 10^5 identical embeddings must not enter the
-    within-cell pair join as 10^5 members. The digest hashes the
-    array's string form (deterministic for identical arrays); the
-    shuffle carries (id, digest) only."""
-    from pyspark.sql import Window
+    textops.dedup.exact_rep_map, sharing its one collapse
+    implementation (rep_map_by_digest) so null handling and the
+    min-id rule cannot drift. The digest hashes the array's string
+    form; the shuffle carries (id, digest) only."""
+    from binancedatapipeline_spark.textops.dedup import rep_map_by_digest
 
-    w = Window.partitionBy("__digest")
-    return (
-        df.select(
-            F.col(id_col),
-            F.md5(F.col(vec_col).cast("string").cast("binary")).alias("__digest"),
-        )
-        .withColumn(
-            "__rep_id",
-            F.when(F.col("__digest").isNull(), F.col(id_col)).otherwise(
-                F.min(id_col).over(w)
-            ),
-        )
-        .select(id_col, "__rep_id")
+    return rep_map_by_digest(
+        df, id_col, F.md5(F.col(vec_col).cast("string").cast("binary"))
     )
 
 
@@ -895,25 +883,47 @@ def incremental_semantic_dedup(
 
     Cost: cell assignment is an Arrow map over the batch; the history
     probe is one cell-equi-join of the (small) batch against only the
-    touched cells of the store — history is never self-joined, and a
-    cell-partitioned store never re-shuffles. ``stored`` must carry
-    ``cell_col`` (it is what this function returns for appending); it
-    is assigned here if absent (first ingest / migration)."""
-    from binancedatapipeline_spark.operators.components import connected_components
+    touched cells of the store (the store is FILTERED to those cells
+    before any join, so a cell-partitioned store partition-prunes and
+    history is scanned O(touched cells), not O(history)) — and history
+    is never self-joined. ``stored`` must carry ``cell_col`` (it is
+    what this function returns for appending); it is assigned here if
+    absent (first ingest / migration).
+
+    Robustness: the batch's vectors are cast to the STORE's element
+    type first (a float64 upstream batch against a float32 store
+    would otherwise never byte-match its own unchanged re-ingest,
+    silently defeating the anchor rule), and rows with null, empty or
+    wrong-dimension embeddings are DROPPED with the rest of the batch
+    unaffected — unlike null text (which still occupies an id in a
+    corpus), a vector that cannot be assigned a cell can never
+    participate in similarity and would only strand in the store."""
+    from binancedatapipeline_spark.textops.dedup import (
+        survivors_of_clean_components,
+    )
 
     if cell_col not in stored.columns:
         stored = with_ivf_cell(stored, centroids, vec_col, cell_col)
+    new_vecs = new_vecs.withColumn(
+        vec_col, F.col(vec_col).cast(stored.schema[vec_col].dataType)
+    ).filter(F.coalesce(F.size(vec_col), F.lit(0)) == int(centroids.shape[1]))
     new_c = with_ivf_cell(new_vecs, centroids, vec_col, cell_col)
 
     rep_map = _vec_rep_map(new_vecs, id_col, vec_col)
     rep_ids = rep_map.filter(F.col(id_col) == F.col("__rep_id")).select(id_col)
     reps = new_c.join(rep_ids, id_col, "left_semi")
 
+    # prune the store to the batch's touched cells BEFORE the
+    # freshness split — the collect is bounded by the batch size
+    # (mirrors Warehouse.upsert's touched-partition collect)
+    touched = [r[0] for r in new_c.select(cell_col).distinct().collect()]
+    stored_touched = stored.filter(F.col(cell_col).isin(touched))
+
     # LIVE history = rows outside the batch ∪ re-ingests whose
     # embedding is unchanged (array equality join)
     batch_ids = new_vecs.select(id_col)
-    outside = stored.join(batch_ids, id_col, "left_anti")
-    unchanged = stored.join(
+    outside = stored_touched.join(batch_ids, id_col, "left_anti")
+    unchanged = stored_touched.join(
         new_vecs.select(id_col, vec_col), [id_col, vec_col], "left_semi"
     )
     fresh = outside.unionByName(unchanged.select(*outside.columns))
@@ -944,12 +954,5 @@ def incremental_semantic_dedup(
         .distinct()
     )
 
-    comp = connected_components(within, "id_a", "id_b", nodes=rep_ids)
-    bad = comp.join(hist_hits, "node", "left_semi").select("component").distinct()
-    survivors = (
-        comp.join(bad, "component", "left_anti")
-        .groupBy("component")
-        .agg(F.min("node").alias(id_col))
-        .select(id_col)
-    )
+    survivors = survivors_of_clean_components(within, rep_ids, hist_hits, id_col)
     return new_c.join(survivors, id_col, "left_semi")

@@ -413,6 +413,13 @@ def stream_semantic_dedup(
 
     if cell_col not in vecs_spec.columns:
         raise ValueError(f"vecs_spec must carry the {cell_col!r} column")
+    if set(vecs_spec.primary_keys) != {id_col}:
+        raise ValueError(
+            f"vecs_spec must be keyed ({id_col},): a composite PK (e.g. "
+            "including the cell) would strand a changed re-ingest's old "
+            "row when its embedding moves cells — phantom LIVE state that "
+            "suppresses look-alikes of replaced content forever"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         stored = warehouse.read(vecs_spec)

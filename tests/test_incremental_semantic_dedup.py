@@ -109,3 +109,63 @@ def test_stored_without_cell_column_is_assigned(spark):
     batch = _df(spark, [(40, _perturb(dict(base)[3], 0.01, 13))])
     kept = incremental_semantic_dedup(batch, stored_plain, cent, threshold=0.98)
     assert kept.count() == 0  # still caught against history
+
+
+def test_double_batch_vs_float_store_anchor_still_holds(spark):
+    """Review regression: a float64 (array<double>) batch against a
+    float32 store must still byte-match its own unchanged re-ingest —
+    the batch is cast to the store's element type before the anchor
+    join."""
+    base, stored, cent = _setup(spark)
+    novel = _vec(42)
+    b1 = _df(spark, [(20, novel)])  # float store path
+    kept1 = incremental_semantic_dedup(b1, stored, cent, threshold=0.98)
+    stored2 = stored.unionByName(kept1.select(*stored.columns))
+
+    # replay as DOUBLE arrays (natural upstream dtype)
+    dbl = spark.createDataFrame(
+        [(20, [float(x) for x in novel]),
+         (15, [float(x) for x in _perturb(novel, 0.01, 21)])],
+        "vec_id long, embedding array<double>",
+    )
+    kept2 = incremental_semantic_dedup(dbl, stored2, cent, threshold=0.98)
+    # 20's unchanged stored copy anchors the component: nothing kept —
+    # in particular the smaller-id near-dup 15 must NOT be elected
+    assert kept2.count() == 0
+
+
+def test_null_and_ragged_embeddings_dropped_not_crash(spark):
+    base, stored, cent = _setup(spark)
+    rows = [
+        (50, [float(x) for x in _vec(50)]),   # valid, novel
+        (51, None),                            # null embedding
+        (52, [1.0, 2.0]),                      # wrong dimension
+        (53, []),                              # empty
+    ]
+    batch = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = incremental_semantic_dedup(batch, stored, cent, threshold=0.98)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [50]
+
+
+def test_stream_spec_composite_pk_rejected(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from binancedatapipeline_spark.catalog import TableSpec
+    from binancedatapipeline_spark.streaming.jobs import stream_semantic_dedup
+    from binancedatapipeline_spark.warehouse import Warehouse
+
+    bad = TableSpec(
+        name="bad_pk_vecs",
+        primary_keys=("vec_id", "cell"),
+        schema=T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("cell", T.IntegerType()),
+        ]),
+        kind="fact",
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="keyed"):
+        stream_semantic_dedup(stream, wh, bad, None, str(tmp_path / "ck"))
