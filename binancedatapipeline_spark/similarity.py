@@ -231,6 +231,7 @@ def semantic_dedup_clusters(
     threshold: float = 0.95,
     n_cells: int = 16,
     centroids: "np.ndarray | None" = None,
+    collapse_exact: bool = True,
     seed: int = 42,
 ) -> DataFrame:
     """SemDeDup-style semantic duplicate clusters: k-means-partition
@@ -246,22 +247,44 @@ def semantic_dedup_clusters(
     re-run on a shifted seed and union the pairs) for recall.
     Training stays on a bounded driver sample; assignment is an
     Arrow-batched map stage; everything after is the blocked
-    self-join + alternating-star components."""
+    self-join + alternating-star components.
+
+    ``collapse_exact`` (default on, same guard as the text path):
+    byte-identical embeddings reduce to one representative BEFORE the
+    within-cell pair join — a crawl-shaped corpus with 10^5-member
+    identical-embedding groups stays O(groups²-per-cell), never
+    O(members²); members relabel through their representative, so
+    output is identical to the uncollapsed plan (kept for
+    differential testing)."""
     from binancedatapipeline_spark.operators.components import connected_components
 
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_cells=n_cells, vec_col=vec_col, seed=seed
         )
-    cells = with_ivf_cell(corpus, centroids, vec_col, "__cell")
+    if not collapse_exact:
+        cells = with_ivf_cell(corpus, centroids, vec_col, "__cell")
+        pairs = cosine_near_dup_pairs(
+            cells, threshold=threshold, block_col="__cell",
+            id_col=id_col, vec_col=vec_col,
+        )
+        cc = connected_components(pairs, "id_a", "id_b", nodes=corpus.select(id_col))
+        return cc.select(
+            F.col("node").alias(id_col), F.col("component").alias("cluster_id")
+        )
+
+    rep_map = _vec_rep_map(corpus, id_col, vec_col)
+    rep_ids = rep_map.filter(F.col(id_col) == F.col("__rep_id")).select(id_col)
+    reps = corpus.join(rep_ids, id_col, "left_semi")
+    cells = with_ivf_cell(reps, centroids, vec_col, "__cell")
     pairs = cosine_near_dup_pairs(
         cells, threshold=threshold, block_col="__cell",
         id_col=id_col, vec_col=vec_col,
     )
-    cc = connected_components(pairs, "id_a", "id_b", nodes=corpus.select(id_col))
-    return cc.select(
-        F.col("node").alias(id_col), F.col("component").alias("cluster_id")
-    )
+    cc = connected_components(pairs, "id_a", "id_b", nodes=rep_ids)
+    return rep_map.join(
+        cc.withColumnRenamed("node", "__rep_id"), "__rep_id"
+    ).select(F.col(id_col), F.col("component").alias("cluster_id"))
 
 
 def semantic_dedup(
@@ -278,7 +301,7 @@ def semantic_dedup(
     untouched — the embedding-space counterpart of
     ``textops.dedup.near_dedup``."""
     clusters = semantic_dedup_clusters(
-        corpus, id_col, vec_col, threshold, n_cells, centroids, seed
+        corpus, id_col, vec_col, threshold, n_cells, centroids, seed=seed
     )
     drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
     # no broadcast hint: AQE broadcasts the drop set when it is small;

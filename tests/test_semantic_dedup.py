@@ -61,3 +61,42 @@ def test_survivors_are_cluster_minima(spark):
 def test_high_threshold_keeps_everything(spark):
     corpus = _corpus(spark)
     assert semantic_dedup(corpus, threshold=0.99999, n_cells=4).count() == 60
+
+
+def test_semantic_collapse_equivalence_and_twin_guard(spark):
+    """Round-5 symmetry: the batch semantic path collapses
+    byte-identical embeddings before the within-cell pair join — same
+    clusters as the uncollapsed plan on a mixed corpus, and a planted
+    identical-embedding group costs O(groups), not O(members²)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.similarity import (
+        semantic_dedup,
+        semantic_dedup_clusters,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 12
+
+    def v(seed):
+        r = np.random.default_rng(seed).standard_normal(dim)
+        return [float(x) for x in r / np.linalg.norm(r)]
+
+    rows = [(i, v(i)) for i in range(20)]
+    rows += [(100 + i, rows[2][1]) for i in range(5)]   # exact dups of 2
+    twin = v(999)
+    rows += [(200 + i, twin) for i in range(300)]       # big identical group
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    a = semantic_dedup_clusters(corpus, threshold=0.98, n_cells=2)
+    b = semantic_dedup_clusters(
+        corpus, threshold=0.98, n_cells=2, collapse_exact=False
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    kept = semantic_dedup(corpus, threshold=0.98, n_cells=2)
+    twins_kept = kept.filter(F.col("vec_id") >= 200).count()
+    assert twins_kept == 1
+    assert kept.filter(F.col("vec_id") == 200).count() == 1
+    assert kept.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 200)).count() == 0
