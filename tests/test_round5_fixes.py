@@ -355,3 +355,34 @@ def test_replayed_twin_does_not_displace_stored_canonical(spark):
     batch2 = _df(spark, [(5, BASE), (3, BASE + " almost identical tail")])
     kept2, _ = incremental_near_dedup(batch2, idx, k=16, bands=8)
     assert kept2.count() == 0
+
+
+def test_with_fingerprint_matches_reference_md5(spark):
+    """doc_fingerprint ceded its registry slot to doc_rep_map (50-row
+    harness window), so the whole-doc digest gets its differential
+    check here: Spark md5-of-normalized-text vs hashlib on the same
+    normalization, including unicode stripping and a NULL text."""
+    import hashlib
+
+    from binancedatapipeline_spark.textops.analysis import with_fingerprint
+
+    rows = [
+        (1, "Hello, World!  "),
+        (2, "helloworld"),           # same normalized content as 1
+        (3, "naïve café 123"),       # non-ASCII letters are stripped
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in with_fingerprint(df).select("doc_id", "fingerprint").collect()}
+
+    import re as _re
+
+    for doc_id, text in rows:
+        if text is None:
+            assert got[doc_id] is None
+            continue
+        norm = _re.sub(r"[^A-Za-z0-9]", "", text).lower()
+        assert got[doc_id] == hashlib.md5(norm.encode()).hexdigest(), doc_id
+    assert got[1] == got[2]
