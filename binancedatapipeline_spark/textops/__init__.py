@@ -54,6 +54,8 @@ from binancedatapipeline_spark.textops.curate import (
     curation_report,
 )
 from binancedatapipeline_spark.textops.decontam import (
+    bloom_decontaminate,
+    build_bloom_bitmap,
     contamination_hits,
     decontaminate,
 )
@@ -109,6 +111,8 @@ __all__ = [
     "curation_flags",
     "curation_report",
     "contamination_hits",
+    "bloom_decontaminate",
+    "build_bloom_bitmap",
     "decontaminate",
     "chunk_documents",
     "pack_sequences",

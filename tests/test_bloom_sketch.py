@@ -1,0 +1,117 @@
+"""Bloom-filter decontamination: the compressed-benchmark scale path.
+
+The contract under test: (1) NO false negatives — every document the
+exact probe removes, the Bloom probe removes; (2) the per-document
+false-positive rate follows the union bound s * (1-e^{-k/c})^k, so
+the c=20 default keeps it near zero on short docs while c=10 visibly
+over-drops (the measured finding the SIZING note documents); (3) the
+corpus-side plan stays Python-free with no corpus shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from binancedatapipeline_spark.textops.decontam import (
+    bloom_decontaminate,
+    build_bloom_bitmap,
+    decontaminate,
+)
+
+
+def _corpus(spark, seed=7, n_bench=20, n_docs=300, planted=10):
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(200)]
+
+    def doc(n):
+        return " ".join(rng.choice(vocab) for _ in range(n))
+
+    bench_rows = [(i, doc(30)) for i in range(n_bench)]
+    corpus_rows = [(100 + i, doc(40)) for i in range(n_docs)]
+    for j in range(planted):
+        btoks = bench_rows[j][1].split()
+        corpus_rows[j] = (
+            corpus_rows[j][0],
+            corpus_rows[j][1] + " " + " ".join(btoks[3:8]),
+        )
+    docs = spark.createDataFrame(corpus_rows, "doc_id int, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id int, text string")
+    return docs, bench, [100 + j for j in range(planted)]
+
+
+def test_bloom_no_false_negatives_and_planted_removed(spark):
+    docs, bench, planted = _corpus(spark)
+    exact = {r.doc_id for r in decontaminate(docs, bench).select("doc_id").collect()}
+    bloom = {r.doc_id for r in bloom_decontaminate(docs, bench).select("doc_id").collect()}
+    # one-sided error: bloom keeps a SUBSET of what exact keeps
+    assert bloom <= exact
+    assert not any(p in bloom for p in planted)
+    # and at c=20 the subset is nearly the whole thing (union bound:
+    # ~36 shingles * 0.6185^20 ~ 0.24%/doc -> a few docs at most)
+    assert len(exact - bloom) <= 10
+
+
+def test_bloom_fp_rate_tracks_union_bound(spark):
+    """c=10 on ~36-shingle docs must over-drop at ~s*0.8% ~ 25%/doc —
+    the measured hazard that motivates the c=20 default — while still
+    never under-dropping."""
+    docs, bench, _ = _corpus(spark, seed=11)
+    exact = {r.doc_id for r in decontaminate(docs, bench).select("doc_id").collect()}
+    kept10 = {
+        r.doc_id
+        for r in bloom_decontaminate(docs, bench, bits_per_key=10, num_hashes=7)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept10 <= exact
+    fp_rate = len(exact - kept10) / max(len(exact), 1)
+    # union bound predicts ~25%; accept a generous band around it
+    bound = 36 * (1 - math.exp(-7 / 10)) ** 7
+    assert 0.05 < fp_rate < 2.5 * bound
+
+
+def test_bloom_bitmap_reuse_and_determinism(spark):
+    docs, bench, _ = _corpus(spark, seed=13)
+    bm = build_bloom_bitmap(bench)
+    words, m, k = bm
+    assert m == len(words) * 64 and k == 14
+    a = {r.doc_id for r in bloom_decontaminate(docs, bitmap=bm).select("doc_id").collect()}
+    b = {r.doc_id for r in bloom_decontaminate(docs, bench).select("doc_id").collect()}
+    assert a == b
+    # build is deterministic
+    assert build_bloom_bitmap(bench)[0] == words
+
+
+def test_bloom_edge_cases(spark):
+    import pyspark.sql.functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, None), (3, "")], "doc_id int, text string"
+    )
+    bench = spark.createDataFrame([(1, "x y z q r")], "doc_id int, text string")
+    kept = bloom_decontaminate(docs, bench).select("doc_id")
+    # null/empty/short docs share no 5-gram with the bench: all kept
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3}
+
+    # empty benchmark: nothing removed
+    empty_bench = bench.filter(F.lit(False))
+    kept2 = bloom_decontaminate(docs, empty_bench).select("doc_id")
+    assert kept2.count() == 3
+
+
+def test_bloom_probe_plan_is_jvm_only_no_corpus_shuffle(spark):
+    docs, bench, _ = _corpus(spark, seed=17)
+    bm = build_bloom_bitmap(bench)
+    plan = (
+        bloom_decontaminate(docs, bitmap=bm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the only exchange permitted is the single-row bitmap broadcast;
+    # the corpus side must carry no Exchange at all
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
