@@ -60,6 +60,12 @@ from binancedatapipeline_spark.textops.decontam import (
     decontaminate,
 )
 from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
+from binancedatapipeline_spark.textops.sketch import (
+    cms_build,
+    cms_error_bound,
+    cms_estimate,
+    cms_merge,
+)
 from binancedatapipeline_spark.textops.recipe import (
     RecipeResult,
     prepare_training_corpus,
@@ -114,6 +120,10 @@ __all__ = [
     "bloom_decontaminate",
     "build_bloom_bitmap",
     "decontaminate",
+    "cms_build",
+    "cms_error_bound",
+    "cms_estimate",
+    "cms_merge",
     "chunk_documents",
     "pack_sequences",
     "hash_sample",

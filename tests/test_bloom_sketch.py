@@ -115,3 +115,99 @@ def test_bloom_probe_plan_is_jvm_only_no_corpus_shuffle(spark):
     # the corpus side must carry no Exchange at all
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Exchange rangepartitioning" not in plan, plan
+
+
+# ------------------------------------------------------------- count-min
+
+from binancedatapipeline_spark.textops.sketch import (  # noqa: E402
+    cms_build,
+    cms_error_bound,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def _tokens(spark, seed=3, n=4000, zipf_vocab=50):
+    """Zipf-ish token stream: token t{i} appears ~n/(i+1) times."""
+    rng = random.Random(seed)
+    rows = [(f"t{int(rng.paretovariate(1.1)) % zipf_vocab}",) for _ in range(n)]
+    return spark.createDataFrame(rows, "tok string"), rows
+
+
+def test_cms_exact_when_width_exceeds_cardinality(spark):
+    df, rows = _tokens(spark)
+    from collections import Counter
+
+    true = Counter(r[0] for r in rows)
+    sk = cms_build(df, "tok", depth=5, width=8192)
+    keys = spark.createDataFrame([(k,) for k in true], "tok string")
+    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok", depth=5, width=8192).collect()}
+    # 50 keys in 8192 buckets x 5 rows: min over rows is exact w.h.p.
+    assert est == dict(true)
+
+
+def test_cms_never_undercounts_and_respects_eps_bound(spark):
+    df, rows = _tokens(spark, seed=9, n=6000, zipf_vocab=400)
+    from collections import Counter
+
+    true = Counter(r[0] for r in rows)
+    depth, width = 4, 64  # deliberately tiny: force collisions
+    sk = cms_build(df, "tok", depth=depth, width=width)
+    keys = spark.createDataFrame([(k,) for k in true], "tok string")
+    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok", depth=depth, width=width).collect()}
+    n_total = len(rows)
+    eps = 2.718281828 / width * n_total
+    over = 0
+    for k, t in true.items():
+        assert est[k] >= t, k  # the one-sided guarantee, always
+        if est[k] - t > eps:
+            over += 1
+    # P(overshoot > eps) <= e^-depth ~ 1.8% per key; allow slack
+    assert over <= max(3, int(0.05 * len(true)))
+
+    bound = cms_error_bound(sk, width).collect()[0]
+    assert bound.total_n == n_total
+    assert abs(bound.eps_bound - eps) < 1e-6
+
+
+def test_cms_merge_equals_build_on_union(spark):
+    a, _ = _tokens(spark, seed=1, n=1500)
+    b, _ = _tokens(spark, seed=2, n=1500)
+    sk_merged = cms_merge(cms_build(a, "tok", 4, 256), cms_build(b, "tok", 4, 256))
+    sk_union = cms_build(a.unionByName(b), "tok", 4, 256)
+    left = {(r.row, r.bucket): r.cnt for r in sk_merged.collect()}
+    right = {(r.row, r.bucket): r.cnt for r in sk_union.collect()}
+    assert left == right
+
+
+def test_cms_weighted_equals_expanded(spark):
+    pre = spark.createDataFrame(
+        [("a", 5), ("b", 2), ("c", 1)], "tok string, n int"
+    )
+    expanded = spark.createDataFrame(
+        [("a",)] * 5 + [("b",)] * 2 + [("c",)], "tok string"
+    )
+    w = {(r.row, r.bucket): r.cnt
+         for r in cms_build(pre, "tok", 3, 128, weight_col="n").collect()}
+    e = {(r.row, r.bucket): r.cnt
+         for r in cms_build(expanded, "tok", 3, 128).collect()}
+    assert w == e
+
+
+def test_cms_null_keys_ignored_and_absent_key_bounded(spark):
+    df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "tok string")
+    sk = cms_build(df, "tok", depth=4, width=512)
+    keys = spark.createDataFrame([("a",), ("zz",)], "tok string")
+    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok", depth=4, width=512).collect()}
+    assert est["a"] == 2
+    assert 0 <= est["zz"] <= 3  # absent key: >= 0, bounded by collisions
+
+
+def test_cms_build_plan_is_bounded_single_shuffle(spark):
+    df, _ = _tokens(spark, seed=5)
+    sk = cms_build(df, "tok", depth=5, width=1024)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # one hash exchange (the depth*width groupBy), partial agg before it
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert sk.count() <= 5 * 1024
