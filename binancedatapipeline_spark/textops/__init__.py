@@ -9,6 +9,7 @@ scale on a cluster; no Python row loops anywhere.
 from binancedatapipeline_spark.textops.analysis import (
     with_fingerprint,
     with_lang_guess,
+    tfidf_top_terms,
     with_quality,
     with_tokens,
 )
@@ -83,6 +84,7 @@ from binancedatapipeline_spark.textops.sampling import (
 __all__ = [
     "with_fingerprint",
     "with_lang_guess",
+    "tfidf_top_terms",
     "with_quality",
     "with_tokens",
     "band_index",

@@ -123,3 +123,62 @@ def with_rolling_fingerprint(
         .withColumn("rolling_fp", F.expr(expr))
         .drop("__norm")
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF:
+    ``tf * (ln((1 + N) / (1 + df)) + 1)`` (the sklearn-style smooth
+    idf, never negative/zero so rare terms still rank). Returns
+    ``(id, term, tf, tfidf, term_rank)`` with deterministic ties
+    (higher tfidf first, then lexicographic term).
+
+    Scale shape: three shuffles total, each keyed small-to-smaller —
+    (1) tf: explode lowercased tokens, groupBy (doc, term); (2) df:
+    groupBy term over the tf relation (Catalyst reuses the tf
+    subtree); the N scalar rides in as a literal-free cross join of a
+    one-row aggregate, broadcast, so no collect; (3) the per-doc
+    top-k window. The df side joins back on term as a plain shuffle
+    join — vocab is corpus-sized, NOT broadcastable at 100 TB, and
+    the tf relation is already far smaller than the exploded token
+    stream. ``min_df`` prunes hapax noise before the join when > 1."""
+    from pyspark.sql import Window
+
+    toks = F.transform(tokens_col(F.lower(F.col(text_col))), lambda t: F.trim(t))
+    tf = (
+        df.select(F.col(id_col), F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(
+        F.count_distinct(F.col(id_col)).alias("__n")
+    )
+    doc_freq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+    )
+    scored = (
+        tf.join(doc_freq, "term")
+        .join(F.broadcast(n_docs), F.lit(True))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term", "tf", "tfidf", "term_rank")
+    )

@@ -267,3 +267,58 @@ def test_mixture_oversample_repetition(spark):
            mixture_sample(df, "domain", {"web": 0.3, "code": 1.0})
            .filter("domain='web'").collect()}
     assert kept == ref
+
+
+def test_tfidf_top_terms_matches_duckdb(spark):
+    """TF-IDF differential vs DuckDB on the same corpus: identical
+    (doc, term, tf, rank) and tfidf within float tolerance, with the
+    deterministic (-tfidf, term) tie order."""
+    import duckdb
+
+    from binancedatapipeline_spark.textops.analysis import tfidf_top_terms
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog ate the cat food"),
+        (3, "quantum flux capacitors need plutonium"),
+        (4, "the the the the"),
+        (5, None),
+        (6, "  spaced   Out   tokens  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id, r.term_rank): (r.term, r.tf, r.tfidf)
+        for r in tfidf_top_terms(docs, k=3).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id INT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    exp = con.execute("""
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM docs, UNNEST(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS u(t)
+  WHERE length(t) > 0
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((1 + n.n)::DOUBLE / (1 + dfq.df)) + 1) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf,
+       row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+FROM scored QUALIFY rnk <= 3
+""").fetchall()
+    expect = {(d, r): (t, tf, tfidf) for d, t, tf, tfidf, r in exp}
+    assert set(got) == set(expect)
+    for key in expect:
+        assert got[key][0] == expect[key][0], (key, got[key], expect[key])
+        assert got[key][1] == expect[key][1]
+        assert abs(got[key][2] - expect[key][2]) < 1e-9
+    # doc 5 (NULL) contributes no rows but still counts toward N via
+    # count_distinct over the input — pin that N includes it the same
+    # way on both sides (both count 6 docs)
+    assert not any(d == 5 for d, _ in got)
