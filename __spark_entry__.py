@@ -27,7 +27,6 @@ from binancedatapipeline_spark.operators.dedup import dedup_keep_last  # noqa: E
 from binancedatapipeline_spark.textops.analysis import (  # noqa: E402
     LANG_MARKERS,
     tokens_col,
-    with_fingerprint,
     with_lang_guess,
     with_quality,
     with_rolling_fingerprint,
@@ -618,11 +617,6 @@ def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_lang_guess(d).select("doc_id", "lang", "lang_guess")
 
 
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return with_fingerprint(d).select("doc_id", "fingerprint")
-
-
 def q_doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return with_rolling_fingerprint(d, k=8).select("doc_id", "rolling_fp")
@@ -1037,7 +1031,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # EXCEPT-shape by anti_join/intersect. Round 5 swapped
     # doc_fingerprint (whole-doc digest — the identical md5 machinery
     # is still driver-verified through doc_exact_dedup and doc_rep_map,
-    # and q_doc_fingerprint stays diff-tested) for doc_rep_map so the
+    # and textops.with_fingerprint is diff-tested against hashlib in
+    # tests/test_round5_fixes.py) for doc_rep_map so the
     # exact-collapse primitive behind near_dedup is oracle-gated.
     return {
         "pricing_summary": q_pricing_summary,

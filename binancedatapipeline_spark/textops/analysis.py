@@ -149,7 +149,7 @@ def tfidf_top_terms(
     stream. ``min_df`` prunes hapax noise before the join when > 1."""
     from pyspark.sql import Window
 
-    toks = F.transform(tokens_col(F.lower(F.col(text_col))), lambda t: F.trim(t))
+    toks = tokens_col(F.lower(F.col(text_col)))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
         .filter(F.length("term") > 0)

@@ -131,11 +131,15 @@ def build_bloom_bitmap(
     text_col: str = "text",
     bits_per_key: int = 20,
     num_hashes: int = 14,
-) -> tuple[list[int], int, int]:
+) -> tuple[list[int], int, int, int]:
     """Distributed Bloom build over the benchmark shingle set.
 
-    Returns ``(words, m, k)``: the bitmap as ``m/64`` longs, the bit
-    width ``m``, and the hash count ``k``. The build never collects
+    Returns ``(words, m, k, n)``: the bitmap as ``m/64`` longs, the
+    bit width ``m``, the hash count ``k``, and the shingle width
+    ``n`` — every parameter the probe must agree on rides in the
+    tuple, so a reused bitmap cannot be probed with a divergent hash
+    family or n-gram width (either silently breaks the
+    no-false-negative guarantee). The build never collects
     shingles — positions fold into per-word ``bit_or`` partials
     map-side and only the SET words (<= m/64 longs, sized by the
     benchmark, never the corpus) reach the driver. Two bounded
@@ -166,7 +170,7 @@ def build_bloom_bitmap(
     words = [0] * n_words
     for r in packed:
         words[r["__w"]] = r["__word"]
-    return words, m, num_hashes
+    return words, m, num_hashes, n
 
 
 def bloom_decontaminate(
@@ -177,7 +181,7 @@ def bloom_decontaminate(
     text_col: str = "text",
     bits_per_key: int = 20,
     num_hashes: int = 14,
-    bitmap: tuple[list[int], int, int] | None = None,
+    bitmap: tuple[list[int], int, int, int] | None = None,
 ) -> DataFrame:
     """`decontaminate` with the benchmark side compressed to a Bloom
     bitmap: removes EVERY document sharing a word ``n``-gram with the
@@ -192,15 +196,23 @@ def bloom_decontaminate(
     hashes testing all ``k`` bit positions via JVM getbit — no Python,
     no shuffle, no per-shingle explode. Pass ``bitmap`` (from
     :func:`build_bloom_bitmap`) to reuse one build across many corpus
-    partitions/batches; otherwise ``bench`` is required and the
-    bitmap is built here."""
+    partitions/batches, in which case the bitmap's own recorded
+    ``n``/``k`` govern the probe and this call's ``n``/
+    ``bits_per_key``/``num_hashes`` are unused (passing both bench
+    and bitmap is rejected rather than guessed about); otherwise
+    ``bench`` is required and the bitmap is built here."""
     if bitmap is None:
         if bench is None:
             raise ValueError("bloom_decontaminate needs either bench or bitmap")
         bitmap = build_bloom_bitmap(
             bench, n, id_col, text_col, bits_per_key, num_hashes
         )
-    words, m, k = bitmap
+    elif bench is not None:
+        raise ValueError(
+            "bloom_decontaminate: pass bench OR bitmap, not both — a "
+            "prebuilt bitmap pins its own n and hash family"
+        )
+    words, m, k, n = bitmap
     spark = docs.sparkSession
     bm = spark.createDataFrame([(words,)], "__bloom: array<long>")
 

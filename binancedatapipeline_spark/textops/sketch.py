@@ -17,6 +17,13 @@ probed with a broadcast join. No driver arrays, no UDFs, no
 of the engine (persist them, upsert them into the warehouse as
 incremental state, union them across corpus shards).
 
+The (depth, width) parameters ride ON the relation as constant
+columns: a probe or merge with mismatched parameters would silently
+break the never-undercounts guarantee (wrong buckets read as implicit
+zeros), so estimate/merge read the parameters off the sketch itself
+and raise on any conflict instead of trusting the caller to repeat
+them correctly.
+
 Reference parity: the reference engine has no sketch operators; this
 is part of the beyond-reference training-data suite (brief: "a novel
 sketch" under custom operators).
@@ -26,6 +33,38 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CELLS = ["row", "bucket", "cnt", "depth", "width"]
+
+
+def _params(sketch: DataFrame, what: str) -> tuple[int, int]:
+    """(depth, width) read off the sketch relation — one bounded
+    action over <= depth*width rows. Raises if the relation mixes
+    parameters (e.g. a careless union of incompatible sketches)."""
+    rows = sketch.select("depth", "width").distinct().limit(3).collect()
+    if len(rows) != 1:
+        raise ValueError(
+            f"{what}: sketch relation carries "
+            f"{[tuple(r) for r in rows]} (depth, width) pairs — expected "
+            "exactly one; was it unioned from incompatible sketches?"
+        )
+    return rows[0]["depth"], rows[0]["width"]
+
+
+def _cells(key_col: str, depth: int, width: int) -> F.Column:
+    """The depth seeded (row, bucket) cells of a key — the ONE hash
+    derivation shared by build and probe so they cannot diverge."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
 
 
 def cms_build(
@@ -37,10 +76,12 @@ def cms_build(
 ) -> DataFrame:
     """Build a Count-Min sketch over ``df[key_col]``.
 
-    Returns the sketch relation ``(row, bucket, cnt)`` with at most
-    ``depth x width`` rows (absent cells are implicit zeros). NULL
-    keys are ignored (SQL aggregate convention). ``weight_col``
-    makes it a weighted sketch (e.g. pre-aggregated counts).
+    Returns the sketch relation ``(row, bucket, cnt, depth, width)``
+    with at most ``depth x width`` rows (absent cells are implicit
+    zeros; depth/width are constant parameter columns — see module
+    note). NULL keys are ignored (SQL aggregate convention).
+    ``weight_col`` makes it a weighted sketch (e.g. pre-aggregated
+    counts).
 
     Plan: per input row, ``depth`` (row, bucket) pairs from one
     inline array explode — xxhash64 seeded by the row index keeps
@@ -49,37 +90,34 @@ def cms_build(
     <= depth*width cells before the one bounded shuffle."""
     w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
     pairs = df.filter(F.col(key_col).isNotNull()).select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("__cell"),
+        F.explode(_cells(key_col, depth, width)).alias("__cell"),
         w.alias("__w"),
     )
     return (
         pairs.select("__cell.row", "__cell.bucket", "__w")
         .groupBy("row", "bucket")
         .agg(F.sum("__w").alias("cnt"))
+        .select("*", F.lit(depth).alias("depth"), F.lit(width).alias("width"))
     )
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
-    """Merge two sketches built with identical (depth, width, hash
-    family): cell-wise sum. Mergeability is the point — per-shard or
-    per-batch sketches fold into a corpus sketch without touching the
-    raw data again."""
+    """Merge two sketches built with identical (depth, width):
+    cell-wise sum. Mergeability is the point — per-shard or per-batch
+    sketches fold into a corpus sketch without touching the raw data
+    again. Raises if the parameters differ (summing cells from
+    different hash geometries is silent garbage)."""
+    pa, pb = _params(a, "cms_merge"), _params(b, "cms_merge")
+    if pa != pb:
+        raise ValueError(
+            f"cms_merge: incompatible sketches — (depth, width) {pa} vs {pb}"
+        )
     return (
-        a.unionByName(b)
-        .groupBy("row", "bucket")
+        a.select(_CELLS)
+        .unionByName(b.select(_CELLS))
+        .groupBy("row", "bucket", "depth", "width")
         .agg(F.sum("cnt").alias("cnt"))
+        .select(_CELLS)
     )
 
 
@@ -87,51 +125,42 @@ def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,
     key_col: str,
-    depth: int = 5,
-    width: int = 8192,
 ) -> DataFrame:
-    """Point estimates for ``keys[key_col]``: input columns plus
-    ``est`` (>= the true count, never under).
+    """Point estimates: one row per DISTINCT non-null key tuple in
+    ``keys``, with ``est`` >= the true count (never under).
+
+    depth/width come from the sketch relation itself — passing them
+    again was the silent-zero footgun (a probe with the wrong width
+    reads empty buckets and undercounts to 0). NULL keys are excluded
+    to mirror the build convention; duplicate key rows collapse to
+    one output row (estimates are properties of the key, not the
+    probe multiplicity).
 
     The probe re-derives each key's ``depth`` cells with the same
     seeded hashes and takes the MIN over rows; a cell missing from
     the sketch relation is an implicit zero. The sketch side is
     <= depth*width rows — broadcast, so probing any number of keys
-    is shuffle-free on the key side until the final per-key min
-    (a groupBy on the probe's own key, which the caller's key list
-    is usually small enough to make trivial)."""
+    is shuffle-free on the key side until the final per-key min."""
+    depth, width = _params(sketch, "cms_estimate")
+    keys = keys.filter(F.col(key_col).isNotNull()).distinct()
     probe = keys.select(
         "*",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("__cell"),
+        F.explode(_cells(key_col, depth, width)).alias("__cell"),
     ).select("*", "__cell.row", "__cell.bucket").drop("__cell")
-    joined = probe.join(F.broadcast(sketch), ["row", "bucket"], "left").withColumn(
-        "__c", F.coalesce(F.col("cnt"), F.lit(0).cast("long"))
-    )
-    group_cols = [c for c in keys.columns]
-    return (
-        joined.groupBy(*group_cols)
-        .agg(F.min("__c").alias("est"))
-    )
+    joined = probe.join(
+        F.broadcast(sketch.select("row", "bucket", "cnt")), ["row", "bucket"], "left"
+    ).withColumn("__c", F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+    group_cols = list(keys.columns)
+    return joined.groupBy(*group_cols).agg(F.min("__c").alias("est"))
 
 
-def cms_error_bound(sketch: DataFrame, width: int) -> DataFrame:
+def cms_error_bound(sketch: DataFrame) -> DataFrame:
     """The additive error guarantee as data: one row with ``total_n``
     (total sketched weight, read off any hash row) and ``eps_bound``
     = e/width * N — the overcount no key exceeds with probability
     >= 1 - e^-depth. Lets callers threshold heavy-hitter candidates
     without rescanning the corpus."""
+    _, width = _params(sketch, "cms_error_bound")
     return (
         sketch.filter(F.col("row") == 0)
         .agg(F.sum("cnt").alias("total_n"))

@@ -74,8 +74,8 @@ def test_bloom_fp_rate_tracks_union_bound(spark):
 def test_bloom_bitmap_reuse_and_determinism(spark):
     docs, bench, _ = _corpus(spark, seed=13)
     bm = build_bloom_bitmap(bench)
-    words, m, k = bm
-    assert m == len(words) * 64 and k == 14
+    words, m, k, bm_n = bm
+    assert m == len(words) * 64 and k == 14 and bm_n == 5
     a = {r.doc_id for r in bloom_decontaminate(docs, bitmap=bm).select("doc_id").collect()}
     b = {r.doc_id for r in bloom_decontaminate(docs, bench).select("doc_id").collect()}
     assert a == b
@@ -141,7 +141,7 @@ def test_cms_exact_when_width_exceeds_cardinality(spark):
     true = Counter(r[0] for r in rows)
     sk = cms_build(df, "tok", depth=5, width=8192)
     keys = spark.createDataFrame([(k,) for k in true], "tok string")
-    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok", depth=5, width=8192).collect()}
+    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok").collect()}
     # 50 keys in 8192 buckets x 5 rows: min over rows is exact w.h.p.
     assert est == dict(true)
 
@@ -154,7 +154,7 @@ def test_cms_never_undercounts_and_respects_eps_bound(spark):
     depth, width = 4, 64  # deliberately tiny: force collisions
     sk = cms_build(df, "tok", depth=depth, width=width)
     keys = spark.createDataFrame([(k,) for k in true], "tok string")
-    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok", depth=depth, width=width).collect()}
+    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok").collect()}
     n_total = len(rows)
     eps = 2.718281828 / width * n_total
     over = 0
@@ -165,7 +165,7 @@ def test_cms_never_undercounts_and_respects_eps_bound(spark):
     # P(overshoot > eps) <= e^-depth ~ 1.8% per key; allow slack
     assert over <= max(3, int(0.05 * len(true)))
 
-    bound = cms_error_bound(sk, width).collect()[0]
+    bound = cms_error_bound(sk).collect()[0]
     assert bound.total_n == n_total
     assert abs(bound.eps_bound - eps) < 1e-6
 
@@ -198,7 +198,7 @@ def test_cms_null_keys_ignored_and_absent_key_bounded(spark):
     df = spark.createDataFrame([("a",), (None,), ("a",), ("b",)], "tok string")
     sk = cms_build(df, "tok", depth=4, width=512)
     keys = spark.createDataFrame([("a",), ("zz",)], "tok string")
-    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok", depth=4, width=512).collect()}
+    est = {r.tok: r.est for r in cms_estimate(sk, keys, "tok").collect()}
     assert est["a"] == 2
     assert 0 <= est["zz"] <= 3  # absent key: >= 0, bounded by collisions
 
@@ -211,3 +211,57 @@ def test_cms_build_plan_is_bounded_single_shuffle(spark):
     # one hash exchange (the depth*width groupBy), partial agg before it
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert sk.count() <= 5 * 1024
+
+
+def test_cms_param_guards(spark):
+    """The review-found footgun: probing/merging with mismatched
+    (depth, width) must raise, not silently undercount to zero."""
+    import pytest
+
+    df = spark.createDataFrame([("a",)] * 10 + [("b",)] * 5, "tok string")
+    sk_a = cms_build(df, "tok", depth=4, width=1024)
+    sk_b = cms_build(df, "tok", depth=5, width=8192)
+    with pytest.raises(ValueError, match="incompatible"):
+        cms_merge(sk_a, sk_b)
+    with pytest.raises(ValueError, match="pairs"):
+        cms_estimate(sk_a.unionByName(sk_b), df.limit(1), "tok")
+    # params ride the relation: the probe needs no repeated arguments
+    keys = spark.createDataFrame([("a",)], "tok string")
+    assert cms_estimate(sk_a, keys, "tok").collect()[0].est == 10
+
+
+def test_cms_probe_excludes_nulls_and_dedups_keys(spark):
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "tok string")
+    sk = cms_build(df, "tok", depth=4, width=512)
+    keys = spark.createDataFrame([("a",), ("a",), (None,)], "tok string")
+    rows = cms_estimate(sk, keys, "tok").collect()
+    # one row per distinct non-null key: no spurious NULL estimate,
+    # no duplicate-key multiplicity
+    assert [(r.tok, r.est) for r in rows] == [("a", 2)]
+
+
+def test_bloom_bitmap_pins_n_and_rejects_bench_plus_bitmap(spark):
+    """The review-found footgun: a bitmap built with n=3 probed by a
+    call defaulting to n=5 silently produced false negatives. The
+    tuple now carries n, so the probe follows the build."""
+    import pytest
+
+    bench = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id int, text string"
+    )
+    # corpus doc shares a 3-gram (but also a 5-gram — make it share
+    # ONLY a 3-gram so the n actually matters)
+    docs = spark.createDataFrame(
+        [(10, "beta gamma delta unrelated tail words here")],
+        "doc_id int, text string",
+    )
+    bm3 = build_bloom_bitmap(bench, n=3)
+    kept = bloom_decontaminate(docs, bitmap=bm3)
+    assert kept.count() == 0  # the 3-gram hit is honored
+
+    # exact n=3 agrees; n=5 would have kept it (no shared 5-gram)
+    assert decontaminate(docs, bench, n=3).count() == 0
+    assert decontaminate(docs, bench, n=5).count() == 1
+
+    with pytest.raises(ValueError, match="not both"):
+        bloom_decontaminate(docs, bench=bench, bitmap=bm3)
