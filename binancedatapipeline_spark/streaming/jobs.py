@@ -443,3 +443,96 @@ def stream_semantic_dedup(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def stream_token_sketch(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    sketch_spec: TableSpec,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str | None = None,
+    depth: int = 5,
+    width: int = 8192,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Maintain a corpus-wide Count-Min token-frequency sketch at
+    ingest: per micro-batch, sketch the batch (textops/sketch.py
+    ``cms_build``) and PK-upsert it under its batch id.
+
+    REPLAY SEMANTICS are why the state is per-batch rather than one
+    merged relation: a counting sketch is not idempotent under
+    re-merge (a retried batch would double-count), but re-upserting
+    the same batch's sketch under the ``(batch_id, row, bucket)`` PK
+    REPLACES bit-identical rows — the foreachBatch retry contract
+    (same batch_id ⇒ same data for replayable sources) makes the
+    whole job idempotent. Readers fold the per-batch sketches with
+    :func:`read_corpus_sketch`; the stored state is
+    ``n_batches x depth x width`` rows, compactable offline by
+    upserting the fold back under a reserved batch id if n_batches
+    ever matters.
+
+    ``sketch_spec`` MUST be keyed ``(batch_id, row, bucket)``.
+    ``key_col`` sketches an existing column directly; otherwise
+    ``text_col`` is lowercased, whitespace-tokenized and exploded
+    (the tokens_col convention shared with tfidf/word_count).
+
+    Guard: if stored state exists with different (depth, width), the
+    batch raises instead of writing cells in a different hash
+    geometry into the same table (folding mixed geometries is the
+    silent-garbage case cms_merge rejects)."""
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+    from binancedatapipeline_spark.textops.sketch import cms_build
+
+    if set(sketch_spec.primary_keys) != {"batch_id", "row", "bucket"}:
+        raise ValueError("sketch_spec must be keyed (batch_id, row, bucket)")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        stored = warehouse.read(sketch_spec)
+        prior = stored.select("depth", "width").distinct().limit(2).collect()
+        if prior and (len(prior) > 1 or tuple(prior[0]) != (depth, width)):
+            raise ValueError(
+                f"stream_token_sketch: stored sketch geometry "
+                f"{[tuple(r) for r in prior]} != configured ({depth}, {width})"
+            )
+        if key_col is None:
+            keyed = batch_df.select(
+                F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+            ).filter(F.length("tok") > 0)
+            col = "tok"
+        else:
+            keyed, col = batch_df, key_col
+        sk = cms_build(keyed, col, depth=depth, width=width).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        sk = sk.persist()
+        n_cells = sk.count()
+        if n_cells:
+            warehouse.upsert(sketch_spec, sk)
+        if on_batch:
+            on_batch(batch_id, n_cells)
+        sk.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def read_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFrame:
+    """The corpus-wide sketch: per-batch sketches folded cell-wise.
+    Returns the standard ``(row, bucket, cnt, depth, width)`` relation
+    every textops/sketch.py consumer accepts (cms_estimate,
+    cms_error_bound, cms_merge with another corpus)."""
+    return (
+        warehouse.read(sketch_spec)
+        .groupBy("row", "bucket", "depth", "width")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("row", "bucket", "cnt", "depth", "width")
+    )
