@@ -63,6 +63,9 @@ from binancedatapipeline_spark.textops.decontam import (
 from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
 from binancedatapipeline_spark.textops.sketch import (
     cms_build,
+    hll_build,
+    hll_estimate,
+    hll_merge,
     cms_error_bound,
     cms_estimate,
     cms_merge,
@@ -126,6 +129,9 @@ __all__ = [
     "cms_error_bound",
     "cms_estimate",
     "cms_merge",
+    "hll_build",
+    "hll_estimate",
+    "hll_merge",
     "chunk_documents",
     "pack_sequences",
     "hash_sample",

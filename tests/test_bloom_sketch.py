@@ -265,3 +265,46 @@ def test_bloom_bitmap_pins_n_and_rejects_bench_plus_bitmap(spark):
 
     with pytest.raises(ValueError, match="not both"):
         bloom_decontaminate(docs, bench=bench, bitmap=bm3)
+
+
+# ---------------------------------------------------------------- HLL
+
+from binancedatapipeline_spark.textops.sketch import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def test_hll_estimate_within_error_and_groupwise(spark):
+    import pyspark.sql.functions as F
+
+    n = 20000
+    df = spark.range(n).select(
+        (F.col("id") % 2).alias("grp"),
+        F.concat(F.lit("u"), (F.col("id") % 5000)).alias("user"),
+    )
+    sk = hll_build(df, "user", group_cols=("grp",))
+    est = {r.grp: r.n_distinct for r in hll_estimate(sk, ("grp",)).collect()}
+    # each group sees 2500 distinct users; lgk=12 ~ 2% error
+    for g in (0, 1):
+        assert abs(est[g] - 2500) / 2500 < 0.05, est
+
+
+def test_hll_merge_equals_build_on_union_and_is_idempotent(spark):
+    import pyspark.sql.functions as F
+
+    a = spark.range(0, 6000).select(F.concat(F.lit("k"), "id").alias("user"))
+    b = spark.range(4000, 9000).select(F.concat(F.lit("k"), "id").alias("user"))
+    sk_a, sk_b = hll_build(a, "user"), hll_build(b, "user")
+    merged = hll_merge(sk_a, sk_b)
+    union = hll_build(a.unionByName(b), "user")
+    m = hll_estimate(merged).collect()[0].n_distinct
+    u = hll_estimate(union).collect()[0].n_distinct
+    assert abs(m - 9000) / 9000 < 0.05
+    assert abs(m - u) / u < 0.02
+
+    # set semantics: re-merging the same sketch changes nothing —
+    # the replay-safety contrast with Count-Min
+    again = hll_merge(merged, sk_b)
+    assert hll_estimate(again).collect()[0].n_distinct == m
