@@ -1,6 +1,8 @@
 from binancedatapipeline_spark.streaming.jobs import (
     resample_klines,
     sessionize_windows,
+    batch_token_sketch,
+    compact_corpus_sketch,
     read_corpus_sketch,
     stream_curate_upsert,
     stream_incremental_dedup,
@@ -14,6 +16,8 @@ from binancedatapipeline_spark.streaming.jobs import (
 __all__ = [
     "resample_klines",
     "sessionize_windows",
+    "batch_token_sketch",
+    "compact_corpus_sketch",
     "read_corpus_sketch",
     "stream_curate_upsert",
     "stream_incremental_dedup",

@@ -445,6 +445,68 @@ def stream_semantic_dedup(
     return writer.start()
 
 
+# --------------------------------------------------------------- sketch
+
+SKETCH_EPOCH = "1970-01-01"  # batch_ds = epoch + batch_id days
+
+
+def _stream_identity(checkpoint_dir: str) -> str:
+    """A stable id for the stream lineage: Structured Streaming's own
+    query id from ``<checkpoint>/metadata`` (written at start; stable
+    across restarts of the same checkpoint, fresh for a new one —
+    exactly the identity the state needs). Falls back to a hash of
+    the checkpoint path for non-local checkpoint URIs, which tracks
+    the same thing unless a checkpoint is deleted and re-created at
+    the identical path (documented limitation)."""
+    import hashlib
+    import json as _json
+    import os as _os
+
+    meta = _os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta) as fh:
+            return _json.load(fh)["id"]
+    except (OSError, ValueError, KeyError):
+        return hashlib.sha1(checkpoint_dir.encode()).hexdigest()
+
+
+def batch_token_sketch(
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    text_col: str = "text",
+    key_col: str | None = None,
+    depth: int = 5,
+    width: int = 8192,
+) -> DataFrame:
+    """One micro-batch's sketch rows, exactly as stream_token_sketch
+    stores them: cms_build cells + (batch_id, batch_ds, stream_id).
+    ``batch_ds`` = epoch + batch_id days keys each batch to its own
+    date partition, so the warehouse upsert rewrites one
+    partition-per-batch instead of the whole accumulated table (the
+    partition source is part of the PK, so upsert also skips the
+    stranded-row locate scan)."""
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+    from binancedatapipeline_spark.textops.sketch import cms_build
+
+    if key_col is None:
+        keyed = batch_df.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+        ).filter(F.length("tok") > 0)
+        col = "tok"
+    else:
+        keyed, col = batch_df, key_col
+    return (
+        cms_build(keyed, col, depth=depth, width=width)
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .withColumn(
+            "batch_ds",
+            F.date_add(F.lit(SKETCH_EPOCH).cast("date"), F.lit(batch_id)),
+        )
+        .withColumn("stream_id", F.lit(stream_id))
+    )
+
+
 def stream_token_sketch(
     stream: DataFrame,
     warehouse: Warehouse,
@@ -465,51 +527,77 @@ def stream_token_sketch(
     REPLAY SEMANTICS are why the state is per-batch rather than one
     merged relation: a counting sketch is not idempotent under
     re-merge (a retried batch would double-count), but re-upserting
-    the same batch's sketch under the ``(batch_id, row, bucket)`` PK
-    REPLACES bit-identical rows — the foreachBatch retry contract
-    (same batch_id ⇒ same data for replayable sources) makes the
-    whole job idempotent. Readers fold the per-batch sketches with
-    :func:`read_corpus_sketch`; the stored state is
-    ``n_batches x depth x width`` rows, compactable offline by
-    upserting the fold back under a reserved batch id if n_batches
-    ever matters.
+    the same batch's sketch under its PK REPLACES bit-identical rows —
+    the foreachBatch retry contract (same batch_id ⇒ same data for
+    replayable sources) makes the whole job idempotent. Readers fold
+    the per-batch sketches with :func:`read_corpus_sketch`; compact
+    the accumulated batches with :func:`compact_corpus_sketch` if
+    n_batches ever matters.
 
-    ``sketch_spec`` MUST be keyed ``(batch_id, row, bucket)``.
+    STREAM IDENTITY: batch ids are per-checkpoint, so stored rows
+    carry the checkpoint's query id. On the first batch from a NEW
+    checkpoint (whose source re-reads everything from scratch) the
+    stored state is REBUILT — overwritten with the new stream's
+    batches — instead of folding two lineages' partial batches into
+    nonsense. Same checkpoint restarting keeps its id and replays
+    normally. Single-writer per table, like every warehouse job.
+
+    SCALING: ``sketch_spec`` should set
+    ``partition_date_source="batch_ds"`` with ``batch_ds`` in the PK —
+    each batch's cells land in their own date partition (epoch +
+    batch_id days), so the upsert stages and renames ONE partition of
+    ``depth x width`` rows per batch. Without it the no-partition
+    upsert path rewrites the whole accumulated table per batch:
+    O(n_batches) per tick, O(n_batches^2) over a stream's life.
+
+    ``sketch_spec`` MUST be keyed ``(batch_ds, batch_id, row,
+    bucket)`` (superset with batch_ds optional only when
+    unpartitioned) and carry ``stream_id`` string + geometry columns.
     ``key_col`` sketches an existing column directly; otherwise
     ``text_col`` is lowercased, whitespace-tokenized and exploded
-    (the tokens_col convention shared with tfidf/word_count).
-
-    Guard: if stored state exists with different (depth, width), the
-    batch raises instead of writing cells in a different hash
-    geometry into the same table (folding mixed geometries is the
-    silent-garbage case cms_merge rejects)."""
-    from binancedatapipeline_spark.textops.analysis import tokens_col
-    from binancedatapipeline_spark.textops.sketch import cms_build
-
-    if set(sketch_spec.primary_keys) != {"batch_id", "row", "bucket"}:
-        raise ValueError("sketch_spec must be keyed (batch_id, row, bucket)")
+    (the tokens_col convention shared with tfidf/word_count)."""
+    pk = set(sketch_spec.primary_keys)
+    if not {"batch_id", "row", "bucket"} <= pk:
+        raise ValueError("sketch_spec PK must contain (batch_id, row, bucket)")
+    if sketch_spec.partition_date_source is not None and (
+        sketch_spec.partition_date_source not in pk
+    ):
+        raise ValueError(
+            "sketch_spec.partition_date_source must be a PK column "
+            "(batch_ds) so upserts stay partition-scoped"
+        )
+    stream_id_holder: list[str] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        stored = warehouse.read(sketch_spec)
-        prior = stored.select("depth", "width").distinct().limit(2).collect()
-        if prior and (len(prior) > 1 or tuple(prior[0]) != (depth, width)):
-            raise ValueError(
-                f"stream_token_sketch: stored sketch geometry "
-                f"{[tuple(r) for r in prior]} != configured ({depth}, {width})"
-            )
-        if key_col is None:
-            keyed = batch_df.select(
-                F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
-            ).filter(F.length("tok") > 0)
-            col = "tok"
-        else:
-            keyed, col = batch_df, key_col
-        sk = cms_build(keyed, col, depth=depth, width=width).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+        if not stream_id_holder:
+            stream_id_holder.append(_stream_identity(checkpoint_dir))
+        sid = stream_id_holder[0]
+        # one-row probe: stored identity + geometry (NOT a table scan)
+        prior = (
+            warehouse.read(sketch_spec)
+            .select("stream_id", "depth", "width")
+            .limit(1)
+            .collect()
         )
-        sk = sk.persist()
+        rebuild = False
+        if prior:
+            p = prior[0]
+            if p["stream_id"] != sid:
+                rebuild = True  # new checkpoint lineage: source replays all
+            elif (p["depth"], p["width"]) != (depth, width):
+                raise ValueError(
+                    f"stream_token_sketch: stored sketch geometry "
+                    f"({p['depth']}, {p['width']}) != configured "
+                    f"({depth}, {width})"
+                )
+        sk = batch_token_sketch(
+            batch_df, batch_id, sid,
+            text_col=text_col, key_col=key_col, depth=depth, width=width,
+        ).persist()
         n_cells = sk.count()
-        if n_cells:
+        if rebuild:
+            warehouse.overwrite(sketch_spec, sk)
+        elif n_cells:
             warehouse.upsert(sketch_spec, sk)
         if on_batch:
             on_batch(batch_id, n_cells)
@@ -536,3 +624,35 @@ def read_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFram
         .agg(F.sum("cnt").alias("cnt"))
         .select("row", "bucket", "cnt", "depth", "width")
     )
+
+
+def compact_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> None:
+    """Collapse the accumulated per-batch sketches into ONE folded
+    batch under the reserved id -1 (batch_ds = epoch - 1 day, below
+    any real batch). This must be an atomic table REPLACEMENT, not an
+    upsert — upserting the fold beside the per-batch rows would leave
+    both live and double every count on read. ``Warehouse.overwrite``
+    stages and renames, so a crashed compaction leaves the old
+    batches intact. Counts are preserved exactly; subsequent batches
+    upsert alongside the compacted row-set as usual.
+
+    RUN ONLY WHILE THE STREAM IS STOPPED (after awaitTermination or
+    between AvailableNow runs): folding batch K away and then letting
+    the engine retry batch K would re-upsert K's cells beside the
+    fold and double-count them — compaction trades the per-batch
+    replay ledger for size, so it must happen at a point where no
+    batch can be retried."""
+    stored = warehouse.read(sketch_spec)
+    ident = stored.select("stream_id").limit(1).collect()
+    if not ident:
+        return
+    folded = (
+        read_corpus_sketch(warehouse, sketch_spec)
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+        .withColumn(
+            "batch_ds",
+            F.date_add(F.lit(SKETCH_EPOCH).cast("date"), F.lit(-1)),
+        )
+        .withColumn("stream_id", F.lit(ident[0]["stream_id"]))
+    )
+    warehouse.overwrite(sketch_spec, folded)

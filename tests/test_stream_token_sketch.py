@@ -1,7 +1,8 @@
 """Streaming Count-Min maintenance: per-batch sketches PK-upserted
-under (batch_id, row, bucket) so retries replace rather than
-double-count, with read_corpus_sketch folding the batches into the
-standard sketch relation."""
+into per-batch date partitions so retries replace (not double-count)
+and each tick rewrites one partition; stored state carries the
+checkpoint's query id so a NEW checkpoint (whose source replays
+everything) rebuilds instead of folding two lineages together."""
 
 from __future__ import annotations
 
@@ -12,6 +13,8 @@ from pyspark.sql import types as T
 
 from binancedatapipeline_spark.catalog import TableSpec
 from binancedatapipeline_spark.streaming.jobs import (
+    batch_token_sketch,
+    compact_corpus_sketch,
     read_corpus_sketch,
     stream_token_sketch,
 )
@@ -20,16 +23,19 @@ from binancedatapipeline_spark.warehouse import Warehouse
 
 SKETCH_SPEC = TableSpec(
     name="tok_sketch",
-    primary_keys=("batch_id", "row", "bucket"),
+    primary_keys=("batch_ds", "batch_id", "row", "bucket"),
     schema=T.StructType([
+        T.StructField("batch_ds", T.DateType()),
         T.StructField("batch_id", T.LongType()),
         T.StructField("row", T.IntegerType()),
         T.StructField("bucket", T.LongType()),
         T.StructField("cnt", T.LongType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("width", T.IntegerType()),
+        T.StructField("stream_id", T.StringType()),
     ]),
     kind="fact",
+    partition_date_source="batch_ds",
 )
 
 CHUNKS = [
@@ -39,40 +45,42 @@ CHUNKS = [
 ]
 
 
-def _run_stream(spark, tmp_path, depth=4, width=2048):
-    stage = str(tmp_path / "in")
-    for rows in CHUNKS:
+def _stage_chunks(spark, stage, chunks):
+    for rows in chunks:
         spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
             "append"
         ).parquet(stage)
         time.sleep(1.05)
-    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _run_stream(spark, stage, wh, ckpt, depth=4, width=2048, seen=None):
     stream = (
         spark.readStream.schema(spark.read.parquet(stage).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    seen = []
     q = stream_token_sketch(
         stream, wh, SKETCH_SPEC,
-        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_dir=ckpt,
         depth=depth, width=width,
-        on_batch=lambda bid, n: seen.append((bid, n)),
+        on_batch=(lambda bid, n: seen.append((bid, n))) if seen is not None else None,
     )
     assert q.awaitTermination(300), "stream did not finish"
-    return wh, seen
+    return q
 
 
 def test_folded_stream_sketch_equals_batch_build(spark, tmp_path):
-    wh, seen = _run_stream(spark, tmp_path)
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, CHUNKS)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    seen = []
+    _run_stream(spark, stage, wh, str(tmp_path / "ckpt"), seen=seen)
     assert len(seen) == 3
     folded = read_corpus_sketch(wh, SKETCH_SPEC)
 
     all_rows = [r for rows in CHUNKS for r in rows]
     corpus = spark.createDataFrame(all_rows, "doc_id long, text string")
-    toks = corpus.select(
-        F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    )
+    toks = corpus.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
     batch = cms_build(toks, "tok", depth=4, width=2048)
 
     got = {(r.row, r.bucket): r.cnt for r in folded.collect()}
@@ -84,20 +92,26 @@ def test_folded_stream_sketch_equals_batch_build(spark, tmp_path):
     est = {r.tok: r.est for r in cms_estimate(folded, keys, "tok").collect()}
     assert est == {"alpha": 4, "gamma": 4, "zeta": 1}
 
+    # per-batch date partitioning is live: one ds directory per batch
+    parts = wh.partition_files(SKETCH_SPEC.name)
+    assert sorted(parts) == ["1970-01-01", "1970-01-02", "1970-01-03"]
+
 
 def test_batch_replay_replaces_not_doubles(spark, tmp_path):
     """The foreachBatch retry contract: re-upserting a batch's sketch
     under the same batch_id must leave the fold unchanged."""
-    wh, _ = _run_stream(spark, tmp_path)
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, CHUNKS)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_stream(spark, stage, wh, str(tmp_path / "ckpt"))
     before = {(r.row, r.bucket): r.cnt
               for r in read_corpus_sketch(wh, SKETCH_SPEC).collect()}
 
     # replay batch 0 exactly as the handler would
-    toks = spark.createDataFrame(CHUNKS[0], "doc_id long, text string").select(
-        F.explode(F.split(F.lower("text"), " ")).alias("tok")
-    )
-    sk0 = cms_build(toks, "tok", depth=4, width=2048).withColumn(
-        "batch_id", F.lit(0).cast("long")
+    sid = wh.read(SKETCH_SPEC).select("stream_id").limit(1).collect()[0][0]
+    sk0 = batch_token_sketch(
+        spark.createDataFrame(CHUNKS[0], "doc_id long, text string"),
+        batch_id=0, stream_id=sid, depth=4, width=2048,
     )
     wh.upsert(SKETCH_SPEC, sk0)
 
@@ -106,12 +120,63 @@ def test_batch_replay_replaces_not_doubles(spark, tmp_path):
     assert after == before
 
 
+def test_new_checkpoint_rebuilds_instead_of_mixing(spark, tmp_path):
+    """A fresh checkpoint re-reads the whole source with batch ids
+    restarting at 0. Folding those beside the old lineage's batches
+    would double-count; the stored stream_id triggers a rebuild, so
+    the final fold equals a single clean run."""
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, CHUNKS)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_stream(spark, stage, wh, str(tmp_path / "ckptA"))
+    once = {(r.row, r.bucket): r.cnt
+            for r in read_corpus_sketch(wh, SKETCH_SPEC).collect()}
+
+    # same table, brand-new checkpoint: source replays all 3 files
+    _run_stream(spark, stage, wh, str(tmp_path / "ckptB"))
+    again = {(r.row, r.bucket): r.cnt
+             for r in read_corpus_sketch(wh, SKETCH_SPEC).collect()}
+    assert again == once  # rebuilt, not doubled or mixed
+
+
+def test_compaction_preserves_counts_and_allows_more_batches(spark, tmp_path):
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, CHUNKS[:2])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_stream(spark, stage, wh, str(tmp_path / "ckpt"))
+    before = {(r.row, r.bucket): r.cnt
+              for r in read_corpus_sketch(wh, SKETCH_SPEC).collect()}
+
+    compact_corpus_sketch(wh, SKETCH_SPEC)  # stream is stopped: safe
+    stored = wh.read(SKETCH_SPEC)
+    assert stored.select("batch_id").distinct().collect()[0][0] == -1
+    mid = {(r.row, r.bucket): r.cnt
+           for r in read_corpus_sketch(wh, SKETCH_SPEC).collect()}
+    assert mid == before  # fold is exactly preserved
+
+    # later batches keep accruing beside the compacted base
+    sid = stored.select("stream_id").limit(1).collect()[0][0]
+    sk2 = batch_token_sketch(
+        spark.createDataFrame(CHUNKS[2], "doc_id long, text string"),
+        batch_id=2, stream_id=sid, depth=4, width=2048,
+    )
+    wh.upsert(SKETCH_SPEC, sk2)
+    keys = spark.createDataFrame([("alpha",), ("delta",)], "tok string")
+    folded = read_corpus_sketch(wh, SKETCH_SPEC)
+    est = {r.tok: r.est for r in cms_estimate(folded, keys, "tok").collect()}
+    assert est == {"alpha": 4, "delta": 2}
+
+
 def test_geometry_guard_refuses_mismatched_state(spark, tmp_path):
     """Stored cells in one hash geometry + a restart configured with
-    another must fail loudly, not fold garbage."""
-    wh, _ = _run_stream(spark, tmp_path, depth=4, width=2048)
+    another must fail loudly, not fold garbage. (Same checkpoint, so
+    the stream_id matches and rebuild does NOT kick in.)"""
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, CHUNKS[:1])
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_stream(spark, stage, wh, str(tmp_path / "ckpt"), depth=4, width=2048)
 
-    stage = str(tmp_path / "in2")
+    # more input, SAME checkpoint, different geometry
     spark.createDataFrame([(9, "omega")], "doc_id long, text string").coalesce(
         1
     ).write.mode("append").parquet(stage)
@@ -122,8 +187,8 @@ def test_geometry_guard_refuses_mismatched_state(spark, tmp_path):
     )
     q = stream_token_sketch(
         stream, wh, SKETCH_SPEC,
-        checkpoint_dir=str(tmp_path / "ckpt2"),
-        depth=5, width=4096,  # different geometry, same table
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=5, width=4096,
     )
     from pyspark.errors.exceptions.captured import StreamingQueryException
 

@@ -57,6 +57,20 @@ def corpus(spark: SparkSession, n_docs: int, tokens: int = 80, seed: int = 0) ->
     return ids.select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
+
+def five_grams(c: DataFrame) -> DataFrame:
+    """Word 5-grams via the SHARED tokenizer/shingler (textops.dedup
+    _shingle_array over tokens_col), so the benchmark measures the
+    same n-gram definition the operators use — not a private split()
+    that could silently diverge."""
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+    from binancedatapipeline_spark.textops.dedup import _shingle_array
+
+    return c.select(tokens_col(F.col("text")).alias("__toks")).select(
+        F.explode(_shingle_array(5)).alias("g")
+    )
+
+
 def _timed(build) -> float:
     t0 = time.perf_counter()
     build().write.format("noop").mode("overwrite").save()
@@ -91,14 +105,7 @@ def main() -> None:
             return _timed(lambda: decontaminate(c, bench))
         if mode == "decontam_bloom":
             return _timed(lambda: bloom_decontaminate(c, bitmap=bitmap))
-        grams = c.select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)), "
-                    "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-                )
-            ).alias("g")
-        )
+        grams = five_grams(c)
         if mode == "count_exact":
             return _timed(lambda: grams.groupBy("g").count())
         return _timed(lambda: cms_build(grams, "g", depth=5, width=65536))
@@ -116,14 +123,7 @@ def main() -> None:
     for n in sizes:
         c = corpus(spark, n)
         distinct[str(n)] = (
-            c.select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)), "
-                        "i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
-                    )
-                ).alias("g")
-            )
+            five_grams(c)
             .agg(F.approx_count_distinct("g").alias("d"))
             .collect()[0]["d"]
         )
