@@ -656,3 +656,57 @@ def compact_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> None:
         .withColumn("stream_id", F.lit(ident[0]["stream_id"]))
     )
     warehouse.overwrite(sketch_spec, folded)
+
+
+def stream_distinct_sketch(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    sketch_spec: TableSpec,
+    checkpoint_dir: str,
+    key_col: str,
+    group_cols: tuple[str, ...] | list[str],
+    lgk: int = 12,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Maintain per-group distinct counts at ingest as HLL state
+    (textops/sketch.py): per micro-batch, sketch the batch and union
+    it into the stored relation, replacing the table atomically
+    (``Warehouse.overwrite`` stages + renames; the state is one
+    ~4 KiB binary per group, so rewriting it wholesale is nothing).
+
+    This is the EASY replay discipline, shown side by side with
+    :func:`stream_token_sketch`'s: HLL union has set semantics, so a
+    retried batch — or even a whole re-ingest from a fresh checkpoint
+    — merges to the identical state. No per-batch ledger, no stream
+    identity, no compaction; idempotence falls out of the sketch
+    algebra. Counting sketches don't get this, which is exactly why
+    the token-sketch job needs its batch-keyed machinery.
+
+    ``sketch_spec`` schema: ``group_cols + (hll: binary)``, PK =
+    ``group_cols``. Mixed-lgk state fails loudly inside the JVM
+    union (Datasketches refuses by default)."""
+    from binancedatapipeline_spark.textops.sketch import hll_build, hll_merge
+
+    if set(sketch_spec.primary_keys) != set(group_cols):
+        raise ValueError("sketch_spec PK must equal group_cols")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hll_build(batch_df, key_col, group_cols=group_cols, lgk=lgk)
+        stored = warehouse.read(sketch_spec)
+        merged = hll_merge(stored, sk, group_cols=group_cols).persist()
+        n_groups = merged.count()
+        warehouse.overwrite(sketch_spec, merged)
+        if on_batch:
+            on_batch(batch_id, n_groups)
+        merged.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

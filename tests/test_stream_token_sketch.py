@@ -198,3 +198,73 @@ def test_geometry_guard_refuses_mismatched_state(spark, tmp_path):
         assert exc is not None and "geometry" in str(exc)
     except StreamingQueryException as e:
         assert "geometry" in str(e)
+
+
+# ------------------------------------------------------- HLL streaming
+
+from binancedatapipeline_spark.streaming.jobs import stream_distinct_sketch  # noqa: E402
+from binancedatapipeline_spark.textops.sketch import hll_build, hll_estimate, hll_merge  # noqa: E402
+
+HLL_SPEC = TableSpec(
+    name="user_hll",
+    primary_keys=("day",),
+    schema=T.StructType([
+        T.StructField("day", T.StringType()),
+        T.StructField("hll", T.BinaryType()),
+    ]),
+    kind="fact",
+)
+
+EVENTS = [
+    [("d1", "u1"), ("d1", "u2"), ("d2", "u1")],
+    [("d1", "u2"), ("d1", "u3"), ("d2", "u9")],
+    [("d2", "u1"), ("d2", "u7")],
+]
+
+
+def _run_hll_stream(spark, stage, wh, ckpt):
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_distinct_sketch(
+        stream, wh, HLL_SPEC,
+        checkpoint_dir=ckpt,
+        key_col="user", group_cols=("day",),
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+
+def test_stream_hll_counts_and_full_replay_idempotence(spark, tmp_path):
+    stage = str(tmp_path / "in")
+    for rows in EVENTS:
+        spark.createDataFrame(rows, "day string, user string").coalesce(
+            1
+        ).write.mode("append").parquet(stage)
+        time.sleep(1.05)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    _run_hll_stream(spark, stage, wh, str(tmp_path / "ckptA"))
+    est = {r.day: r.n_distinct
+           for r in hll_estimate(wh.read(HLL_SPEC), ("day",)).collect()}
+    # d1 saw u1,u2,u3; d2 saw u1,u9,u7 — tiny sets: HLL is exact here
+    assert est == {"d1": 3, "d2": 3}
+
+    # the SET-semantics payoff: a whole re-ingest from a fresh
+    # checkpoint (every batch re-merged into existing state) changes
+    # nothing — no lineage machinery needed, unlike the token sketch
+    _run_hll_stream(spark, stage, wh, str(tmp_path / "ckptB"))
+    est2 = {r.day: r.n_distinct
+            for r in hll_estimate(wh.read(HLL_SPEC), ("day",)).collect()}
+    assert est2 == est
+
+    # single-batch retry: same story
+    sk0 = hll_build(
+        spark.createDataFrame(EVENTS[0], "day string, user string"),
+        "user", group_cols=("day",),
+    )
+    merged = hll_merge(wh.read(HLL_SPEC), sk0, group_cols=("day",))
+    wh.overwrite(HLL_SPEC, merged)
+    est3 = {r.day: r.n_distinct
+            for r in hll_estimate(wh.read(HLL_SPEC), ("day",)).collect()}
+    assert est3 == est
