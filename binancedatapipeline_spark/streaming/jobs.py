@@ -364,14 +364,16 @@ def stream_incremental_dedup(
         # rename publish; the persist is purely a cost fix)
         kept = kept.persist()
         kept_idx = kept_idx.persist()
-        n = kept.count()
-        if n:
-            warehouse.upsert(docs_spec, kept)
-            warehouse.upsert(index_spec, kept_idx)
-        if on_batch:
-            on_batch(batch_id, n)
-        kept.unpersist()
-        kept_idx.unpersist()
+        try:
+            n = kept.count()
+            if n:
+                warehouse.upsert(docs_spec, kept)
+                warehouse.upsert(index_spec, kept_idx)
+            if on_batch:
+                on_batch(batch_id, n)
+        finally:
+            kept.unpersist()
+            kept_idx.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -428,12 +430,14 @@ def stream_semantic_dedup(
             id_col=id_col, vec_col=vec_col,
             threshold=threshold, cell_col=cell_col,
         ).persist()
-        n = kept.count()
-        if n:
-            warehouse.upsert(vecs_spec, kept)
-        if on_batch:
-            on_batch(batch_id, n)
-        kept.unpersist()
+        try:
+            n = kept.count()
+            if n:
+                warehouse.upsert(vecs_spec, kept)
+            if on_batch:
+                on_batch(batch_id, n)
+        finally:
+            kept.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -594,14 +598,16 @@ def stream_token_sketch(
             batch_df, batch_id, sid,
             text_col=text_col, key_col=key_col, depth=depth, width=width,
         ).persist()
-        n_cells = sk.count()
-        if rebuild:
-            warehouse.overwrite(sketch_spec, sk)
-        elif n_cells:
-            warehouse.upsert(sketch_spec, sk)
-        if on_batch:
-            on_batch(batch_id, n_cells)
-        sk.unpersist()
+        try:
+            n_cells = sk.count()
+            if rebuild:
+                warehouse.overwrite(sketch_spec, sk)
+            elif n_cells:
+                warehouse.upsert(sketch_spec, sk)
+            if on_batch:
+                on_batch(batch_id, n_cells)
+        finally:
+            sk.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir
@@ -693,14 +699,26 @@ def stream_distinct_sketch(
         raise ValueError("sketch_spec PK must equal group_cols")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            # empty tick / replayed empty batch: state is unchanged,
+            # skip the read+union+staged-rewrite churn entirely
+            if on_batch:
+                on_batch(batch_id, 0)
+            return
         sk = hll_build(batch_df, key_col, group_cols=group_cols, lgk=lgk)
         stored = warehouse.read(sketch_spec)
-        merged = hll_merge(stored, sk, group_cols=group_cols).persist()
-        n_groups = merged.count()
-        warehouse.overwrite(sketch_spec, merged)
-        if on_batch:
-            on_batch(batch_id, n_groups)
-        merged.unpersist()
+        merged = hll_merge(stored, sk, group_cols=group_cols)
+        if on_batch is None:
+            # one action total: the staged overwrite materializes the
+            # union; nothing else consumes it, so no persist
+            warehouse.overwrite(sketch_spec, merged)
+            return
+        merged = merged.persist()
+        try:
+            warehouse.overwrite(sketch_spec, merged)
+            on_batch(batch_id, merged.count())
+        finally:
+            merged.unpersist()
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -45,12 +45,12 @@ CHUNKS = [
 ]
 
 
-def _stage_chunks(spark, stage, chunks):
+def _stage_chunks(spark, stage, chunks, schema="doc_id long, text string"):
     for rows in chunks:
-        spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "append"
         ).parquet(stage)
-        time.sleep(1.05)
+        time.sleep(1.05)  # distinct mtimes: FileStreamSource orders by timestamp
 
 
 def _run_stream(spark, stage, wh, ckpt, depth=4, width=2048, seen=None):
@@ -238,11 +238,7 @@ def _run_hll_stream(spark, stage, wh, ckpt):
 
 def test_stream_hll_counts_and_full_replay_idempotence(spark, tmp_path):
     stage = str(tmp_path / "in")
-    for rows in EVENTS:
-        spark.createDataFrame(rows, "day string, user string").coalesce(
-            1
-        ).write.mode("append").parquet(stage)
-        time.sleep(1.05)
+    _stage_chunks(spark, stage, EVENTS, schema="day string, user string")
     wh = Warehouse(spark, str(tmp_path / "wh"))
     _run_hll_stream(spark, stage, wh, str(tmp_path / "ckptA"))
     est = {r.day: r.n_distinct
