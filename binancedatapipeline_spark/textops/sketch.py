@@ -142,6 +142,13 @@ def cms_estimate(
     <= depth*width rows — broadcast, so probing any number of keys
     is shuffle-free on the key side until the final per-key min."""
     depth, width = _params(sketch, "cms_estimate")
+    reserved = {"row", "bucket", "cnt", "est", "__c", "__cell"} & set(keys.columns)
+    if reserved:
+        raise ValueError(
+            f"cms_estimate: keys carries reserved column(s) {sorted(reserved)} "
+            "— rename them before probing (they collide with the probe's "
+            "internal cell/join columns)"
+        )
     keys = keys.filter(F.col(key_col).isNotNull()).distinct()
     probe = keys.select(
         "*",

@@ -308,3 +308,13 @@ def test_hll_merge_equals_build_on_union_and_is_idempotent(spark):
     # the replay-safety contrast with Count-Min
     again = hll_merge(merged, sk_b)
     assert hll_estimate(again).collect()[0].n_distinct == m
+
+
+def test_cms_estimate_rejects_reserved_key_columns(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a",)], "tok string")
+    sk = cms_build(df, "tok", depth=2, width=64)
+    bad = spark.createDataFrame([("a", 1)], "tok string, row int")
+    with pytest.raises(ValueError, match="reserved"):
+        cms_estimate(sk, bad, "tok")
