@@ -131,6 +131,8 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 3,
     min_df: int = 1,
+    materialize_tf: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by smoothed TF-IDF:
     ``tf * (ln((1 + N) / (1 + df)) + 1)`` (the sklearn-style smooth
@@ -138,15 +140,27 @@ def tfidf_top_terms(
     ``(id, term, tf, tfidf, term_rank)`` with deterministic ties
     (higher tfidf first, then lexicographic term).
 
-    Scale shape: three shuffles total, each keyed small-to-smaller —
-    (1) tf: explode lowercased tokens, groupBy (doc, term); (2) df:
-    groupBy term over the tf relation (Catalyst reuses the tf
-    subtree); the N scalar rides in as a literal-free cross join of a
-    one-row aggregate, broadcast, so no collect; (3) the per-doc
-    top-k window. The df side joins back on term as a plain shuffle
-    join — vocab is corpus-sized, NOT broadcastable at 100 TB, and
-    the tf relation is already far smaller than the exploded token
-    stream. ``min_df`` prunes hapax noise before the join when > 1."""
+    Scale shape: the tf relation is a diamond — both the per-term
+    document-frequency aggregate and the join's fact side consume it.
+    Without a materialization boundary Spark re-executes the whole
+    tokenize+explode subtree per branch (measured: two Generate nodes
+    over two scans in the executed plan; exchange reuse cannot fire
+    because column pruning gives the df branch a DIFFERENT partial
+    aggregate than the tf branch). So, following the same persist
+    discipline as ``curate``: ``materialize_tf`` persists the
+    term-repartitioned tf (MEMORY_AND_DISK) — tokenize runs once, the
+    df aggregate and the join both read the cache with no further
+    corpus shuffle, and at real scale you would checkpoint tf to
+    storage instead (the persist is the single-job form of that).
+    Pass ``cache_registry`` (a list) to receive the persisted handle
+    and unpersist after consuming the result; without it the cache
+    lives until LRU eviction, documented here like curate's.
+    ``materialize_tf=False`` restores the pure-lazy double-kernel
+    plan for one-shot small corpora. The N scalar rides in as a
+    broadcast one-row aggregate (no collect); the final per-doc top-k
+    window is the one remaining shuffle. ``min_df`` prunes hapax
+    noise before the join when > 1."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     toks = tokens_col(F.lower(F.col(text_col)))
@@ -155,7 +169,12 @@ def tfidf_top_terms(
         .filter(F.length("term") > 0)
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .repartition("term")
     )
+    if materialize_tf:
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(tf)
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )

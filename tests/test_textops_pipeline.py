@@ -322,3 +322,25 @@ FROM scored QUALIFY rnk <= 3
     # count_distinct over the input — pin that N includes it the same
     # way on both sides (both count 6 docs)
     assert not any(d == 5 for d, _ in got)
+
+
+def test_tfidf_cache_registry_receives_tf_handle(spark):
+    """The tf diamond is materialized (double-tokenize trap measured
+    in plan review); callers get the persisted handle to release,
+    mirroring curate's cache_registry contract."""
+    from binancedatapipeline_spark.textops.analysis import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a d")], "doc_id int, text string"
+    )
+    reg = []
+    out = tfidf_top_terms(docs, k=2, cache_registry=reg)
+    assert out.count() > 0
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    reg[0].unpersist()
+    assert not reg[0].storageLevel.useMemory
+
+    # lazy mode: no persist side effect at all
+    reg2 = []
+    out2 = tfidf_top_terms(docs, k=2, materialize_tf=False, cache_registry=reg2)
+    assert out2.count() > 0 and reg2 == []
