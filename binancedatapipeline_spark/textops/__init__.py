@@ -63,6 +63,9 @@ from binancedatapipeline_spark.textops.decontam import (
 from binancedatapipeline_spark.textops.packing import chunk_documents, pack_sequences
 from binancedatapipeline_spark.textops.sketch import (
     cms_build,
+    hist_build,
+    hist_merge,
+    hist_quantile,
     hll_build,
     hll_estimate,
     hll_merge,
@@ -129,6 +132,9 @@ __all__ = [
     "cms_error_bound",
     "cms_estimate",
     "cms_merge",
+    "hist_build",
+    "hist_merge",
+    "hist_quantile",
     "hll_build",
     "hll_estimate",
     "hll_merge",

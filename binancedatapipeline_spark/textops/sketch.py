@@ -228,3 +228,115 @@ def hll_estimate(
     return sketch.select(
         *group_cols, F.hll_sketch_estimate("hll").alias("n_distinct")
     )
+
+
+# ------------------------------------------------------------ histogram
+
+# Quantile state, completing the mergeable-state family (frequency =
+# Count-Min, distinct = HLL, quantiles = this): a fixed-bin histogram
+# relation of at most groups x (bins + 2) rows. Spark's
+# percentile_approx answers one-shot quantile queries fine; what it
+# does not give you is PERSISTABLE state — per-shard histograms you
+# upsert into the warehouse, merge across batches (cell-wise sum,
+# CMS replay discipline applies: key by batch for retries), and query
+# later without rescanning data. Bin edges are fixed at build time,
+# so error is bounded by bin width and merging requires identical
+# edges — which therefore ride the relation like CMS's (depth, width).
+
+
+def hist_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Per-group fixed-bin histogram of ``value_col`` over [lo, hi):
+    ``group_cols + (bin, cnt, lo, hi, bins)``. Bin -1 catches values
+    below ``lo``, bin ``bins`` catches >= ``hi`` (so mass is never
+    silently dropped); NULLs are ignored. One bounded groupBy."""
+    if not (hi > lo) or bins < 1:
+        raise ValueError(f"hist_build: need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    v = F.col(value_col).cast("double")
+    bin_col = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.floor((v - lo) / ((hi - lo) / bins)).cast("int"))
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(*group_cols, bin_col.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            *group_cols, "bin", "cnt",
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            F.lit(bins).alias("bins"),
+        )
+    )
+
+
+def hist_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] | list[str] = ()
+) -> DataFrame:
+    """Cell-wise sum of two histograms with identical (lo, hi, bins);
+    raises on mismatched edges (summing different binnings is silent
+    garbage, same rule as cms_merge)."""
+    cols = [*group_cols, "bin", "cnt", "lo", "hi", "bins"]
+    pa = a.select("lo", "hi", "bins").distinct().limit(2).collect()
+    pb = b.select("lo", "hi", "bins").distinct().limit(2).collect()
+    if len(pa) != 1 or len(pb) != 1 or tuple(pa[0]) != tuple(pb[0]):
+        raise ValueError(
+            f"hist_merge: incompatible binnings {[tuple(r) for r in pa]} vs "
+            f"{[tuple(r) for r in pb]}"
+        )
+    return (
+        a.select(cols)
+        .unionByName(b.select(cols))
+        .groupBy(*group_cols, "bin", "lo", "hi", "bins")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(cols)
+    )
+
+
+def hist_quantile(
+    hist: DataFrame,
+    q: float,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Per-group quantile estimate off the histogram relation alone
+    (no data rescan): ``group_cols + (q_est)``, linear interpolation
+    inside the bin holding the q-th mass, error bounded by one bin
+    width. Underflow/overflow bins clamp to lo/hi (their true spread
+    is unknown to the state — callers wanting exact tails must widen
+    [lo, hi)). Whole computation is window + filter over the
+    <= groups x (bins+2) relation — trivially small."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError(f"hist_quantile: q must be in [0, 1], got {q}")
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    ow = gw.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    width = (F.col("hi") - F.col("lo")) / F.col("bins")
+    h = (
+        hist.withColumn("__cum", F.sum("cnt").over(ow))
+        .withColumn("__total", F.sum("cnt").over(gw))
+        .withColumn("__target", F.col("__total") * F.lit(q))
+    )
+    # the first bin whose cumulative mass reaches the target
+    h = h.filter(F.col("__cum") >= F.col("__target")).withColumn(
+        "__rank",
+        F.row_number().over(
+            (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))).orderBy("bin")
+        ),
+    ).filter(F.col("__rank") == 1)
+    frac = (F.col("__target") - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
+    inside = F.col("lo") + (F.col("bin") + frac) * width
+    est = (
+        F.when(F.col("bin") < 0, F.col("lo"))
+        .when(F.col("bin") >= F.col("bins"), F.col("hi"))
+        .otherwise(F.least(F.greatest(inside, F.col("lo")), F.col("hi")))
+    )
+    return h.select(*group_cols, est.alias("q_est"))

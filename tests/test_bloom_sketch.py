@@ -318,3 +318,64 @@ def test_cms_estimate_rejects_reserved_key_columns(spark):
     bad = spark.createDataFrame([("a", 1)], "tok string, row int")
     with pytest.raises(ValueError, match="reserved"):
         cms_estimate(sk, bad, "tok")
+
+
+# ------------------------------------------------------------ histogram
+
+from binancedatapipeline_spark.textops.sketch import (  # noqa: E402
+    hist_build,
+    hist_merge,
+    hist_quantile,
+)
+
+
+def test_hist_quantile_within_bin_width_of_exact(spark):
+    import pyspark.sql.functions as F
+
+    n, lo, hi, bins = 20000, 0.0, 100.0, 64
+    df = spark.range(n).select(
+        (F.pmod(F.xxhash64("id"), 10000) / 100.0).alias("v")
+    )
+    h = hist_build(df, "v", lo, hi, bins)
+    vals = sorted(r.v for r in df.collect())
+    width = (hi - lo) / bins
+    for q in (0.1, 0.5, 0.9, 0.99):
+        est = hist_quantile(h, q).collect()[0].q_est
+        exact = vals[min(int(q * n), n - 1)]
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+
+def test_hist_merge_equals_union_and_guards_edges(spark):
+    import pytest
+    import pyspark.sql.functions as F
+
+    a = spark.range(0, 5000).select((F.col("id") % 97).cast("double").alias("v"))
+    b = spark.range(0, 3000).select((F.col("id") % 53).cast("double").alias("v"))
+    ha = hist_build(a, "v", 0.0, 100.0, 32)
+    hb = hist_build(b, "v", 0.0, 100.0, 32)
+    merged = {r.bin: r.cnt for r in hist_merge(ha, hb).collect()}
+    union = {r.bin: r.cnt
+             for r in hist_build(a.unionByName(b), "v", 0.0, 100.0, 32).collect()}
+    assert merged == union
+
+    hc = hist_build(b, "v", 0.0, 50.0, 32)  # different edges
+    with pytest.raises(ValueError, match="incompatible"):
+        hist_merge(ha, hc)
+
+
+def test_hist_overflow_bins_and_groupwise(spark):
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 5.0), ("a", 500.0), ("b", 5.0), ("b", None)],
+        "grp string, v double",
+    )
+    h = hist_build(df, "v", 0.0, 10.0, 10, group_cols=("grp",))
+    cells = {(r.grp, r.bin): r.cnt for r in h.collect()}
+    # -5 -> bin -1 (underflow), 5 -> bin 5, 500 -> bin 10 (overflow);
+    # NULL ignored
+    assert cells == {("a", -1): 1, ("a", 5): 1, ("a", 10): 1, ("b", 5): 1}
+
+    # quantiles clamp to [lo, hi] when the mass sits in overflow bins
+    qa = {r.grp: r.q_est for r in hist_quantile(h, 0.99, ("grp",)).collect()}
+    assert qa["a"] == 10.0  # overflow bin clamps to hi
+    q0 = {r.grp: r.q_est for r in hist_quantile(h, 0.0, ("grp",)).collect()}
+    assert q0["a"] == 0.0  # underflow bin clamps to lo
