@@ -37,18 +37,20 @@ from pyspark.sql import functions as F
 _CELLS = ["row", "bucket", "cnt", "depth", "width"]
 
 
-def _params(sketch: DataFrame, what: str) -> tuple[int, int]:
-    """(depth, width) read off the sketch relation — one bounded
-    action over <= depth*width rows. Raises if the relation mixes
-    parameters (e.g. a careless union of incompatible sketches)."""
-    rows = sketch.select("depth", "width").distinct().limit(3).collect()
+def _params(sketch: DataFrame, what: str, cols: tuple[str, ...] = ("depth", "width")) -> tuple:
+    """The parameter tuple read off a sketch relation — one bounded
+    action over the (tiny by construction) state. Raises if the
+    relation mixes parameters (e.g. a careless union of incompatible
+    sketches) — the shared guard for every sketch family in this
+    module (CMS geometry, histogram bin edges)."""
+    rows = sketch.select(*cols).distinct().limit(3).collect()
     if len(rows) != 1:
         raise ValueError(
             f"{what}: sketch relation carries "
-            f"{[tuple(r) for r in rows]} (depth, width) pairs — expected "
+            f"{[tuple(r) for r in rows]} {cols} tuples — expected "
             "exactly one; was it unioned from incompatible sketches?"
         )
-    return rows[0]["depth"], rows[0]["width"]
+    return tuple(rows[0])
 
 
 def _cells(key_col: str, depth: int, width: int) -> F.Column:
@@ -244,6 +246,11 @@ def hll_estimate(
 # edges — which therefore ride the relation like CMS's (depth, width).
 
 
+_HIST_COLS = ["bin", "cnt", "lo", "hi", "bins"]
+_HIST_COLS_SET = set(_HIST_COLS)
+_HIST_EDGES = ("lo", "hi", "bins")
+
+
 def hist_build(
     df: DataFrame,
     value_col: str,
@@ -254,10 +261,21 @@ def hist_build(
 ) -> DataFrame:
     """Per-group fixed-bin histogram of ``value_col`` over [lo, hi):
     ``group_cols + (bin, cnt, lo, hi, bins)``. Bin -1 catches values
-    below ``lo``, bin ``bins`` catches >= ``hi`` (so mass is never
-    silently dropped); NULLs are ignored. One bounded groupBy."""
+    below ``lo``, bin ``bins`` catches >= ``hi`` (so finite mass is
+    never silently dropped); NULL and NaN are ignored (NaN sorts
+    above every number in Spark, so without the explicit filter it
+    would land in the overflow bin and drag every upper quantile to
+    the clamp — percentile_approx ignores NaN, and this state must
+    agree with the oracle it replaces). One bounded groupBy."""
     if not (hi > lo) or bins < 1:
         raise ValueError(f"hist_build: need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    reserved = _HIST_COLS_SET & set(group_cols)
+    if reserved:
+        raise ValueError(
+            f"hist_build: group_cols collide with reserved state column(s) "
+            f"{sorted(reserved)} — rename them (the relation carries "
+            "bin/cnt/lo/hi/bins)"
+        )
     v = F.col(value_col).cast("double")
     bin_col = (
         F.when(v < lo, F.lit(-1))
@@ -265,7 +283,7 @@ def hist_build(
         .otherwise(F.floor((v - lo) / ((hi - lo) / bins)).cast("int"))
     )
     return (
-        df.filter(v.isNotNull())
+        df.filter(v.isNotNull() & ~F.isnan(v))
         .select(*group_cols, bin_col.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -283,15 +301,15 @@ def hist_merge(
 ) -> DataFrame:
     """Cell-wise sum of two histograms with identical (lo, hi, bins);
     raises on mismatched edges (summing different binnings is silent
-    garbage, same rule as cms_merge)."""
-    cols = [*group_cols, "bin", "cnt", "lo", "hi", "bins"]
-    pa = a.select("lo", "hi", "bins").distinct().limit(2).collect()
-    pb = b.select("lo", "hi", "bins").distinct().limit(2).collect()
-    if len(pa) != 1 or len(pb) != 1 or tuple(pa[0]) != tuple(pb[0]):
+    garbage, same rule as cms_merge — both run through the shared
+    _params guard)."""
+    pa = _params(a, "hist_merge", _HIST_EDGES)
+    pb = _params(b, "hist_merge", _HIST_EDGES)
+    if pa != pb:
         raise ValueError(
-            f"hist_merge: incompatible binnings {[tuple(r) for r in pa]} vs "
-            f"{[tuple(r) for r in pb]}"
+            f"hist_merge: incompatible binnings (lo, hi, bins) {pa} vs {pb}"
         )
+    cols = [*group_cols, *_HIST_COLS]
     return (
         a.select(cols)
         .unionByName(b.select(cols))
@@ -311,10 +329,14 @@ def hist_quantile(
     inside the bin holding the q-th mass, error bounded by one bin
     width. Underflow/overflow bins clamp to lo/hi (their true spread
     is unknown to the state — callers wanting exact tails must widen
-    [lo, hi)). Whole computation is window + filter over the
-    <= groups x (bins+2) relation — trivially small."""
+    [lo, hi)). Validates the relation carries exactly ONE binning
+    (a mixed-edge union would cumulate different bin widths into one
+    window and return plausible-looking garbage). Whole computation
+    is window + filter over the <= groups x (bins+2) relation —
+    trivially small."""
     if not (0.0 <= q <= 1.0):
         raise ValueError(f"hist_quantile: q must be in [0, 1], got {q}")
+    _params(hist, "hist_quantile", _HIST_EDGES)
     from pyspark.sql import Window
 
     gw = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
@@ -327,10 +349,7 @@ def hist_quantile(
     )
     # the first bin whose cumulative mass reaches the target
     h = h.filter(F.col("__cum") >= F.col("__target")).withColumn(
-        "__rank",
-        F.row_number().over(
-            (Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))).orderBy("bin")
-        ),
+        "__rank", F.row_number().over(gw.orderBy("bin"))
     ).filter(F.col("__rank") == 1)
     frac = (F.col("__target") - (F.col("__cum") - F.col("cnt"))) / F.col("cnt")
     inside = F.col("lo") + (F.col("bin") + frac) * width

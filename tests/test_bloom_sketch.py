@@ -223,7 +223,7 @@ def test_cms_param_guards(spark):
     sk_b = cms_build(df, "tok", depth=5, width=8192)
     with pytest.raises(ValueError, match="incompatible"):
         cms_merge(sk_a, sk_b)
-    with pytest.raises(ValueError, match="pairs"):
+    with pytest.raises(ValueError, match="exactly one"):
         cms_estimate(sk_a.unionByName(sk_b), df.limit(1), "tok")
     # params ride the relation: the probe needs no repeated arguments
     keys = spark.createDataFrame([("a",)], "tok string")
@@ -379,3 +379,32 @@ def test_hist_overflow_bins_and_groupwise(spark):
     assert qa["a"] == 10.0  # overflow bin clamps to hi
     q0 = {r.grp: r.q_est for r in hist_quantile(h, 0.0, ("grp",)).collect()}
     assert q0["a"] == 0.0  # underflow bin clamps to lo
+
+
+def test_hist_guards_reserved_cols_mixed_edges_and_nan(spark):
+    """Review closures: reserved group_col names raise at build,
+    mixed-edge relations raise at quantile time, and NaN is ignored
+    like NULL (it would otherwise land in the overflow bin and drag
+    upper quantiles to the clamp)."""
+    import math
+
+    import pytest
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1.0,), (5.0,)], "v double")
+    with pytest.raises(ValueError, match="reserved"):
+        hist_build(df.withColumn("bins", F.lit("x")), "v", 0.0, 10.0, 10,
+                   group_cols=("bins",))
+
+    ha = hist_build(df, "v", 0.0, 100.0, 32)
+    hc = hist_build(df, "v", 0.0, 50.0, 32)
+    with pytest.raises(ValueError, match="exactly one"):
+        hist_quantile(ha.unionByName(hc), 0.5)
+
+    nan_df = spark.createDataFrame(
+        [(float("nan"),), (5.0,), (None,)], "v double"
+    )
+    cells = {r.bin: r.cnt for r in hist_build(nan_df, "v", 0.0, 10.0, 10).collect()}
+    assert cells == {5: 1}  # NaN and NULL both ignored
+    est = hist_quantile(hist_build(nan_df, "v", 0.0, 10.0, 10), 0.99).collect()[0].q_est
+    assert est < 10.0 and not math.isnan(est)
