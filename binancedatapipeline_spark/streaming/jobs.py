@@ -728,3 +728,111 @@ def stream_distinct_sketch(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def stream_hist_sketch(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    sketch_spec: TableSpec,
+    checkpoint_dir: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Maintain a value-distribution histogram at ingest (e.g.
+    document lengths or quality scores as a training-data monitor):
+    per micro-batch, bin the batch (textops/sketch.py ``hist_build``)
+    and PK-upsert its cells under the batch id.
+
+    Histograms are COUNTING state, so the whole
+    :func:`stream_token_sketch` discipline applies verbatim — per-
+    batch date partitions (one <= bins+2-row partition rewritten per
+    tick), replay REPLACES a retried batch's cells, stored rows carry
+    the checkpoint's query id so a fresh checkpoint rebuilds, and the
+    bin edges ride the relation with a one-row guard against a
+    restart configured with different edges. Fold the batches for
+    querying with :func:`read_corpus_hist`; `hist_quantile` then
+    answers percentiles off the fold with one-bin-width error.
+
+    ``sketch_spec`` MUST be keyed ``(batch_ds, batch_id, bin)`` (or a
+    superset) with ``partition_date_source="batch_ds"`` for the
+    partition-scoped upsert, plus lo/hi/bins/stream_id columns."""
+    from binancedatapipeline_spark.textops.sketch import hist_build
+
+    pk = set(sketch_spec.primary_keys)
+    if not {"batch_id", "bin"} <= pk:
+        raise ValueError("sketch_spec PK must contain (batch_id, bin)")
+    if sketch_spec.partition_date_source is not None and (
+        sketch_spec.partition_date_source not in pk
+    ):
+        raise ValueError(
+            "sketch_spec.partition_date_source must be a PK column "
+            "(batch_ds) so upserts stay partition-scoped"
+        )
+    stream_id_holder: list[str] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not stream_id_holder:
+            stream_id_holder.append(_stream_identity(checkpoint_dir))
+        sid = stream_id_holder[0]
+        prior = (
+            warehouse.read(sketch_spec)
+            .select("stream_id", "lo", "hi", "bins")
+            .limit(1)
+            .collect()
+        )
+        rebuild = False
+        if prior:
+            p = prior[0]
+            if p["stream_id"] != sid:
+                rebuild = True
+            elif (p["lo"], p["hi"], p["bins"]) != (float(lo), float(hi), bins):
+                raise ValueError(
+                    f"stream_hist_sketch: stored bin edges "
+                    f"({p['lo']}, {p['hi']}, {p['bins']}) != configured "
+                    f"({float(lo)}, {float(hi)}, {bins})"
+                )
+        sk = (
+            hist_build(batch_df, value_col, lo, hi, bins)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn(
+                "batch_ds",
+                F.date_add(F.lit(SKETCH_EPOCH).cast("date"), F.lit(batch_id)),
+            )
+            .withColumn("stream_id", F.lit(sid))
+        ).persist()
+        try:
+            n_cells = sk.count()
+            if rebuild:
+                warehouse.overwrite(sketch_spec, sk)
+            elif n_cells:
+                warehouse.upsert(sketch_spec, sk)
+            if on_batch:
+                on_batch(batch_id, n_cells)
+        finally:
+            sk.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
+def read_corpus_hist(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFrame:
+    """The corpus-wide histogram: per-batch cells folded bin-wise into
+    the standard ``(bin, cnt, lo, hi, bins)`` relation `hist_merge`/
+    `hist_quantile` accept."""
+    return (
+        warehouse.read(sketch_spec)
+        .groupBy("bin", "lo", "hi", "bins")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("bin", "cnt", "lo", "hi", "bins")
+    )

@@ -264,3 +264,107 @@ def test_stream_hll_counts_and_full_replay_idempotence(spark, tmp_path):
     est3 = {r.day: r.n_distinct
             for r in hll_estimate(wh.read(HLL_SPEC), ("day",)).collect()}
     assert est3 == est
+
+
+# ------------------------------------------------------ histogram streaming
+
+from binancedatapipeline_spark.streaming.jobs import (  # noqa: E402
+    read_corpus_hist,
+    stream_hist_sketch,
+)
+from binancedatapipeline_spark.textops.sketch import hist_build, hist_quantile  # noqa: E402
+
+HIST_SPEC = TableSpec(
+    name="len_hist",
+    primary_keys=("batch_ds", "batch_id", "bin"),
+    schema=T.StructType([
+        T.StructField("batch_ds", T.DateType()),
+        T.StructField("batch_id", T.LongType()),
+        T.StructField("bin", T.IntegerType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("lo", T.DoubleType()),
+        T.StructField("hi", T.DoubleType()),
+        T.StructField("bins", T.IntegerType()),
+        T.StructField("stream_id", T.StringType()),
+    ]),
+    kind="fact",
+    partition_date_source="batch_ds",
+)
+
+VALS = [
+    [(1, 3.0), (2, 7.5), (3, 42.0)],
+    [(4, 15.0), (5, 7.5), (6, -2.0)],   # -2 -> underflow bin
+    [(7, 99.0), (8, 250.0)],            # 250 -> overflow bin
+]
+
+
+def test_stream_hist_fold_equals_batch_build_and_quantiles(spark, tmp_path):
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, VALS, schema="id long, v double")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_hist_sketch(
+        stream, wh, HIST_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_col="v", lo=0.0, hi=100.0, bins=20,
+    )
+    assert q.awaitTermination(300), "stream did not finish"
+
+    folded = read_corpus_hist(wh, HIST_SPEC)
+    all_vals = spark.createDataFrame(
+        [r for rows in VALS for r in rows], "id long, v double"
+    )
+    batch = hist_build(all_vals, "v", 0.0, 100.0, 20)
+    got = {r.bin: r.cnt for r in folded.collect()}
+    exp = {r.bin: r.cnt for r in batch.collect()}
+    assert got == exp
+    # the fold is a first-class histogram: quantiles answer off it
+    est = hist_quantile(folded, 0.5).collect()[0].q_est
+    assert 0.0 <= est <= 100.0
+
+    # per-batch partition layout + replay idempotence via upsert
+    parts = wh.partition_files(HIST_SPEC.name)
+    assert sorted(parts) == ["1970-01-01", "1970-01-02", "1970-01-03"]
+
+
+def test_stream_hist_edge_guard(spark, tmp_path):
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, VALS[:1], schema="id long, v double")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_hist_sketch(
+        stream, wh, HIST_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_col="v", lo=0.0, hi=100.0, bins=20,
+    )
+    assert q.awaitTermination(300)
+
+    spark.createDataFrame([(9, 1.0)], "id long, v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q2 = stream_hist_sketch(
+        stream2, wh, HIST_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_col="v", lo=0.0, hi=50.0, bins=20,  # different edges, same ckpt
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    try:
+        q2.awaitTermination(300)
+        exc = q2.exception()
+        assert exc is not None and "bin edges" in str(exc)
+    except StreamingQueryException as e:
+        assert "bin edges" in str(e)
