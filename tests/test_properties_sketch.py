@@ -95,3 +95,70 @@ def test_bloom_keeps_subset_of_exact_any_corpus(spark, case):
         .collect()
     }
     assert bloom <= exact, (sorted(bloom - exact), n)
+
+
+# ------------------------------------------------------------ histogram
+
+from binancedatapipeline_spark.textops.sketch import (  # noqa: E402
+    hist_build,
+    hist_merge,
+    hist_quantile,
+)
+
+HIST_CASE = st.tuples(
+    st.lists(
+        st.floats(min_value=-50.0, max_value=150.0, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=32),           # bins
+    st.floats(min_value=0.0, max_value=1.0),          # q
+)
+
+
+@_SETTINGS
+@given(HIST_CASE)
+def test_hist_quantile_error_bounded_any_values(spark, case):
+    """For any value set, any bin count and any q: the estimate is
+    within one bin width of the exact empirical quantile — except
+    when the exact quantile falls outside [lo, hi), where the state
+    can only clamp (asserted separately)."""
+    vals, bins, q = case
+    lo, hi = 0.0, 100.0
+    width = (hi - lo) / bins
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    h = hist_build(df, "v", lo, hi, bins)
+    est = hist_quantile(h, q).collect()[0].q_est
+    svals = sorted(vals)
+    # target mass matches the estimator's convention: first value
+    # index reaching q*n cumulative mass
+    import math
+    idx = min(max(math.ceil(q * len(svals)) - 1, 0), len(svals) - 1)
+    exact = svals[idx]
+    if exact < lo:
+        assert est == lo
+    elif exact >= hi:
+        assert est == hi
+    else:
+        assert abs(est - exact) <= width + 1e-9, (q, bins, est, exact)
+
+
+@_SETTINGS
+@given(
+    st.tuples(
+        st.lists(st.floats(min_value=0.0, max_value=99.0, allow_nan=False),
+                 min_size=1, max_size=40),
+        st.lists(st.floats(min_value=0.0, max_value=99.0, allow_nan=False),
+                 min_size=1, max_size=40),
+    )
+)
+def test_hist_merge_equals_union_any_split(spark, case):
+    va, vb = case
+    a = spark.createDataFrame([(v,) for v in va], "v double")
+    b = spark.createDataFrame([(v,) for v in vb], "v double")
+    merged = {r.bin: r.cnt
+              for r in hist_merge(hist_build(a, "v", 0.0, 100.0, 16),
+                                  hist_build(b, "v", 0.0, 100.0, 16)).collect()}
+    union = {r.bin: r.cnt
+             for r in hist_build(a.unionByName(b), "v", 0.0, 100.0, 16).collect()}
+    assert merged == union
