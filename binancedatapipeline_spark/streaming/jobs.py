@@ -474,35 +474,12 @@ def _stream_identity(checkpoint_dir: str) -> str:
         return hashlib.sha1(checkpoint_dir.encode()).hexdigest()
 
 
-def batch_token_sketch(
-    batch_df: DataFrame,
-    batch_id: int,
-    stream_id: str,
-    text_col: str = "text",
-    key_col: str | None = None,
-    depth: int = 5,
-    width: int = 8192,
-) -> DataFrame:
-    """One micro-batch's sketch rows, exactly as stream_token_sketch
-    stores them: cms_build cells + (batch_id, batch_ds, stream_id).
-    ``batch_ds`` = epoch + batch_id days keys each batch to its own
-    date partition, so the warehouse upsert rewrites one
-    partition-per-batch instead of the whole accumulated table (the
-    partition source is part of the PK, so upsert also skips the
-    stranded-row locate scan)."""
-    from binancedatapipeline_spark.textops.analysis import tokens_col
-    from binancedatapipeline_spark.textops.sketch import cms_build
-
-    if key_col is None:
-        keyed = batch_df.select(
-            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
-        ).filter(F.length("tok") > 0)
-        col = "tok"
-    else:
-        keyed, col = batch_df, key_col
+def _with_batch_cols(cells: DataFrame, batch_id: int, stream_id: str) -> DataFrame:
+    """Tag a batch's cells with the replay ledger columns: batch_id,
+    its own date partition (epoch + batch_id days), and the stream
+    lineage id."""
     return (
-        cms_build(keyed, col, depth=depth, width=width)
-        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        cells.withColumn("batch_id", F.lit(batch_id).cast("long"))
         .withColumn(
             "batch_ds",
             F.date_add(F.lit(SKETCH_EPOCH).cast("date"), F.lit(batch_id)),
@@ -511,58 +488,42 @@ def batch_token_sketch(
     )
 
 
-def stream_token_sketch(
+def _stream_counting_state(
     stream: DataFrame,
     warehouse: Warehouse,
     sketch_spec: TableSpec,
     checkpoint_dir: str,
-    text_col: str = "text",
-    key_col: str | None = None,
-    depth: int = 5,
-    width: int = 8192,
-    available_now: bool = True,
-    trigger_interval: str = "1 hour",
-    on_batch: Callable[[int, int], None] | None = None,
+    build_cells,
+    guard_cols: tuple[str, ...],
+    guard_values: tuple,
+    guard_label: str,
+    available_now: bool,
+    trigger_interval: str,
+    on_batch: Callable[[int, int], None] | None,
 ) -> StreamingQuery:
-    """Maintain a corpus-wide Count-Min token-frequency sketch at
-    ingest: per micro-batch, sketch the batch (textops/sketch.py
-    ``cms_build``) and PK-upsert it under its batch id.
+    """THE counting-state discipline, shared by every sketch whose
+    cells are counts (token Count-Min, value histograms — anything
+    where re-merging a retried batch would double-count):
 
-    REPLAY SEMANTICS are why the state is per-batch rather than one
-    merged relation: a counting sketch is not idempotent under
-    re-merge (a retried batch would double-count), but re-upserting
-    the same batch's sketch under its PK REPLACES bit-identical rows —
-    the foreachBatch retry contract (same batch_id ⇒ same data for
-    replayable sources) makes the whole job idempotent. Readers fold
-    the per-batch sketches with :func:`read_corpus_sketch`; compact
-    the accumulated batches with :func:`compact_corpus_sketch` if
-    n_batches ever matters.
+    - per micro-batch, ``build_cells(batch_df)`` produces the batch's
+      cell relation, which is tagged (batch_id, batch_ds, stream_id)
+      and PK-upserted — replay REPLACES a retried batch's cells
+      bit-identically instead of re-adding them;
+    - each batch lives in its own date partition (``batch_ds`` in the
+      PK), so the upsert stages and renames ONE bounded partition per
+      tick rather than rewriting the accumulated table;
+    - stored rows carry the checkpoint's query id: a batch from a NEW
+      checkpoint (whose source replays everything from scratch)
+      REBUILDS the table instead of folding two lineages' partial
+      batches into nonsense;
+    - a one-row probe guards ``guard_cols`` (hash geometry / bin
+      edges) against a restart configured differently — folding mixed
+      parameters is silent garbage, so it raises.
 
-    STREAM IDENTITY: batch ids are per-checkpoint, so stored rows
-    carry the checkpoint's query id. On the first batch from a NEW
-    checkpoint (whose source re-reads everything from scratch) the
-    stored state is REBUILT — overwritten with the new stream's
-    batches — instead of folding two lineages' partial batches into
-    nonsense. Same checkpoint restarting keeps its id and replays
-    normally. Single-writer per table, like every warehouse job.
-
-    SCALING: ``sketch_spec`` should set
-    ``partition_date_source="batch_ds"`` with ``batch_ds`` in the PK —
-    each batch's cells land in their own date partition (epoch +
-    batch_id days), so the upsert stages and renames ONE partition of
-    ``depth x width`` rows per batch. Without it the no-partition
-    upsert path rewrites the whole accumulated table per batch:
-    O(n_batches) per tick, O(n_batches^2) over a stream's life.
-
-    ``sketch_spec`` MUST be keyed ``(batch_ds, batch_id, row,
-    bucket)`` (superset with batch_ds optional only when
-    unpartitioned) and carry ``stream_id`` string + geometry columns.
-    ``key_col`` sketches an existing column directly; otherwise
-    ``text_col`` is lowercased, whitespace-tokenized and exploded
-    (the tokens_col convention shared with tfidf/word_count)."""
+    Single-writer per table, like every warehouse job."""
     pk = set(sketch_spec.primary_keys)
-    if not {"batch_id", "row", "bucket"} <= pk:
-        raise ValueError("sketch_spec PK must contain (batch_id, row, bucket)")
+    if "batch_id" not in pk:
+        raise ValueError("sketch_spec PK must contain batch_id")
     if sketch_spec.partition_date_source is not None and (
         sketch_spec.partition_date_source not in pk
     ):
@@ -576,10 +537,9 @@ def stream_token_sketch(
         if not stream_id_holder:
             stream_id_holder.append(_stream_identity(checkpoint_dir))
         sid = stream_id_holder[0]
-        # one-row probe: stored identity + geometry (NOT a table scan)
         prior = (
             warehouse.read(sketch_spec)
-            .select("stream_id", "depth", "width")
+            .select("stream_id", *guard_cols)
             .limit(1)
             .collect()
         )
@@ -588,16 +548,12 @@ def stream_token_sketch(
             p = prior[0]
             if p["stream_id"] != sid:
                 rebuild = True  # new checkpoint lineage: source replays all
-            elif (p["depth"], p["width"]) != (depth, width):
+            elif tuple(p[c] for c in guard_cols) != guard_values:
                 raise ValueError(
-                    f"stream_token_sketch: stored sketch geometry "
-                    f"({p['depth']}, {p['width']}) != configured "
-                    f"({depth}, {width})"
+                    f"{guard_label} {tuple(p[c] for c in guard_cols)} "
+                    f"!= configured {guard_values}"
                 )
-        sk = batch_token_sketch(
-            batch_df, batch_id, sid,
-            text_col=text_col, key_col=key_col, depth=depth, width=width,
-        ).persist()
+        sk = _with_batch_cols(build_cells(batch_df), batch_id, sid).persist()
         try:
             n_cells = sk.count()
             if rebuild:
@@ -619,6 +575,112 @@ def stream_token_sketch(
     return writer.start()
 
 
+def _compact_counting_state(
+    warehouse: Warehouse, sketch_spec: TableSpec, folded_cells: DataFrame
+) -> None:
+    """Collapse accumulated per-batch cells into ONE folded batch
+    under the reserved id -1 (batch_ds = epoch - 1 day, below any
+    real batch). This must be an atomic table REPLACEMENT, not an
+    upsert — upserting the fold beside the per-batch rows would leave
+    both live and double every count on read. ``Warehouse.overwrite``
+    stages and renames, so a crashed compaction leaves the old
+    batches intact. Counts are preserved exactly; subsequent batches
+    upsert alongside the compacted row-set as usual.
+
+    RUN ONLY WHILE THE STREAM IS STOPPED (after awaitTermination or
+    between AvailableNow runs): folding batch K away and then letting
+    the engine retry batch K would re-upsert K's cells beside the
+    fold and double-count them — compaction trades the per-batch
+    replay ledger for size, so it must happen at a point where no
+    batch can be retried."""
+    ident = warehouse.read(sketch_spec).select("stream_id").limit(1).collect()
+    if not ident:
+        return
+    warehouse.overwrite(
+        sketch_spec, _with_batch_cols(folded_cells, -1, ident[0]["stream_id"])
+    )
+
+
+def _token_cells(
+    batch_df: DataFrame,
+    text_col: str,
+    key_col: str | None,
+    depth: int,
+    width: int,
+) -> DataFrame:
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+    from binancedatapipeline_spark.textops.sketch import cms_build
+
+    if key_col is None:
+        keyed = batch_df.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("tok")
+        ).filter(F.length("tok") > 0)
+        col = "tok"
+    else:
+        keyed, col = batch_df, key_col
+    return cms_build(keyed, col, depth=depth, width=width)
+
+
+def batch_token_sketch(
+    batch_df: DataFrame,
+    batch_id: int,
+    stream_id: str,
+    text_col: str = "text",
+    key_col: str | None = None,
+    depth: int = 5,
+    width: int = 8192,
+) -> DataFrame:
+    """One micro-batch's sketch rows, exactly as stream_token_sketch
+    stores them: cms_build cells + (batch_id, batch_ds, stream_id).
+    ``batch_ds`` = epoch + batch_id days keys each batch to its own
+    date partition, so the warehouse upsert rewrites one
+    partition-per-batch instead of the whole accumulated table (the
+    partition source is part of the PK, so upsert also skips the
+    stranded-row locate scan)."""
+    return _with_batch_cols(
+        _token_cells(batch_df, text_col, key_col, depth, width),
+        batch_id,
+        stream_id,
+    )
+
+
+def stream_token_sketch(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    sketch_spec: TableSpec,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str | None = None,
+    depth: int = 5,
+    width: int = 8192,
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Maintain a corpus-wide Count-Min token-frequency sketch at
+    ingest: the counting-state discipline (:func:`_stream_counting_state`
+    — per-batch date partitions, replay-replaces, stream-identity
+    rebuild, geometry guard) applied to ``cms_build`` cells. Readers
+    fold the batches with :func:`read_corpus_sketch`; compact a
+    stopped stream with :func:`compact_corpus_sketch`.
+
+    ``sketch_spec`` MUST be keyed ``(batch_ds, batch_id, row,
+    bucket)`` (batch_ds optional only when unpartitioned) and carry
+    ``stream_id`` string + depth/width columns. ``key_col`` sketches
+    an existing column directly; otherwise ``text_col`` is
+    lowercased, whitespace-tokenized and exploded (the tokens_col
+    convention shared with tfidf/word_count)."""
+    if not {"batch_id", "row", "bucket"} <= set(sketch_spec.primary_keys):
+        raise ValueError("sketch_spec PK must contain (batch_id, row, bucket)")
+    return _stream_counting_state(
+        stream, warehouse, sketch_spec, checkpoint_dir,
+        lambda b: _token_cells(b, text_col, key_col, depth, width),
+        ("depth", "width"), (depth, width),
+        "stream_token_sketch: stored sketch geometry",
+        available_now, trigger_interval, on_batch,
+    )
+
+
 def read_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFrame:
     """The corpus-wide sketch: per-batch sketches folded cell-wise.
     Returns the standard ``(row, bucket, cnt, depth, width)`` relation
@@ -633,35 +695,12 @@ def read_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFram
 
 
 def compact_corpus_sketch(warehouse: Warehouse, sketch_spec: TableSpec) -> None:
-    """Collapse the accumulated per-batch sketches into ONE folded
-    batch under the reserved id -1 (batch_ds = epoch - 1 day, below
-    any real batch). This must be an atomic table REPLACEMENT, not an
-    upsert — upserting the fold beside the per-batch rows would leave
-    both live and double every count on read. ``Warehouse.overwrite``
-    stages and renames, so a crashed compaction leaves the old
-    batches intact. Counts are preserved exactly; subsequent batches
-    upsert alongside the compacted row-set as usual.
-
-    RUN ONLY WHILE THE STREAM IS STOPPED (after awaitTermination or
-    between AvailableNow runs): folding batch K away and then letting
-    the engine retry batch K would re-upsert K's cells beside the
-    fold and double-count them — compaction trades the per-batch
-    replay ledger for size, so it must happen at a point where no
-    batch can be retried."""
-    stored = warehouse.read(sketch_spec)
-    ident = stored.select("stream_id").limit(1).collect()
-    if not ident:
-        return
-    folded = (
-        read_corpus_sketch(warehouse, sketch_spec)
-        .withColumn("batch_id", F.lit(-1).cast("long"))
-        .withColumn(
-            "batch_ds",
-            F.date_add(F.lit(SKETCH_EPOCH).cast("date"), F.lit(-1)),
-        )
-        .withColumn("stream_id", F.lit(ident[0]["stream_id"]))
+    """Compact a token-sketch table: the shared atomic-replacement
+    protocol (:func:`_compact_counting_state` — read its
+    STOPPED-STREAM-ONLY contract) over the Count-Min fold."""
+    _compact_counting_state(
+        warehouse, sketch_spec, read_corpus_sketch(warehouse, sketch_spec)
     )
-    warehouse.overwrite(sketch_spec, folded)
 
 
 def stream_distinct_sketch(
@@ -745,85 +784,28 @@ def stream_hist_sketch(
 ) -> StreamingQuery:
     """Maintain a value-distribution histogram at ingest (e.g.
     document lengths or quality scores as a training-data monitor):
-    per micro-batch, bin the batch (textops/sketch.py ``hist_build``)
-    and PK-upsert its cells under the batch id.
-
-    Histograms are COUNTING state, so the whole
-    :func:`stream_token_sketch` discipline applies verbatim — per-
-    batch date partitions (one <= bins+2-row partition rewritten per
-    tick), replay REPLACES a retried batch's cells, stored rows carry
-    the checkpoint's query id so a fresh checkpoint rebuilds, and the
-    bin edges ride the relation with a one-row guard against a
-    restart configured with different edges. Fold the batches for
-    querying with :func:`read_corpus_hist`; `hist_quantile` then
-    answers percentiles off the fold with one-bin-width error.
+    the same counting-state discipline as the token sketch —
+    histograms are counts, so it applies STRUCTURALLY via
+    :func:`_stream_counting_state`, not by analogy — over
+    ``hist_build`` cells, guarding the bin edges instead of the hash
+    geometry. Fold with :func:`read_corpus_hist` (then
+    ``hist_quantile`` answers percentiles off the fold); compact a
+    stopped stream with :func:`compact_corpus_hist`.
 
     ``sketch_spec`` MUST be keyed ``(batch_ds, batch_id, bin)`` (or a
     superset) with ``partition_date_source="batch_ds"`` for the
     partition-scoped upsert, plus lo/hi/bins/stream_id columns."""
     from binancedatapipeline_spark.textops.sketch import hist_build
 
-    pk = set(sketch_spec.primary_keys)
-    if not {"batch_id", "bin"} <= pk:
+    if not {"batch_id", "bin"} <= set(sketch_spec.primary_keys):
         raise ValueError("sketch_spec PK must contain (batch_id, bin)")
-    if sketch_spec.partition_date_source is not None and (
-        sketch_spec.partition_date_source not in pk
-    ):
-        raise ValueError(
-            "sketch_spec.partition_date_source must be a PK column "
-            "(batch_ds) so upserts stay partition-scoped"
-        )
-    stream_id_holder: list[str] = []
-
-    def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not stream_id_holder:
-            stream_id_holder.append(_stream_identity(checkpoint_dir))
-        sid = stream_id_holder[0]
-        prior = (
-            warehouse.read(sketch_spec)
-            .select("stream_id", "lo", "hi", "bins")
-            .limit(1)
-            .collect()
-        )
-        rebuild = False
-        if prior:
-            p = prior[0]
-            if p["stream_id"] != sid:
-                rebuild = True
-            elif (p["lo"], p["hi"], p["bins"]) != (float(lo), float(hi), bins):
-                raise ValueError(
-                    f"stream_hist_sketch: stored bin edges "
-                    f"({p['lo']}, {p['hi']}, {p['bins']}) != configured "
-                    f"({float(lo)}, {float(hi)}, {bins})"
-                )
-        sk = (
-            hist_build(batch_df, value_col, lo, hi, bins)
-            .withColumn("batch_id", F.lit(batch_id).cast("long"))
-            .withColumn(
-                "batch_ds",
-                F.date_add(F.lit(SKETCH_EPOCH).cast("date"), F.lit(batch_id)),
-            )
-            .withColumn("stream_id", F.lit(sid))
-        ).persist()
-        try:
-            n_cells = sk.count()
-            if rebuild:
-                warehouse.overwrite(sketch_spec, sk)
-            elif n_cells:
-                warehouse.upsert(sketch_spec, sk)
-            if on_batch:
-                on_batch(batch_id, n_cells)
-        finally:
-            sk.unpersist()
-
-    writer = stream.writeStream.foreachBatch(handle).option(
-        "checkpointLocation", checkpoint_dir
+    return _stream_counting_state(
+        stream, warehouse, sketch_spec, checkpoint_dir,
+        lambda b: hist_build(b, value_col, lo, hi, bins),
+        ("lo", "hi", "bins"), (float(lo), float(hi), bins),
+        "stream_hist_sketch: stored bin edges",
+        available_now, trigger_interval, on_batch,
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=trigger_interval)
-    return writer.start()
 
 
 def read_corpus_hist(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFrame:
@@ -835,4 +817,13 @@ def read_corpus_hist(warehouse: Warehouse, sketch_spec: TableSpec) -> DataFrame:
         .groupBy("bin", "lo", "hi", "bins")
         .agg(F.sum("cnt").alias("cnt"))
         .select("bin", "cnt", "lo", "hi", "bins")
+    )
+
+
+def compact_corpus_hist(warehouse: Warehouse, sketch_spec: TableSpec) -> None:
+    """Compact a histogram table: the shared atomic-replacement
+    protocol (:func:`_compact_counting_state` — read its
+    STOPPED-STREAM-ONLY contract) over the bin-wise fold."""
+    _compact_counting_state(
+        warehouse, sketch_spec, read_corpus_hist(warehouse, sketch_spec)
     )

@@ -326,7 +326,7 @@ def test_stream_hist_fold_equals_batch_build_and_quantiles(spark, tmp_path):
     est = hist_quantile(folded, 0.5).collect()[0].q_est
     assert 0.0 <= est <= 100.0
 
-    # per-batch partition layout + replay idempotence via upsert
+    # per-batch partition layout
     parts = wh.partition_files(HIST_SPEC.name)
     assert sorted(parts) == ["1970-01-01", "1970-01-02", "1970-01-03"]
 
@@ -368,3 +368,73 @@ def test_stream_hist_edge_guard(spark, tmp_path):
         assert exc is not None and "bin edges" in str(exc)
     except StreamingQueryException as e:
         assert "bin edges" in str(e)
+
+
+def test_stream_hist_replay_and_rebuild(spark, tmp_path):
+    """The counting-state discipline holds for the histogram job too
+    (structurally — both jobs share _stream_counting_state — but
+    pinned here in its own right): replaying a batch's cells under
+    its batch id leaves the fold unchanged, and a fresh checkpoint
+    re-ingesting the same source rebuilds rather than double-counts."""
+    from binancedatapipeline_spark.streaming.jobs import _with_batch_cols
+    from binancedatapipeline_spark.textops.sketch import hist_build as _hb
+
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, VALS, schema="id long, v double")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(stage).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = stream_hist_sketch(
+            stream, wh, HIST_SPEC,
+            checkpoint_dir=ckpt, value_col="v", lo=0.0, hi=100.0, bins=20,
+        )
+        assert q.awaitTermination(300)
+
+    run(str(tmp_path / "ckptA"))
+    once = {r.bin: r.cnt for r in read_corpus_hist(wh, HIST_SPEC).collect()}
+
+    # batch-0 replay exactly as the handler would write it
+    sid = wh.read(HIST_SPEC).select("stream_id").limit(1).collect()[0][0]
+    sk0 = _with_batch_cols(
+        _hb(spark.createDataFrame(VALS[0], "id long, v double"), "v", 0.0, 100.0, 20),
+        0, sid,
+    )
+    wh.upsert(HIST_SPEC, sk0)
+    assert {r.bin: r.cnt for r in read_corpus_hist(wh, HIST_SPEC).collect()} == once
+
+    # fresh checkpoint over the same source: rebuilt, not doubled
+    run(str(tmp_path / "ckptB"))
+    assert {r.bin: r.cnt for r in read_corpus_hist(wh, HIST_SPEC).collect()} == once
+
+
+def test_compact_corpus_hist_preserves_counts(spark, tmp_path):
+    stage = str(tmp_path / "in")
+    _stage_chunks(spark, stage, VALS, schema="id long, v double")
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_hist_sketch(
+        stream, wh, HIST_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        value_col="v", lo=0.0, hi=100.0, bins=20,
+    )
+    assert q.awaitTermination(300)
+    before = {r.bin: r.cnt for r in read_corpus_hist(wh, HIST_SPEC).collect()}
+
+    from binancedatapipeline_spark.streaming.jobs import compact_corpus_hist
+
+    compact_corpus_hist(wh, HIST_SPEC)  # stream stopped: safe
+    stored = wh.read(HIST_SPEC)
+    assert stored.select("batch_id").distinct().collect()[0][0] == -1
+    assert {r.bin: r.cnt for r in read_corpus_hist(wh, HIST_SPEC).collect()} == before
+    # the compacted fold still answers quantiles
+    est = hist_quantile(read_corpus_hist(wh, HIST_SPEC), 0.5).collect()[0].q_est
+    assert 0.0 <= est <= 100.0
