@@ -542,24 +542,28 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan bytes at 100 TB) for half the aggregate pipeline and no row
     doubling. Neither form ever materializes a per-group value set: a
     hot supplier costs CPU, not executor memory (the collect_set
-    formulation stays banned; plan-regression-tested)."""
+    formulation stays banned; plan-regression-tested).
+
+    NULL semantics: each branch keeps null value rows THROUGH the
+    distinct (so a group whose values are all NULL still yields one
+    (suppkey, NULL) row and survives into the join — COUNT(DISTINCT)
+    returns such a group with 0, it does not drop it) and then counts
+    with ``count(col)``, which skips NULLs. Every base-table group
+    therefore appears in BOTH branches and the inner join is exact —
+    no outer join, no extra key scan (differential-tested against
+    null-only groups in tests/test_round6_fixes.py)."""
     li = _t(spark, sf_dir, "lineitem")
-    # the isNotNull filters preserve COUNT(DISTINCT ...) NULL
-    # semantics (NULL is not a countable value); without them a
-    # null-bearing column would count one extra "distinct" per group
     parts = (
         li.select("l_suppkey", "l_partkey")
-        .filter(F.col("l_partkey").isNotNull())
         .distinct()
         .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .agg(F.count("l_partkey").alias("n_parts"))
     )
     orders = (
         li.select("l_suppkey", "l_orderkey")
-        .filter(F.col("l_orderkey").isNotNull())
         .distinct()
         .groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .agg(F.count("l_orderkey").alias("n_orders"))
     )
     return parts.join(orders, "l_suppkey")
 

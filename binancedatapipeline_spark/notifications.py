@@ -39,9 +39,11 @@ def format_alert(
     rejects the whole payload with a parse error on unescaped markup
     characters under parse_mode=HTML, which would silently eat any
     alert mentioning e.g. 'A&B' or a '<PERP>' symbol. The length clip
-    shrinks the TABLE text to fit (never slicing through a tag), and
-    falls back to clipping the bare message when even an empty block
-    would not fit — the output is always well-formed."""
+    shrinks the TABLE text to fit (never slicing through a tag OR an
+    escape entity — the cut point backs off over a trailing partial
+    ``&amp;``-style entity, so ``&am…`` can never appear), and falls
+    back to clipping the bare message when even an empty block would
+    not fit — the output is always well-formed."""
     from html import escape
 
     body = escape(message)
@@ -56,11 +58,24 @@ def format_alert(
             room = max_len - len(body) - frame_len
             if room >= 1:
                 if len(table) > room:
-                    table = table[: room - 1] + "…"
+                    table = _clip_escaped(table, room)
                 body += "\n\n<pre>" + table + "</pre>"
     if len(body) > max_len:  # table-less message longer than the cap
-        body = body[: max_len - 1] + "…"
+        body = _clip_escaped(body, max_len)
     return body
+
+
+def _clip_escaped(text: str, limit: int) -> str:
+    """Clip already-HTML-escaped text to ``limit`` chars (ellipsis
+    included) without slicing through an entity: if the cut lands
+    mid-``&amp;``/``&#39;``, back the cut point off to just before
+    the ``&``. Entities produced by ``html.escape`` are ≤6 chars, so
+    the backoff scan is bounded."""
+    cut = text[: limit - 1]
+    amp = cut.rfind("&")
+    if amp != -1 and ";" not in cut[amp:] and len(cut) - amp < 6:
+        cut = cut[:amp]
+    return cut + "…"
 
 
 def _urllib_post(url: str, payload: dict) -> dict:

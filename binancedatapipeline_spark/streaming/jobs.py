@@ -458,11 +458,14 @@ def _stream_identity(checkpoint_dir: str) -> str:
     """A stable id for the stream lineage: Structured Streaming's own
     query id from ``<checkpoint>/metadata`` (written at start; stable
     across restarts of the same checkpoint, fresh for a new one —
-    exactly the identity the state needs). Falls back to a hash of
-    the checkpoint path for non-local checkpoint URIs, which tracks
-    the same thing unless a checkpoint is deleted and re-created at
-    the identical path (documented limitation)."""
-    import hashlib
+    exactly the identity the state needs). Non-local checkpoint URIs
+    read the same file through the Hadoop FileSystem API (any FS that
+    can hold the checkpoint can serve the read). If the metadata file
+    is genuinely unreadable this RAISES rather than hashing the path:
+    a path-derived id would survive a delete-and-recreate of the
+    checkpoint, silently skipping the rebuild branch and leaving
+    stale high-numbered batch partitions live (double-count) — a
+    loud failure beats silent state corruption."""
     import json as _json
     import os as _os
 
@@ -471,7 +474,37 @@ def _stream_identity(checkpoint_dir: str) -> str:
         with open(meta) as fh:
             return _json.load(fh)["id"]
     except (OSError, ValueError, KeyError):
-        return hashlib.sha1(checkpoint_dir.encode()).hexdigest()
+        pass
+    # non-local URI (open() only handles local paths): Hadoop FS read
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(checkpoint_dir + "/metadata")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            stream = fs.open(jpath)
+            try:
+                reader = jvm.java.io.BufferedReader(
+                    jvm.java.io.InputStreamReader(stream)
+                )
+                lines = []
+                line = reader.readLine()
+                while line is not None:
+                    lines.append(line)
+                    line = reader.readLine()
+            finally:
+                stream.close()
+            return _json.loads("\n".join(lines))["id"]
+        except Exception:
+            pass
+    raise RuntimeError(
+        f"cannot read stream identity from {checkpoint_dir}/metadata; "
+        "refusing to fall back to a path-derived id (it would keep the "
+        "old lineage across a checkpoint delete+recreate and silently "
+        "double-count)"
+    )
 
 
 def _with_batch_cols(cells: DataFrame, batch_id: int, stream_id: str) -> DataFrame:

@@ -74,7 +74,7 @@ def train_bpe(
     text_col: str = "text",
     num_merges: int = 100,
     min_pair_count: int = 2,
-    max_vocab_words: int = 2_000_000,
+    max_vocab_words: int = 500_000,
 ) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus. Returns the
     ordered merge list [(a, b), ...]; stops early when no adjacent
@@ -84,7 +84,16 @@ def train_bpe(
     of text becomes a |distinct words|-sized relation, collected once
     (bounded by ``max_vocab_words``: if the corpus has more distinct
     words, only the most frequent are kept, dropping a vanishing tail
-    of hapax mass — 2M words x ~100 B is well under driver memory).
+    of hapax mass). Driver-memory sizing is dominated by the WORKING
+    STATE, not the raw strings: each word becomes a Python list of
+    1-char strings plus EOW (~0.5–1 KB for a 10-char word), and the
+    pair-count table / inverted index hold multiple dict+set entries
+    per distinct adjacent pair occurrence — budget ~1–2 KB per
+    distinct word, so 500k word types ≈ 0.5–1 GB of driver heap (2M
+    would be multiple GB). BPE merge quality saturates far below 2M
+    types — the frequency-ranked cap drops only hapax-tail mass that
+    min_pair_count would exclude from merges anyway — so the default
+    stays small; raise it only with a driver sized to match.
     Driver side: the inherently sequential merge loop, maintained
     incrementally — a weighted pair-count table, a pair -> word-ids
     inverted index so each merge rewrites ONLY the words containing
