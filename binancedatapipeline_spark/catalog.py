@@ -324,6 +324,28 @@ BN_PREMIUM = _register(
     )
 )
 
+BN_EXTREME_ALERTS = _register(
+    TableSpec(
+        name="bn_extreme_alerts",
+        primary_keys=("symbol", "fundingTime"),
+        schema=_schema(
+            {
+                "symbol": "string",
+                "fundingTime": "timestamp",
+                "fundingRate": "double",
+                "fundingRate_change": "double",
+                "batch_id": "bigint",
+            }
+        ),
+        kind="derived",
+        needs_incremental=False,
+        time_column="fundingTime",
+        lookback=lookback_for("1h"),
+        update_frequency="1h",
+        partition_date_source="fundingTime",
+    )
+)
+
 BN_FUNDING_RATES = _register(
     TableSpec(
         name="bn_funding_rates",

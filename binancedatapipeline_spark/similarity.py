@@ -666,25 +666,97 @@ def train_pq_codebooks_residual(
     return _subspace_kmeans(residuals, m, n_codes, iters, np.random.default_rng(seed))
 
 
+def _pq_reconstruct(codes: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Decode (n, m) code rows back to (n, d) vectors — concatenated
+    per-subspace codebook entries (the ADC 'decoded' view)."""
+    m, _, _ = cb.shape
+    return np.concatenate([cb[j][codes[:, j]] for j in range(m)], axis=1)
+
+
+def train_opq_rotation_residual(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 256,
+    vec_col: str = "embedding",
+    sample_rows: int = 10_000,
+    iters: int = 10,
+    opq_iters: int = 8,
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(rotation R (d, d), codebooks (m, n_codes, d/m)): OPQ-NP — the
+    non-parametric Optimized Product Quantization alternation (Ge,
+    He, Ke & Sun, "Optimized Product Quantization", CVPR 2013 §4):
+    learn an orthonormal rotation of the residual space that
+    minimizes PQ reconstruction error before the subspace split, so
+    correlated/unbalanced dimensions stop wasting code budget.
+
+    Alternation per round, all on the bounded driver sample (same
+    O(sample) contract as the other trainers): (1) k-means codebooks
+    on the rotated residuals, (2) encode + reconstruct, (3) update R
+    by orthogonal Procrustes — with X the residuals and Y the
+    reconstructions, ``X^T Y = U S V^T`` gives ``R^T = U V^T``, the
+    orthogonal transform minimizing ``‖X R^T − Y‖_F``. Because R is
+    orthonormal, L2 is preserved and the ADC machinery downstream is
+    unchanged — pass the pair to :func:`ivfpq_encode` /
+    :func:`ivfpq_topk` via ``rotation=``.
+
+    Opt-in (round 6, per the round-5 verdict): whether the rotation
+    pays depends on the residual covariance — measure with
+    tools/bench_ann.py's ``ivfpq_opq`` row next to the nlist
+    finding."""
+    sample = np.array(
+        [r[0] for r in corpus.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    assign = np.argmax(sn @ cn.T, axis=1)
+    residuals = sample - centroids[assign]
+
+    rng = np.random.default_rng(seed)
+    d = residuals.shape[1]
+    rotation = np.eye(d)
+    codebooks = None
+    for _ in range(max(1, opq_iters)):
+        z = residuals @ rotation.T
+        codebooks = _subspace_kmeans(z, m, n_codes, iters, rng)
+        recon = _pq_reconstruct(_encode_matrix(z, codebooks), codebooks)
+        u, _, vt = np.linalg.svd(residuals.T @ recon)
+        rotation = (u @ vt).T
+    # final codebooks consistent with the last rotation update
+    codebooks = _subspace_kmeans(
+        residuals @ rotation.T, m, n_codes, iters, rng
+    )
+    return rotation, codebooks
+
+
 def ivfpq_encode(
     corpus: DataFrame,
     centroids: np.ndarray,
     codebooks: np.ndarray,
     corpus_vec: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """The materializable IVF-PQ index relation: corpus columns +
     ``__cell`` (IVF cell) + ``pq_code`` (m residual codes) — encode
-    once, persist/write, query many times. One Arrow map stage."""
+    once, persist/write, query many times. One Arrow map stage.
+    ``rotation``: optional OPQ rotation (train_opq_rotation_residual)
+    applied to residuals before the subspace split; the SAME matrix
+    must then be passed to every query pass over this index."""
     from pyspark.sql.functions import pandas_udf
 
     cb = codebooks
     cents = centroids
+    rot_t = None if rotation is None else rotation.T.copy()
 
     c = with_ivf_cell(corpus, centroids, corpus_vec, "__cell")
 
     @pandas_udf("array<int>")
     def encode_residual(vecs: pd.Series, cells: pd.Series) -> pd.Series:
         x = np.array(vecs.tolist(), dtype=np.float64) - cents[cells.to_numpy()]
+        if rot_t is not None:
+            x = x @ rot_t
         return pd.Series(list(_encode_matrix(x, cb)))
 
     return c.withColumn(
@@ -709,6 +781,7 @@ def ivfpq_topk(
     centroids: np.ndarray | None = None,
     codebooks: np.ndarray | None = None,
     encoded: DataFrame | None = None,
+    rotation: np.ndarray | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """IVF-PQ with residual encoding — the standard billion-scale ANN
@@ -751,7 +824,7 @@ def ivfpq_topk(
     m_, n_codes_, dsub = cb.shape
 
     enc = encoded if encoded is not None else ivfpq_encode(
-        corpus, centroids, codebooks, corpus_vec=corpus_vec
+        corpus, centroids, codebooks, corpus_vec=corpus_vec, rotation=rotation
     )
     cents = centroids
 
@@ -771,6 +844,10 @@ def ivfpq_topk(
     for qi in range(len(qids)):
         for cell in probes[qi]:
             r = qv[qi] - cents[cell]
+            if rotation is not None:
+                # orthonormal OPQ rotation: L2-preserving, so ADC
+                # distances in the rotated space rank identically
+                r = rotation @ r
             t = np.empty((m_, n_codes_))
             for j in range(m_):
                 rs = r[j * dsub : (j + 1) * dsub]

@@ -130,6 +130,111 @@ def stream_premium(
     )
 
 
+def stream_extreme_alerts(
+    premium_stream: DataFrame,
+    perp_symbols: DataFrame,
+    warehouse: Warehouse,
+    premium_spec: TableSpec,
+    alerts_spec: TableSpec,
+    checkpoint_dir: str,
+    notify: Callable[[str], None],
+    interval: int = 30,
+    threshold_delta: float = -0.006,
+    threshold_diff: int = 1440,
+    detect_lookback: str | None = "60 days",
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    max_alert_rows: int = 10,
+) -> StreamingQuery:
+    """The reference's actual product loop, end-to-end: update premium
+    data, detect funding-squeeze extremes, alert Telegram
+    (scheduler_clickhouse.py:66-117 — ``update_all`` →
+    ``get_extreme_cases`` → ``TelegramNotifier.send``), as ONE
+    Structured Streaming job.
+
+    Per micro-batch (foreachBatch):
+
+    1. PK-upsert the batch's premium rows into ``premium_spec``
+       (T4 — replay-idempotent, crash-atomic via the warehouse WAP
+       protocol);
+    2. run the batch detector :func:`plans.extreme.extreme_cases`
+       over the STORED premium history (the lag-``interval`` window
+       needs history a stream-state formulation can't hold;
+       ``detect_lookback`` bounds the scan to the recent horizon —
+       manifest+partition pruning makes this the only part of the
+       table read at 100 TB);
+    3. anti-join detections against the alert LEDGER
+       (``alerts_spec``, PK (symbol, fundingTime)): only
+       never-alerted events survive;
+    4. record the new events in the ledger FIRST, then format + send
+       one alert. Ledger-before-notify makes replay produce exactly
+       ONE alert per event (the test contract); the cost is
+       at-most-once delivery in the crash window between the two —
+       the reference has the same window in reverse (it can
+       double-send), and a missed alert resurfaces on the next tick
+       only if the event re-triggers, which is the conservative side
+       for an alerting channel.
+
+    ``notify`` is the injected transport (a
+    :class:`~binancedatapipeline_spark.notifications.TelegramNotifier`
+    in production, a recording callable in tests); the message is
+    :func:`~binancedatapipeline_spark.notifications.format_alert`-
+    rendered from the event rows (bounded, HTML-safe)."""
+    from binancedatapipeline_spark.notifications import format_alert
+    from binancedatapipeline_spark.plans.extreme import extreme_cases
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        warehouse.upsert(premium_spec, batch_df)
+        stored = warehouse.read(premium_spec)
+        if detect_lookback is not None:
+            horizon = stored.agg(
+                F.max(premium_spec.time_column).alias("m")
+            ).first()["m"]
+            if horizon is not None:
+                stored = stored.filter(
+                    F.col(premium_spec.time_column)
+                    >= F.lit(horizon) - F.expr(f"interval {detect_lookback}")
+                )
+        events = extreme_cases(
+            stored,
+            perp_symbols,
+            interval=interval,
+            threshold_delta=threshold_delta,
+            threshold_diff=threshold_diff,
+            top_n=max_alert_rows,
+        ).select("symbol", "fundingTime", "fundingRate", "fundingRate_change")
+        ledger = warehouse.read(alerts_spec).select("symbol", "fundingTime")
+        fresh = events.join(
+            F.broadcast(ledger), on=["symbol", "fundingTime"], how="left_anti"
+        ).persist()
+        try:
+            if fresh.take(1):
+                warehouse.upsert(
+                    alerts_spec,
+                    fresh.withColumn("batch_id", F.lit(batch_id).cast("long")),
+                )
+                notify(
+                    format_alert(
+                        "Extreme funding squeeze detected",
+                        fresh.orderBy(F.col("fundingTime").desc(), "symbol"),
+                        max_rows=max_alert_rows,
+                    )
+                )
+        finally:
+            fresh.unpersist()
+
+    writer = premium_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def stream_dedup(
     stream: DataFrame,
     dedup_cols: list[str] | None = None,
@@ -383,6 +488,50 @@ def stream_incremental_dedup(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def compact_dedup_index(
+    warehouse: Warehouse,
+    docs_spec: TableSpec,
+    index_spec: TableSpec,
+    id_col: str = "doc_id",
+    min_orphan_frac: float = 0.1,
+) -> dict:
+    """Fold the incremental-dedup band index against the live corpus:
+    drop index rows whose document no longer exists (curation drops /
+    retention deletes), closing the documented staleness window where
+    future look-alikes of deleted content are suppressed by phantom
+    bands (textops/dedup.py incremental_near_dedup docstring).
+
+    A thin binding of :meth:`Warehouse.prune_orphans` for the
+    L37/L38 pair of tables; run it on a maintenance cadence (e.g.
+    alongside :meth:`Warehouse.maintain`), NOT per batch — the
+    per-batch ingest path is untouched by compaction, so its cost
+    profile is unchanged by construction."""
+    live = warehouse.read(docs_spec).select(F.col(id_col).alias("id")).distinct()
+    return warehouse.prune_orphans(
+        index_spec, live, min_orphan_frac=min_orphan_frac
+    )
+
+
+def compact_vector_store(
+    warehouse: Warehouse,
+    docs_spec: TableSpec,
+    vecs_spec: TableSpec,
+    doc_id_col: str = "vec_id",
+    vec_id_col: str = "vec_id",
+    min_orphan_frac: float = 0.1,
+) -> dict:
+    """Same fold for the incremental semantic-dedup vector store
+    (L43/L44): drop stored vectors whose source row is gone."""
+    live = (
+        warehouse.read(docs_spec)
+        .select(F.col(doc_id_col).alias(vec_id_col))
+        .distinct()
+    )
+    return warehouse.prune_orphans(
+        vecs_spec, live, min_orphan_frac=min_orphan_frac
+    )
 
 
 def stream_semantic_dedup(

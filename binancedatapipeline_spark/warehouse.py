@@ -1,4 +1,5 @@
-"""Parquet-backed warehouse with PK-upsert and incremental ledger.
+"""Parquet-backed warehouse with PK-upsert, snapshot reads and an
+incremental ledger.
 
 Replaces the reference's two storage backends (DuckDB upsert pair,
 crypto_data_pipeline_duckdb.py:1546-1594; ClickHouse
@@ -12,43 +13,62 @@ layout:
 - upsert is **partition-scoped**: only the ``ds`` partitions present
   in the update batch are read, anti-joined and rewritten — at
   100 TB an hourly micro-batch touches 1-2 partitions, not the
-  table (dynamic partition overwrite mode);
+  table;
 - the incremental watermark (reference: ``SELECT MAX(time_col)``,
-  duckdb:1523-1544) reads only the latest partitions thanks to
-  partition pruning on ``ds``.
+  duckdb:1523-1544) scans only the last date partition when the
+  partition source IS the time column (manifest-pruned).
 
 This is MERGE-ON-READ-free: readers see plain parquet with unique
 PKs, no dedup view needed.
 
-Write-audit-publish (round 5): every mutation (upsert / overwrite /
-maintain) stages its full output under ``<root>/_staging/<name>/<tx>``
-first, records a ``_PLAN.json`` once the stage is completely written,
-and only then publishes by RENAMING whole partition directories into
-place. The reference got crash atomicity from DuckDB/ClickHouse
-transactions (duckdb:1546-1594; ch:1757-1793); here it comes from the
-rename protocol:
+Write-audit-publish with MANIFEST-COMMITTED SNAPSHOT READS (round 6 —
+closes round 5's two documented reader windows): data files are
+IMMUTABLE — every transaction writes its output under
+``<root>/_staging/<name>/<tx>`` first, records a ``_PLAN.json`` once
+the stage is completely written, then MOVES each staged file into the
+live partition directories under a tx-unique name and finally
+replaces ``_MANIFEST.json`` (one atomic ``os.replace``). The manifest
+lists the exact data files of the current table version; readers pin
+their file listing to it:
 
-- **Crash before the plan file exists** → the live table was never
-  touched; ``recover`` discards the half-written stage.
-- **Crash mid-publish** → the plan replays idempotently: each
-  partition either still has its staged dir (swap it) or was already
-  swapped (skip); ``recover`` (called automatically at the start of
-  every mutation) rolls the transaction forward to completion.
-- **Reader contract**: each partition transitions atomically from its
-  complete old state to its complete new state (one directory rename
-  on a POSIX/HDFS filesystem) — a concurrent reader never sees a
-  partially-written partition. Across partitions the publish is
-  sequential, so a multi-partition reader can observe partition A new
-  while B is still old (and a partition mid-swap is briefly absent
-  from a directory listing); full snapshot isolation requires a table
-  format (Delta/Iceberg) and is explicitly out of scope.
-- **Writer contract**: one writer per table at a time. Staging makes
-  crashes recoverable, not concurrent writers serializable — the
-  reference had the same single-writer scheduler
-  (scheduler_clickhouse.py:120-133).
-- Renames are ``os.rename`` (atomic on local disk / NFS / anything
-  POSIX; HDFS renames are atomic too via the FileSystem API). Object
-  stores without atomic rename need a table format instead.
+- **Reader contract (manifest readers, i.e. ``Warehouse.read``)**:
+  full snapshot isolation per read. The manifest replace is the one
+  commit point, so a reader never observes a mixed old/new state
+  across partitions and never observes a partition mid-swap absent —
+  the two windows the round-5 rename-swap protocol left open. A
+  superseded version's files survive one further publish cycle
+  (``_MANIFEST.prev.json`` grace) before ``vacuum`` removes them, so
+  an in-flight reader holding the previous manifest keeps its files.
+- **Raw-path readers** (``spark.read.parquet(<table dir>)`` without
+  the manifest) see current ∪ grace files — i.e. duplicates of
+  partitions rewritten by the latest transaction — and are no longer
+  a blessed interface; run ``vacuum(name, full=True)`` first if one
+  is unavoidable.
+- **Crash atomicity**: the plan file (atomic create) is the writer
+  commit point and carries everything needed to finish: the file
+  moves, the full next manifest, and the manifest it supersedes.
+  Crash before the plan exists → the live table and manifest were
+  never touched; ``recover`` discards the stage. Crash anywhere after
+  → ``recover`` (run automatically at the start of every mutation and
+  every read) replays the plan idempotently: each move either still
+  has its staged source (do it) or already happened (skip); the
+  manifest writes are deterministic replaces.
+- **Writer contract**: one writer per table, now ENFORCED by a lease
+  (``_locks/<name>.lock``, O_EXCL create): a second concurrent writer
+  raises :class:`ConcurrentWriterError` instead of corrupting. Each
+  acquisition takes a monotonically increasing fence number (persisted
+  in ``_locks/<name>.fence``) which the commit path checks against
+  the live manifest: a zombie writer whose expired lease was stolen
+  fails at commit with :class:`FencedWriterError` rather than
+  overwriting the thief's published state. (Without a storage-side
+  CAS the zombie check is best-effort — the check-then-publish window
+  is microseconds of driver code — but every SINGLE-writer crash
+  interleaving is exact; the reference relied on its one-process
+  scheduler for the same contract, scheduler_clickhouse.py:120-133.)
+- Renames are ``os.rename``/``os.replace`` (atomic on local disk /
+  NFS / anything POSIX; HDFS renames are atomic too via the
+  FileSystem API). Object stores without atomic rename need a table
+  format (Delta/Iceberg) instead.
 """
 
 from __future__ import annotations
@@ -57,7 +77,8 @@ import json
 import os
 import shutil
 import uuid
-from datetime import datetime, timedelta
+from contextlib import contextmanager
+from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,51 +87,269 @@ from binancedatapipeline_spark.catalog import TableSpec
 from binancedatapipeline_spark.operators.dedup import dedup_keep_last
 
 DS_COL = "ds"
+MANIFEST = "_MANIFEST.json"
+MANIFEST_PREV = "_MANIFEST.prev.json"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second writer attempted a mutation while another holds the
+    table's lease."""
+
+
+class FencedWriterError(RuntimeError):
+    """A writer whose lease was stolen (fence superseded) attempted to
+    commit; the table was not modified."""
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        writer_id: str | None = None,
+        lease_ttl: float = 900.0,
+    ):
         self.spark = spark
         self.root = root
+        self.writer_id = writer_id or uuid.uuid4().hex[:12]
+        self.lease_ttl = lease_ttl
+        self._held: dict[str, int] = {}  # table -> fence (re-entrancy)
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
     def exists(self, name: str) -> bool:
-        p = self.path(name)
+        if os.path.exists(self._manifest_path(name)):
+            return True
+        p = self.path(name)  # legacy (pre-manifest) table
         return os.path.isdir(p) and any(
             not entry.startswith((".", "_")) for entry in os.listdir(p)
         )
 
+    # -------------------------------------------------------- manifest
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.path(name), MANIFEST)
+
+    def _load_manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return None
+
+    def _synthesize_manifest(self, name: str) -> dict:
+        """Manifest for a legacy (pre-manifest) table from a directory
+        walk — run once at the first post-upgrade mutation; from then
+        on the manifest is carried forward transactionally."""
+        files: dict[str, list[str]] = {}
+        p = self.path(name)
+        if os.path.isdir(p):
+            for entry in sorted(os.listdir(p)):
+                full = os.path.join(p, entry)
+                if entry.startswith((".", "_")):
+                    continue
+                if os.path.isdir(full) and entry.startswith(f"{DS_COL}="):
+                    ds = entry.split("=", 1)[1]
+                    files[ds] = sorted(
+                        f"{entry}/{f}"
+                        for f in os.listdir(full)
+                        if not f.startswith((".", "_"))
+                    )
+                elif os.path.isfile(full):
+                    files.setdefault("", []).append(entry)
+        return {"version": "legacy", "fence": 0, "files": files}
+
+    def _current_manifest(self, name: str) -> dict:
+        return self._load_manifest(name) or self._synthesize_manifest(name)
+
+    def _write_json_atomic(self, path: str, payload: dict) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)
+
+    def _manifest_files(self, name: str, manifest: dict) -> list[str]:
+        base = self.path(name)
+        return [
+            os.path.join(base, rel)
+            for rels in manifest["files"].values()
+            for rel in rels
+        ]
+
+    # ------------------------------------------------------------- lease
+
+    def _locks_dir(self) -> str:
+        d = os.path.join(self.root, "_locks")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _lock_path(self, name: str) -> str:
+        return os.path.join(self._locks_dir(), f"{name}.lock")
+
+    def _next_fence(self, name: str) -> int:
+        """Monotone fence counter, bumped under the exclusive lock."""
+        fp = os.path.join(self._locks_dir(), f"{name}.fence")
+        try:
+            with open(fp) as f:
+                n = int(f.read().strip() or 0)
+        except (OSError, ValueError):
+            n = 0
+        tmp = fp + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(n + 1))
+        os.replace(tmp, fp)
+        return n + 1
+
+    @contextmanager
+    def _writer_lock(self, name: str):
+        """Acquire the table's writer lease (re-entrant within this
+        instance). Raises :class:`ConcurrentWriterError` if another
+        live writer holds it; a lease older than ``lease_ttl`` seconds
+        is presumed dead and stolen (atomically — one stealer wins the
+        tombstone rename)."""
+        if name in self._held:
+            yield self._held[name]
+            return
+        lock = self._lock_path(name)
+        for _ in range(2):  # second try after a successful steal
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = datetime.now().timestamp() - os.path.getmtime(lock)
+                    with open(lock) as f:
+                        holder = json.load(f)
+                except (OSError, ValueError):
+                    continue  # holder released between our checks; retry
+                if age <= self.lease_ttl:
+                    raise ConcurrentWriterError(
+                        f"table {name!r} is locked by writer "
+                        f"{holder.get('holder')!r} (fence "
+                        f"{holder.get('fence')}, age {age:.0f}s ≤ ttl "
+                        f"{self.lease_ttl:.0f}s)"
+                    )
+                # expired: steal via atomic tombstone rename — exactly
+                # one stealer succeeds, the rest loop and re-contend
+                try:
+                    os.rename(lock, lock + f".stale-{uuid.uuid4().hex[:8]}")
+                except FileNotFoundError:
+                    pass
+        else:
+            raise ConcurrentWriterError(f"could not acquire lease on {name!r}")
+        fence = self._next_fence(name)
+        with os.fdopen(fd, "w") as f:
+            json.dump(
+                {
+                    "holder": self.writer_id,
+                    "fence": fence,
+                    "acquired": datetime.now().isoformat(),
+                },
+                f,
+            )
+        self._held[name] = fence
+        try:
+            yield fence
+        finally:
+            del self._held[name]
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+    def _check_fence(self, name: str, fence: int | None) -> None:
+        """Commit-time fencing: refuse to commit below the fence of
+        the live manifest (a thief already published past us)."""
+        if fence is None:
+            return
+        current = self._load_manifest(name)
+        if current and current.get("fence", 0) > fence:
+            raise FencedWriterError(
+                f"writer fence {fence} superseded by manifest fence "
+                f"{current['fence']} on table {name!r}; lease was stolen"
+            )
+
     # ------------------------------------------------------------- read
 
+    def _read_live(
+        self, name: str, ds_values: list | None = None
+    ) -> DataFrame | None:
+        """A DataFrame pinned to the CURRENT manifest's files — the
+        snapshot read. ``ds_values`` (date objects or iso strings)
+        prunes to those partitions in Python, before Spark ever lists
+        a file. Returns None for a table with no data files."""
+        manifest = self._load_manifest(name)
+        if manifest is None:
+            if not self.exists(name):
+                return None
+            df = self.spark.read.parquet(self.path(name))  # legacy table
+            if ds_values is not None:
+                df = df.filter(F.col(DS_COL).isin(list(ds_values)))
+            return df
+        files = manifest["files"]
+        if ds_values is not None:
+            keys = {_ds_key(v) for v in ds_values}
+            picked = {k: v for k, v in files.items() if k in keys}
+        else:
+            picked = files
+        paths = [
+            os.path.join(self.path(name), rel)
+            for rels in picked.values()
+            for rel in rels
+        ]
+        if not paths:
+            all_paths = self._manifest_files(name, manifest)
+            if not all_paths:
+                return None
+            # schema-preserving empty frame over the pruned-out table
+            return (
+                self.spark.read.option("basePath", self.path(name))
+                .parquet(*all_paths)
+                .filter(F.lit(False))
+            )
+        return self.spark.read.option("basePath", self.path(name)).parquet(*paths)
+
     def read(self, spec: TableSpec) -> DataFrame:
-        """Read a table (without the internal ds partition column).
+        """Read a table (without the internal ds partition column) as
+        one consistent snapshot: the file listing is pinned to the
+        manifest committed by a single atomic rename, so concurrent
+        publishes can never yield a mixed or partially-visible state.
 
         Rolls forward any committed-but-unpublished transaction first
-        (a writer that died between partition swaps would otherwise
-        leave that partition invisible until the NEXT mutation — the
-        exact window where the pipeline being down is likeliest).
-        Readers going through this class therefore always see a fully
-        published table; external readers scanning the path directly
-        see the documented per-partition-atomic view instead."""
+        (a writer that died between the plan commit and the manifest
+        replace would otherwise leave its update invisible until the
+        NEXT mutation — the exact window where the pipeline being
+        down is likeliest)."""
         self.recover(spec.name, rollback_uncommitted=False)
-        if not self.exists(spec.name):
+        df = self._read_live(spec.name)
+        if df is None:
             return spec.empty(self.spark)
-        df = self.spark.read.parquet(self.path(spec.name))
         return df.select(*spec.columns)
 
     def latest_timestamp(self, spec: TableSpec):
         """The incremental watermark: MAX(time_column), or None.
 
-        With ds-partitioning, Catalyst prunes this to a scan of the
-        lexicographically-last partitions in practice; exact
-        semantics kept simple (full-column max) for correctness.
-        """
+        When the partition source IS the time column, ``ds`` is a
+        monotone function of it, so the max lives in the
+        lexicographically-last partition — the manifest prunes the
+        scan to just that partition's files (at 100 TB: one partition
+        of thousands)."""
         if spec.time_column is None or not self.exists(spec.name):
             return None
-        df = self.spark.read.parquet(self.path(spec.name))
+        manifest = self._load_manifest(spec.name)
+        ds_values = None
+        if (
+            manifest is not None
+            and spec.partition_date_source == spec.time_column
+        ):
+            keys = [k for k in manifest["files"] if k]
+            if keys:
+                ds_values = [max(keys)]
+        df = self._read_live(spec.name, ds_values=ds_values)
+        if df is None:
+            return None
         row = df.agg(F.max(spec.time_column).alias("m")).first()
         return row["m"]
 
@@ -140,11 +379,8 @@ class Warehouse:
         inject crashes here to exercise recovery."""
         os.rename(src, dst)
 
-    def _part_dir(self, name: str, ds: str) -> str:
-        return os.path.join(self.path(name), f"{DS_COL}={ds}")
-
     def _write_plan(self, stage: str, plan: dict) -> None:
-        """The commit point: the plan file appears atomically
+        """The writer commit point: the plan file appears atomically
         (write-then-replace), and its presence means the staged data
         is complete and the transaction WILL be published (rolled
         forward by ``recover`` if this process dies first)."""
@@ -153,21 +389,77 @@ class Warehouse:
             json.dump(plan, f)
         os.replace(tmp, os.path.join(stage, "_PLAN.json"))
 
+    def _staged_moves(self, name: str, stage: str) -> tuple[list, dict]:
+        """(moves, staged_files): each staged data file's move into
+        the live tree under a tx-unique immutable name, plus the
+        per-partition map of resulting live relative paths."""
+        tx = os.path.basename(stage)
+        data = os.path.join(stage, "data")
+        moves: list[list[str]] = []
+        staged: dict[str, list[str]] = {}
+        if not os.path.isdir(data):
+            return moves, staged
+        for entry in sorted(os.listdir(data)):
+            full = os.path.join(data, entry)
+            if entry.startswith((".", "_")):
+                continue
+            if os.path.isdir(full) and entry.startswith(f"{DS_COL}="):
+                ds = entry.split("=", 1)[1]
+                for fn in sorted(os.listdir(full)):
+                    if fn.startswith((".", "_")):
+                        continue
+                    rel = f"{entry}/{tx}-{fn}"
+                    moves.append([f"data/{entry}/{fn}", rel])
+                    staged.setdefault(ds, []).append(rel)
+            elif os.path.isfile(full):
+                rel = f"{tx}-{entry}"
+                moves.append([f"data/{entry}", rel])
+                staged.setdefault("", []).append(rel)
+        return moves, staged
+
+    def _commit(
+        self,
+        name: str,
+        stage: str,
+        staged_files: dict[str, list[str]],
+        moves: list,
+        replaced_ds: set[str] | None,
+        fence: int | None,
+    ) -> None:
+        """Build the next manifest, commit the plan, publish.
+
+        ``replaced_ds=None`` → whole-table replace (the next manifest
+        lists only the staged files); otherwise the named partitions
+        (iso strings) are replaced/dropped and the rest carried over
+        from the current manifest."""
+        self._check_fence(name, fence)
+        prev = self._current_manifest(name) if self.exists(name) else None
+        if replaced_ds is None:
+            files = dict(staged_files)
+        else:
+            files = {
+                k: v
+                for k, v in (prev["files"] if prev else {}).items()
+                if k not in replaced_ds
+            }
+            files.update(staged_files)
+        manifest = {
+            "version": os.path.basename(stage),
+            "fence": fence if fence is not None else (prev or {}).get("fence", 0),
+            "files": files,
+        }
+        self._write_plan(
+            stage,
+            {"moves": moves, "manifest": manifest, "prev_manifest": prev},
+        )
+        self._publish(name, stage)
+
     def _publish(self, name: str, stage: str) -> None:
         """Execute (or re-execute) a committed plan. Idempotent: every
-        step checks whether it already happened, so a crash at ANY
-        rename boundary is repaired by running this again. Steps
-        additionally tolerate FileNotFoundError from the rename
-        itself — a reader-side ``recover`` racing the original
-        writer's publish means the other process already performed
-        the step between our existence check and our rename."""
-
-        def step(src: str, dst: str) -> None:
-            try:
-                self._rename(src, dst)
-            except FileNotFoundError:
-                pass  # the concurrent publisher won the race; done
-
+        file move checks whether it already happened (and tolerates
+        FileNotFoundError from a concurrent recoverer winning the
+        race), and the manifest writes are deterministic replaces of
+        content carried in the plan itself."""
         plan_path = os.path.join(stage, "_PLAN.json")
         try:
             with open(plan_path) as f:
@@ -176,35 +468,25 @@ class Warehouse:
             if not os.path.isdir(stage):
                 return  # a concurrent recover published + cleaned it all
             raise
-        data = os.path.join(stage, "data")
-        old = os.path.join(stage, "_old")
-        os.makedirs(old, exist_ok=True)
-        if plan.get("whole_table"):
-            live = self.path(name)
-            if os.path.isdir(data):
-                if os.path.isdir(live):
-                    step(live, os.path.join(old, "table"))
-                step(data, live)
-        else:
-            for ds in plan["drops"]:
-                live = self._part_dir(name, ds)
-                if os.path.isdir(live):
-                    step(live, os.path.join(old, f"{DS_COL}={ds}"))
-            for ds in plan["swaps"]:
-                staged = os.path.join(data, f"{DS_COL}={ds}")
-                live = self._part_dir(name, ds)
-                if os.path.isdir(staged):
-                    if os.path.isdir(live):
-                        step(live, os.path.join(old, f"{DS_COL}={ds}"))
-                    step(staged, live)
+        base = self.path(name)
+        for src_rel, dst_rel in plan["moves"]:
+            src = os.path.join(stage, src_rel)
+            dst = os.path.join(base, dst_rel)
+            if os.path.exists(src) and not os.path.exists(dst):
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                try:
+                    self._rename(src, dst)
+                except FileNotFoundError:
+                    pass  # the concurrent publisher won the race; done
+        os.makedirs(base, exist_ok=True)
+        if plan.get("prev_manifest"):
+            self._write_json_atomic(
+                os.path.join(base, MANIFEST_PREV), plan["prev_manifest"]
+            )
+        # THE reader commit point: one atomic replace
+        self._write_json_atomic(self._manifest_path(name), plan["manifest"])
+        self._vacuum_unreferenced(name, extra_manifests=[plan["manifest"]])
         shutil.rmtree(stage, ignore_errors=True)
-
-    def _staged_partitions(self, data: str) -> list[str]:
-        return sorted(
-            d.split("=", 1)[1]
-            for d in os.listdir(data)
-            if d.startswith(f"{DS_COL}=")
-        )
 
     def recover(self, name: str, rollback_uncommitted: bool = True) -> int:
         """Repair unfinished transactions for a table: committed plans
@@ -215,8 +497,8 @@ class Warehouse:
         run self-heals; ``read`` calls it too with
         ``rollback_uncommitted=False`` — a plan-less stage there may
         be a LIVE writer mid-stage, and only the writer path (which
-        owns the single-writer lock by contract) may discard one.
-        Returns the number of transactions repaired."""
+        holds the lease) may discard one. Returns the number of
+        transactions repaired."""
         sroot = self._staging_root(name)
         if not os.path.isdir(sroot):
             return 0
@@ -234,6 +516,116 @@ class Warehouse:
             n += 1
         return n
 
+    # ----------------------------------------------------------- vacuum
+
+    def _referenced(self, name: str, extra_manifests: list[dict]) -> set[str]:
+        refs: set[str] = set()
+        for m in [self._load_manifest(name), *extra_manifests]:
+            if m:
+                for rels in m["files"].values():
+                    refs.update(rels)
+        prev_path = os.path.join(self.path(name), MANIFEST_PREV)
+        try:
+            with open(prev_path) as f:
+                for rels in json.load(f)["files"].values():
+                    refs.update(rels)
+        except (OSError, ValueError):
+            pass
+        # files promised by any committed-but-unpublished plan
+        sroot = self._staging_root(name)
+        if os.path.isdir(sroot):
+            for tx in os.listdir(sroot):
+                try:
+                    with open(os.path.join(sroot, tx, "_PLAN.json")) as f:
+                        p = json.load(f)
+                    for rels in p["manifest"]["files"].values():
+                        refs.update(rels)
+                except (OSError, ValueError, KeyError):
+                    continue
+        return refs
+
+    def _vacuum_unreferenced(
+        self, name: str, extra_manifests: list[dict] | None = None, full: bool = False
+    ) -> int:
+        """Delete data files referenced by neither the current nor the
+        grace (prev) manifest nor any pending committed plan. With
+        ``full=True`` the grace set is ignored too (current only) —
+        for handing the directory to a raw-path reader. Returns the
+        number of files removed."""
+        base = self.path(name)
+        if not os.path.isdir(base) or self._load_manifest(name) is None:
+            return 0
+        refs = self._referenced(name, extra_manifests or [])
+        if full:
+            refs = set()
+            m = self._load_manifest(name)
+            for rels in (m or {"files": {}})["files"].values():
+                refs.update(rels)
+            try:
+                os.unlink(os.path.join(base, MANIFEST_PREV))
+            except FileNotFoundError:
+                pass
+        removed = 0
+        for dirpath, dirnames, filenames in os.walk(base, topdown=False):
+            for fn in filenames:
+                if fn.startswith((".", "_")):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, fn), base)
+                if rel not in refs:
+                    try:
+                        os.unlink(os.path.join(dirpath, fn))
+                        removed += 1
+                    except FileNotFoundError:
+                        pass
+            if dirpath != base and not os.listdir(dirpath):
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return removed
+
+    def vacuum(self, name: str, full: bool = False) -> int:
+        """Public GC entry point (see :meth:`_vacuum_unreferenced`)."""
+        return self._vacuum_unreferenced(name, full=full)
+
+    def prune_orphans(
+        self,
+        spec: TableSpec,
+        live_keys: DataFrame,
+        min_orphan_frac: float = 0.1,
+    ) -> dict:
+        """Row-level GC for derived state tables (round 6): drop rows
+        whose key no longer appears in ``live_keys`` once orphans
+        exceed ``min_orphan_frac`` of the table.
+
+        The motivating consumer is the incremental-dedup band index
+        (L37/L38): its documented staleness window — ids deleted from
+        the docs table (curation drops, retention deletes) leave band
+        rows live, and future look-alikes of the deleted content are
+        suppressed against phantom state — shrinks exactly at
+        compaction. Same shape serves the semantic-dedup vector store
+        (L43) and any (state keyed by entity id) table.
+
+        The threshold makes this a MAINTENANCE op, not a per-batch
+        one: below it the scan stops at two counts (column-pruned key
+        scan + semi-join count), above it the rewrite goes through
+        the snapshot-committed :meth:`overwrite`, so concurrent
+        readers still see one consistent version. ``live_keys``
+        columns name the join key (e.g. a single ``id`` column).
+        Returns a stats dict."""
+        key_cols = list(live_keys.columns)
+        cur = self.read(spec)
+        total = cur.count()
+        if total == 0:
+            return {"total": 0, "orphans": 0, "pruned": False}
+        kept = cur.join(live_keys, on=key_cols, how="left_semi")
+        n_kept = kept.count()
+        orphans = total - n_kept
+        if orphans == 0 or orphans / total < min_orphan_frac:
+            return {"total": total, "orphans": orphans, "pruned": False}
+        self.overwrite(spec, kept)
+        return {"total": total, "orphans": orphans, "pruned": True}
+
     # ------------------------------------------------------------ write
 
     def _with_ds(self, spec: TableSpec, df: DataFrame) -> DataFrame:
@@ -244,27 +636,26 @@ class Warehouse:
 
     def init_table(self, spec: TableSpec) -> None:
         """CREATE TABLE IF NOT EXISTS (duckdb:1499-1521): write an
-        empty partitioned dataset so readers never 404."""
+        empty dataset + manifest so readers never 404."""
         if not self.exists(spec.name):
-            self._with_ds(spec, spec.empty(self.spark)).write.mode("overwrite").parquet(
-                self.path(spec.name)
-            )
+            self.overwrite(spec, spec.empty(self.spark))
 
     def overwrite(self, spec: TableSpec, df: DataFrame) -> None:
         """Full refresh (dimension tables, needs_incremental=False).
-        Staged then swapped as ONE whole-table rename — a reader mid-
-        refresh sees the complete old table or the complete new one,
-        never Spark's delete-then-write window."""
-        self.recover(spec.name)
-        out = self._with_ds(spec, spec.align(df))
-        stage = self._new_stage(spec.name)
-        data = os.path.join(stage, "data")
-        writer = out.write
-        if spec.partition_date_source:
-            writer = writer.partitionBy(DS_COL)
-        writer.parquet(data)
-        self._write_plan(stage, {"whole_table": True})
-        self._publish(spec.name, stage)
+        Staged, then committed as ONE manifest replace — a reader mid-
+        refresh sees the complete old snapshot or the complete new
+        one, never Spark's delete-then-write window."""
+        with self._writer_lock(spec.name) as fence:
+            self.recover(spec.name)
+            out = self._with_ds(spec, spec.align(df))
+            stage = self._new_stage(spec.name)
+            data = os.path.join(stage, "data")
+            writer = out.write
+            if spec.partition_date_source:
+                writer = writer.partitionBy(DS_COL)
+            writer.parquet(data)
+            moves, staged = self._staged_moves(spec.name, stage)
+            self._commit(spec.name, stage, staged, moves, None, fence)
 
     def write_bucketed(
         self,
@@ -278,7 +669,9 @@ class Warehouse:
         bucketed the same way join WITHOUT a shuffle — at 100 TB the
         perp⋈spot premium join is the workload's dominant shuffle,
         and bucketing removes it from every hourly run. Registers
-        ``<name>_bucketed`` in the session catalog and returns it."""
+        ``<name>_bucketed`` in the session catalog and returns it.
+        (Bucketed tables are Spark-catalog-managed; the manifest
+        protocol does not apply.)"""
         cols = bucket_cols or [spec.primary_keys[0]]
         table = f"{spec.name}_bucketed"
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
@@ -294,15 +687,22 @@ class Warehouse:
 
     def upsert(self, spec: TableSpec, updates: DataFrame, order_col: str | None = None) -> None:
         """PK-upsert restricted to the date partitions the batch
-        touches. Replay-idempotent (T3/T4); crash-atomic via the
-        stage-plan-publish protocol (module docstring).
+        touches. Replay-idempotent (T3/T4); crash-atomic and
+        snapshot-visible via the stage-plan-manifest protocol (module
+        docstring).
 
         Plan: dedup batch keep-last → read ONLY affected partitions
-        of the target → anti-join out superseded rows → union →
-        stage the rewritten partitions → publish by per-partition
-        directory rename (plus explicit drops for touched partitions
-        whose every row moved elsewhere).
-        """
+        of the target (manifest-pruned file list) → anti-join out
+        superseded rows → union → stage the rewritten partitions →
+        publish by immutable file moves + one manifest replace (plus
+        explicit drops for touched partitions whose every row moved
+        elsewhere)."""
+        with self._writer_lock(spec.name) as fence:
+            self._upsert_locked(spec, updates, order_col, fence)
+
+    def _upsert_locked(
+        self, spec: TableSpec, updates: DataFrame, order_col: str | None, fence: int
+    ) -> None:
         self.recover(spec.name)
         # dedup before align: the ordering column may be auxiliary
         # (e.g. a batch sequence number) and not part of the schema
@@ -326,16 +726,15 @@ class Warehouse:
         )
 
         if spec.partition_date_source is None:
-            merged = self.read(spec).join(
+            live = self._read_live(spec.name)
+            base = live.select(*spec.columns) if live is not None else spec.empty(self.spark)
+            merged = base.join(
                 anti_build, on=list(spec.primary_keys), how="left_anti"
             ).unionByName(updates)
-            # stage the merge (reading the live table), then swap the
-            # whole table directory in one rename
             stage = self._new_stage(spec.name)
-            data = os.path.join(stage, "data")
-            self._with_ds(spec, merged).write.parquet(data)
-            self._write_plan(stage, {"whole_table": True})
-            self._publish(spec.name, stage)
+            self._with_ds(spec, merged).write.parquet(os.path.join(stage, "data"))
+            moves, staged = self._staged_moves(spec.name, stage)
+            self._commit(spec.name, stage, staged, moves, None, fence)
             return
 
         updates_ds = self._with_ds(spec, updates)
@@ -350,40 +749,38 @@ class Warehouse:
         # PK+ds) and fold it into the rewrite set. When the source IS a
         # PK column, a PK match implies the same ds — skip the scan.
         if spec.partition_date_source not in spec.primary_keys:
-            stranded = (
-                self.spark.read.parquet(self.path(spec.name))
-                .select(DS_COL, *spec.primary_keys)
-                .join(anti_build, on=list(spec.primary_keys), how="left_semi")
-                .select(DS_COL)
-                .distinct()
-                .collect()
-            )
-            touched |= {r[DS_COL] for r in stranded}
+            full = self._read_live(spec.name)
+            if full is not None:
+                stranded = (
+                    full.select(DS_COL, *spec.primary_keys)
+                    .join(anti_build, on=list(spec.primary_keys), how="left_semi")
+                    .select(DS_COL)
+                    .distinct()
+                    .collect()
+                )
+                touched |= {r[DS_COL] for r in stranded}
         touched = sorted(touched)
 
-        target = self.spark.read.parquet(self.path(spec.name)).filter(
-            F.col(DS_COL).isin(touched)
+        target = self._read_live(spec.name, ds_values=touched)
+        kept = (
+            target.join(anti_build, on=list(spec.primary_keys), how="left_anti")
+            .select(*spec.columns)
+            if target is not None
+            else spec.empty(self.spark)
         )
-        kept = target.join(
-            anti_build, on=list(spec.primary_keys), how="left_anti"
-        ).select(*spec.columns)
         merged = self._with_ds(spec, kept.unionByName(updates))
 
-        # stage the rewritten partitions, commit the plan, publish by
-        # rename. A touched partition whose every row was superseded
-        # (moved to another date) is absent from the staged output and
-        # becomes an explicit drop — its stale directory is renamed
-        # away at publish, closing the old dynamic-overwrite gap where
-        # empty partitions kept their files.
+        # stage the rewritten partitions, commit the plan, publish.
+        # A touched partition whose every row was superseded (moved to
+        # another date) is absent from the staged output and simply
+        # leaves the next manifest — its files become unreferenced and
+        # are vacuumed after the grace cycle.
         stage = self._new_stage(spec.name)
         data = os.path.join(stage, "data")
         merged.write.partitionBy(DS_COL).parquet(data)
-        swaps = self._staged_partitions(data)
-        drops = sorted({ds.isoformat() for ds in touched} - set(swaps))
-        self._write_plan(
-            stage, {"partitioned": True, "swaps": swaps, "drops": drops}
-        )
-        self._publish(spec.name, stage)
+        moves, staged = self._staged_moves(spec.name, stage)
+        replaced = {_ds_key(ds) for ds in touched} | set(staged)
+        self._commit(spec.name, stage, staged, moves, replaced, fence)
 
     # ------------------------------------------------------ maintenance
 
@@ -394,20 +791,34 @@ class Warehouse:
 
     def partition_files(self, name: str) -> dict[str | None, tuple[int, int]]:
         """Per-``ds`` partition (or ``None`` for an unpartitioned
-        table): (file_count, bytes). Hadoop FileSystem metadata calls
-        only — works on local disk, HDFS, or object stores."""
-        fs, root = self._hadoop_fs(self.path(name))
+        table): (file_count, bytes) — counted over the CURRENT
+        manifest's live files (grace/orphan files excluded), falling
+        back to a directory listing for legacy tables."""
+        manifest = self._load_manifest(name)
+        base = self.path(name)
         out: dict[str | None, tuple[int, int]] = {}
+        if manifest is not None:
+            for ds, rels in manifest["files"].items():
+                n = b = 0
+                for rel in rels:
+                    try:
+                        b += os.path.getsize(os.path.join(base, rel))
+                        n += 1
+                    except OSError:
+                        n += 1
+                out[ds or None] = (n, b)
+            return out
+        fs, root = self._hadoop_fs(base)
         for st in fs.listStatus(root):
-            base = st.getPath().getName()
-            if st.isDirectory() and base.startswith(f"{DS_COL}="):
+            bn = st.getPath().getName()
+            if st.isDirectory() and bn.startswith(f"{DS_COL}="):
                 n = b = 0
                 for f in fs.listStatus(st.getPath()):
                     if not f.getPath().getName().startswith((".", "_")):
                         n += 1
                         b += f.getLen()
-                out[base.split("=", 1)[1]] = (n, b)
-            elif not st.isDirectory() and not base.startswith((".", "_")):
+                out[bn.split("=", 1)[1]] = (n, b)
+            elif not st.isDirectory() and not bn.startswith((".", "_")):
                 cnt, tot = out.get(None, (0, 0))
                 out[None] = (cnt + 1, tot + st.getLen())
         return out
@@ -432,68 +843,69 @@ class Warehouse:
         never read or rewritten. Returns a stats dict."""
         import math
 
-        self.recover(spec.name)
-        if not self.exists(spec.name):
-            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
-        stats = self.partition_files(spec.name)
-        pk = list(spec.primary_keys)
+        with self._writer_lock(spec.name) as fence:
+            self.recover(spec.name)
+            if not self.exists(spec.name):
+                return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+            stats = self.partition_files(spec.name)
+            pk = list(spec.primary_keys)
 
-        if spec.partition_date_source is None:
-            n_files, n_bytes = stats.get(None, (0, 0))
-            target = max(1, math.ceil(n_bytes / (target_mb << 20)))
-            if n_files <= max(target, max_files_per_partition):
-                return {"partitions_compacted": 0, "files_before": n_files,
-                        "files_after": n_files}
+            if spec.partition_date_source is None:
+                n_files, n_bytes = stats.get(None, (0, 0))
+                target = max(1, math.ceil(n_bytes / (target_mb << 20)))
+                if n_files <= max(target, max_files_per_partition):
+                    return {"partitions_compacted": 0, "files_before": n_files,
+                            "files_after": n_files}
+                merged = (
+                    self._read_live(spec.name)
+                    .coalesce(target)
+                    .sortWithinPartitions(*pk)
+                )
+                stage = self._new_stage(spec.name)
+                merged.write.parquet(os.path.join(stage, "data"))
+                moves, staged = self._staged_moves(spec.name, stage)
+                self._commit(spec.name, stage, staged, moves, None, fence)
+                return {"partitions_compacted": 1, "files_before": n_files,
+                        "files_after": target}
+
+            fragmented = {
+                ds: (n, b)
+                for ds, (n, b) in stats.items()
+                if ds is not None and n > max_files_per_partition
+            }
+            files_before = sum(n for n, _ in fragmented.values())
+            if not fragmented:
+                return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+            total_target = sum(
+                max(1, math.ceil(b / (target_mb << 20)))
+                for _, b in fragmented.values()
+            )
+            touched = [date.fromisoformat(ds) for ds in fragmented]
             merged = (
-                self.spark.read.parquet(self.path(spec.name))
-                .coalesce(target)
-                .sortWithinPartitions(*pk)
+                self._read_live(spec.name, ds_values=touched)
+                # range-partition on (ds, pk): each ds owns contiguous
+                # output partitions sized by its byte share, and rows
+                # land PK-clustered within them
+                .repartitionByRange(total_target, DS_COL, *pk)
+                .sortWithinPartitions(DS_COL, *pk)
             )
             stage = self._new_stage(spec.name)
-            merged.write.parquet(os.path.join(stage, "data"))
-            self._write_plan(stage, {"whole_table": True})
-            self._publish(spec.name, stage)
-            return {"partitions_compacted": 1, "files_before": n_files,
-                    "files_after": target}
+            merged.write.partitionBy(DS_COL).parquet(os.path.join(stage, "data"))
+            moves, staged = self._staged_moves(spec.name, stage)
+            self._commit(
+                spec.name, stage, staged, moves, set(fragmented) | set(staged), fence
+            )
+            after = self.partition_files(spec.name)
+            files_after = sum(after.get(ds, (0, 0))[0] for ds in fragmented)
+            return {
+                "partitions_compacted": len(fragmented),
+                "files_before": files_before,
+                "files_after": files_after,
+            }
 
-        fragmented = {
-            ds: (n, b)
-            for ds, (n, b) in stats.items()
-            if ds is not None and n > max_files_per_partition
-        }
-        files_before = sum(n for n, _ in fragmented.values())
-        if not fragmented:
-            return {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
-        total_target = sum(
-            max(1, math.ceil(b / (target_mb << 20))) for _, b in fragmented.values()
-        )
-        from datetime import date
 
-        touched = [date.fromisoformat(ds) for ds in fragmented]
-        merged = (
-            self.spark.read.parquet(self.path(spec.name))
-            .filter(F.col(DS_COL).isin(touched))
-            # range-partition on (ds, pk): each ds owns contiguous
-            # output partitions sized by its byte share, and rows land
-            # PK-clustered within them
-            .repartitionByRange(total_target, DS_COL, *pk)
-            .sortWithinPartitions(DS_COL, *pk)
-        )
-        stage = self._new_stage(spec.name)
-        data = os.path.join(stage, "data")
-        merged.write.partitionBy(DS_COL).parquet(data)
-        self._write_plan(
-            stage,
-            {"partitioned": True, "swaps": self._staged_partitions(data),
-             "drops": []},
-        )
-        self._publish(spec.name, stage)
-        after = self.partition_files(spec.name)
-        files_after = sum(
-            after.get(ds, (0, 0))[0] for ds in fragmented
-        )
-        return {
-            "partitions_compacted": len(fragmented),
-            "files_before": files_before,
-            "files_after": files_after,
-        }
+def _ds_key(v) -> str:
+    """Canonical manifest key for a ds value (iso string)."""
+    if isinstance(v, str):
+        return v
+    return v.isoformat()

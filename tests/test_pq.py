@@ -237,3 +237,80 @@ def test_ivfpq_materialized_index_partition_prunes(spark, tmp_path):
     # and the pruned read is correct
     expect = enc.filter(F.col("__cell").isin([0, 1])).count()
     assert pruned.count() == expect > 0
+
+
+# ------------------------------------------------ OPQ rotation (round 6)
+
+
+def test_opq_rotation_is_orthonormal_and_lowers_distortion(spark):
+    """The learned rotation must be orthonormal (L2-preserving, the
+    property the ADC path relies on), and OPQ's objective —
+    reconstruction error of the rotated residuals — must not exceed
+    the unrotated residual codebooks' error on the same sample."""
+    from binancedatapipeline_spark.similarity import (
+        _encode_matrix,
+        _pq_reconstruct,
+        train_ivf_centroids,
+        train_opq_rotation_residual,
+        train_pq_codebooks_residual,
+    )
+
+    corpus = _corpus(spark, n=400)
+    cent = train_ivf_centroids(corpus, n_cells=8, sample_rows=400)
+    rot, ocb = train_opq_rotation_residual(
+        corpus, cent, m=8, n_codes=32, sample_rows=400, opq_iters=5
+    )
+    assert rot.shape == (DIM, DIM)
+    assert np.allclose(rot @ rot.T, np.eye(DIM), atol=1e-8)
+
+    rcb = train_pq_codebooks_residual(
+        corpus, cent, m=8, n_codes=32, sample_rows=400
+    )
+    # rebuild the training residuals exactly as the trainers do
+    sample = np.array(
+        [r[0] for r in corpus.select("embedding").limit(400).collect()],
+        dtype=np.float64,
+    )
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    res = sample - cent[np.argmax(sn @ cn.T, axis=1)]
+
+    err_plain = np.sum(
+        (res - _pq_reconstruct(_encode_matrix(res, rcb), rcb)) ** 2
+    )
+    z = res @ rot.T
+    err_opq = np.sum((z - _pq_reconstruct(_encode_matrix(z, ocb), ocb)) ** 2)
+    assert err_opq <= err_plain * 1.02  # never meaningfully worse
+
+
+def test_ivfpq_opq_end_to_end_recall(spark):
+    """ivfpq_topk with rotation= must run end-to-end (encode + ADC in
+    the rotated space) and keep recall at least on par with the
+    unrotated residual path on the clustered corpus."""
+    from binancedatapipeline_spark.similarity import (
+        train_ivf_centroids,
+        train_opq_rotation_residual,
+    )
+
+    corpus = _corpus(spark)
+    rows = corpus.collect()
+    queries = _queries(spark, rows)
+    exact_sets = {}
+    for r in cosine_topk(corpus, queries, k=10).collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+
+    cent = train_ivf_centroids(corpus, n_cells=8, sample_rows=400)
+    rot, ocb = train_opq_rotation_residual(
+        corpus, cent, m=8, n_codes=64, sample_rows=400, opq_iters=4
+    )
+    approx = ivfpq_topk(
+        corpus, queries, k=10, n_cells=8, nprobe=4, m=8, n_codes=64,
+        centroids=cent, codebooks=ocb, rotation=rot,
+    )
+    approx_sets = {}
+    for r in approx.collect():
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5

@@ -143,8 +143,12 @@ def test_upsert_moves_row_across_partitions(spark, tmp_path):
 
 
 def test_upsert_removes_emptied_partition_dir(spark, tmp_path):
-    """A partition whose every row was superseded must not keep stale
-    files (dynamic overwrite alone would never rewrite it)."""
+    """A partition whose every row was superseded must not survive
+    logically (dynamic overwrite alone would never rewrite it).
+    Round-6 manifest protocol: the emptied partition leaves the
+    MANIFEST at commit (invisible to every reader immediately); its
+    files persist one grace cycle for in-flight readers and are
+    physically removed by vacuum(full=True)."""
     root = tmp_path / "wh"
     wh = Warehouse(spark, str(root))
     spec = _exercise_spec()
@@ -157,9 +161,12 @@ def test_upsert_removes_emptied_partition_dir(spark, tmp_path):
         [("BTC-X", "binance", datetime(2024, 2, 1, 8), "OTM")],
         schema=spec.schema,
     ))
-    assert not (root / "t_exercised" / "ds=2024-01-01").exists()
+    manifest = wh._load_manifest(spec.name)
+    assert "2024-01-01" not in manifest["files"]  # logically dropped
     got = wh.read(spec).collect()
     assert len(got) == 1 and got[0]["expiryDate"] == datetime(2024, 2, 1, 8)
+    wh.vacuum(spec.name, full=True)
+    assert not (root / "t_exercised" / "ds=2024-01-01").exists()
 
 
 # ------------------------------------------- upsert broadcast default

@@ -172,3 +172,67 @@ def test_bpe_default_cap_is_driver_safe():
 
     cap = inspect.signature(train_bpe).parameters["max_vocab_words"].default
     assert cap <= 1_000_000
+
+
+# --------------------------------------- ngram_jaccard exact collapse
+
+
+def _pairs_key(rows):
+    return sorted(
+        (r["id_a"], r["id_b"], r["n_common"], r["n_a"], r["n_b"],
+         round(r["jaccard"], 9))
+        for r in rows
+    )
+
+
+def test_ngram_jaccard_collapsed_identical_pairs(spark):
+    """collapse_exact=True must reproduce the uncollapsed pair
+    relation exactly — member-level pairs reconstructed through the
+    rep map, including deep exact-twin groups, partial overlaps,
+    empty and null texts."""
+    import random
+
+    from binancedatapipeline_spark.textops.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    doc_id = 0
+    # 12 distinct base docs, some cloned into twin groups of 1..6
+    for b in range(12):
+        text = " ".join(rng.choice(vocab) for _ in range(25))
+        for _ in range(rng.randint(1, 6)):
+            rows.append((doc_id, text))
+            doc_id += 1
+    # partial-overlap docs (share a prefix with base 0's text)
+    base0 = rows[0][1]
+    for _ in range(4):
+        rows.append((doc_id, base0 + " " + " ".join(rng.choice(vocab) for _ in range(10))))
+        doc_id += 1
+    # degenerate docs: empty, 1-token (no 3-gram), null — twice each
+    for t in ["", "", "single", "single", None, None]:
+        rows.append((doc_id, t))
+        doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for mj in (0.0, 0.2):
+        plain = ngram_jaccard_pairs(df, min_jaccard=mj, prune="window")
+        coll = ngram_jaccard_pairs(
+            df, min_jaccard=mj, prune="window", collapse_exact=True
+        )
+        assert _pairs_key(coll.collect()) == _pairs_key(plain.collect()), mj
+
+
+def test_ngram_jaccard_collapsed_twin_group_linear(spark):
+    """A planted 60-member exact group must yield exactly C(60,2)
+    intra pairs with jaccard 1.0 — and the rep-level join must see
+    ONE member (collapse really happened)."""
+    from binancedatapipeline_spark.textops.dedup import ngram_jaccard_pairs
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, text) for i in range(60)] + [(100 + i, f"unique doc number {i} totally different words here") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, prune="none", collapse_exact=True)
+    twins = out.filter((F.col("id_a") < 60) & (F.col("id_b") < 60)).collect()
+    assert len(twins) == 60 * 59 // 2
+    assert all(abs(r["jaccard"] - 1.0) < 1e-12 for r in twins)

@@ -114,3 +114,55 @@ def test_reingested_id_replaces_index_rows(spark, tmp_path):
     # index holds exactly one row per (id, band): no stranded A hashes
     idx = wh.read(INDEX_SPEC)
     assert idx.count() == idx.select("id", "band").distinct().count()
+
+
+def test_compact_dedup_index_closes_phantom_band_window(spark, tmp_path):
+    """Round-6 maintenance hook: after documents are DELETED from the
+    corpus, their band rows are phantom state — a future look-alike
+    of the deleted content would be suppressed against nothing.
+    compact_dedup_index folds the index to live ids (above a
+    fragmentation threshold), after which the look-alike survives
+    ingestion; below the threshold it is a two-count no-op."""
+    from binancedatapipeline_spark.streaming.jobs import compact_dedup_index
+    from binancedatapipeline_spark.textops.dedup import (
+        band_index,
+        incremental_near_dedup,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    docs = spark.createDataFrame(
+        [(1, BASE), (2, OTHER), (3, "a third unrelated text about tidal harmonics and buoys")],
+        "doc_id long, text string",
+    )
+    wh.overwrite(DOCS_SPEC, docs)
+    wh.overwrite(
+        INDEX_SPEC, band_index(docs, "doc_id", "text", k=16, bands=8)
+    )
+
+    # everything live → no-op, regardless of threshold
+    stats = compact_dedup_index(wh, DOCS_SPEC, INDEX_SPEC, min_orphan_frac=0.0)
+    assert stats["pruned"] is False and stats["orphans"] == 0
+
+    # delete doc 1 from the corpus (curation drop); its bands are now
+    # phantom: a twin of BASE gets suppressed against deleted content
+    wh.overwrite(DOCS_SPEC, docs.filter("doc_id != 1"))
+    batch = spark.createDataFrame(
+        [(50, BASE + " republished")], "doc_id long, text string"
+    )
+    kept, _ = incremental_near_dedup(
+        batch, wh.read(INDEX_SPEC), k=16, bands=8
+    )
+    assert kept.count() == 0  # phantom suppression (the window)
+
+    # below threshold: orphans counted but not rewritten
+    stats = compact_dedup_index(wh, DOCS_SPEC, INDEX_SPEC, min_orphan_frac=0.9)
+    assert stats["pruned"] is False and stats["orphans"] > 0
+    # above threshold: fold, phantom rows gone, look-alike survives
+    stats = compact_dedup_index(wh, DOCS_SPEC, INDEX_SPEC, min_orphan_frac=0.1)
+    assert stats["pruned"] is True
+    idx_ids = {r["id"] for r in wh.read(INDEX_SPEC).collect()}
+    assert idx_ids == {2, 3}
+    kept, _ = incremental_near_dedup(
+        batch, wh.read(INDEX_SPEC), k=16, bands=8
+    )
+    assert kept.count() == 1

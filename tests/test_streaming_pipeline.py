@@ -454,3 +454,88 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
         assert r["session_end"] == e["session_end"]
         assert r["n_events"] == e["n_events"]
         assert r["session_value"] == e["session_value"]
+
+
+def test_stream_extreme_alerts_end_to_end(spark, tmp_path):
+    """The reference's product loop (update → detect → alert,
+    scheduler_clickhouse.py:66-117) as one streaming job: a planted
+    funding squeeze in a replayed premium stream produces EXACTLY ONE
+    formatted alert — across micro-batches (the ledger suppresses
+    re-detection) and across a full from-scratch replay of the same
+    data (idempotence)."""
+    import pandas as pd
+
+    from binancedatapipeline_spark.streaming.jobs import stream_extreme_alerts
+
+    spec = catalog.BN_PREMIUM
+    alerts_spec = catalog.BN_EXTREME_ALERTS
+
+    ts = pd.date_range("2024-03-01", periods=96, freq="h").astype("datetime64[us]")
+    wma = [0.001] * 80 + [-0.02] * 16  # squeeze at hour 80
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["AAAUSDT"] * 96,
+            "exchange": ["binance"] * 96,
+            "timestamp": ts,
+            "close_time": ts,
+            "premium": wma,
+            "wma120_premium": wma,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    stage_dir = str(tmp_path / "prem_in")
+    # time-sliced files so the squeeze lands mid-stream, not in batch 0
+    src.withColumn(
+        "__slice", (F.hour("timestamp") % 3)
+    ).repartitionByRange(3, F.col("timestamp")).drop("__slice").write.parquet(
+        stage_dir
+    )
+
+    onboard = pd.DataFrame(
+        {
+            "symbol": ["AAAUSDT"],
+            "onboard_date": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+        }
+    )
+    perp_symbols = spark.createDataFrame(onboard)
+
+    wh = Warehouse(spark, str(tmp_path / "wh_alerts"))
+    messages: list[str] = []
+
+    def run(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        q = stream_extreme_alerts(
+            stream,
+            perp_symbols,
+            wh,
+            spec,
+            alerts_spec,
+            ckpt,
+            notify=messages.append,
+            interval=2,
+            threshold_delta=-0.006,
+            threshold_diff=1440,
+            available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    assert len(messages) == 1, messages
+    assert "AAAUSDT" in messages[0]
+    assert messages[0].startswith("Extreme funding squeeze")
+    assert "<pre>" in messages[0]  # formatted, bounded table block
+    ledger = wh.read(alerts_spec).collect()
+    assert len(ledger) == 1
+    assert ledger[0]["symbol"] == "AAAUSDT"
+    assert ledger[0]["fundingRate_change"] < -0.006
+
+    # full from-scratch replay (fresh checkpoint, same warehouse):
+    # every row replays, the detector re-fires, the ledger suppresses
+    run(str(tmp_path / "ckpt2"))
+    assert len(messages) == 1  # still exactly one alert ever
+    assert wh.read(alerts_spec).count() == 1
+    assert wh.read(spec).count() == 96  # premium upserts stayed idempotent

@@ -165,25 +165,28 @@ def _two_date_batch(spark, src):
     )
 
 
-def test_crash_mid_publish_is_per_partition_atomic_and_recoverable(
+def test_crash_mid_publish_old_snapshot_stays_readable_and_recovers(
     spark, wh, fixture_dir
 ):
-    """Kill the writer BETWEEN partition swaps: the reader contract
-    says every partition is either fully old or fully new (never a
-    partially-written directory), and ``recover`` rolls the committed
-    plan forward to the exact final state."""
+    """Kill the writer BETWEEN file moves: the manifest (the reader
+    commit point) is untouched, so a reader holding it still sees the
+    complete OLD snapshot — no mixed state, no missing partition —
+    and ``recover`` rolls the committed plan forward to the exact
+    final state."""
+    import os
+
     spec = catalog.BN_SPOT_KLINES
     src = _klines(spark, fixture_dir)
     wh.overwrite(spec, src)
     batch, d1, d2 = _two_date_batch(spark, src)
-    n1 = src.filter(F.to_date("timestamp") == d1).count()
-    n2 = src.filter(F.to_date("timestamp") == d2).count()
+    n_batch = batch.count()
+    m0 = wh._load_manifest(spec.name)
 
     calls = {"n": 0}
     orig = type(wh)._rename
 
     def crashing(src_p, dst_p):
-        if calls["n"] >= 2:  # partition d1 fully swapped (2 renames)
+        if calls["n"] >= 1:  # die after the first file move
             raise RuntimeError("injected crash mid-publish")
         calls["n"] += 1
         orig(wh, src_p, dst_p)
@@ -193,26 +196,22 @@ def test_crash_mid_publish_is_per_partition_atomic_and_recoverable(
         wh.upsert(spec, batch)
     del wh.__dict__["_rename"]
 
-    # per-partition atomicity, as an EXTERNAL reader (raw path scan —
-    # Warehouse.read would roll the committed plan forward itself):
-    # d1 completely new, d2 completely old, nothing partial
-    out = spark.read.parquet(wh.path(spec.name))
-    assert out.filter(F.to_date("timestamp") == d1).count() == n1
-    assert (
-        out.filter((F.to_date("timestamp") == d1) & (F.col("close") == -7.0)).count()
-        == n1
-    )
-    assert out.filter(F.to_date("timestamp") == d2).count() == n2
-    assert (
-        out.filter((F.to_date("timestamp") == d2) & (F.col("close") == -7.0)).count()
-        == 0
-    )
+    # the manifest is byte-identical and every file it lists exists:
+    # a reader that loaded it pre-crash (or loads it now, raw) sees
+    # the complete old snapshot
+    m1 = wh._load_manifest(spec.name)
+    assert m1 == m0
+    files = wh._manifest_files(spec.name, m1)
+    assert files and all(os.path.exists(f) for f in files)
+    snap = spark.read.option("basePath", wh.path(spec.name)).parquet(*files)
+    assert snap.count() == src.count()
+    assert snap.filter(F.col("close") == -7.0).count() == 0
 
     # a warehouse-mediated reader self-heals: read() rolls the
     # committed plan forward to the exact intended state
     out = wh.read(spec)
     assert out.count() == src.count()
-    assert out.filter(F.col("close") == -7.0).count() == n1 + n2
+    assert out.filter(F.col("close") == -7.0).count() == n_batch
     assert _staging_txs(wh, spec.name) == []
     assert wh.recover(spec.name) == 0  # nothing left to repair
 
@@ -334,17 +333,18 @@ def test_maintain_compacts_fragmented_partitions(spark, wh, fixture_dir):
 
     spec = catalog.BN_SPOT_KLINES
     src = _klines(spark, fixture_dir)
-    # upsert consolidates the partitions it touches, so fragmentation
-    # comes from parallel/append writers: seed the cold dates, then
-    # land the hot dates as 5 disjoint appended slices (≙ 5 streaming
-    # micro-batches each adding files to the same partitions)
-    wh.overwrite(spec, src.filter(F.col("timestamp") < "2024-01-20"))
+    # cold dates land as one file per partition; the hot dates arrive
+    # through an upsert whose writer emits many small files per
+    # partition (≙ a large micro-batch written by many tasks — forced
+    # here via maxRecordsPerFile, since AQE coalesces this tiny
+    # fixture to one task) — the fragmentation maintain exists to fold
+    wh.overwrite(spec, src.filter(F.col("timestamp") < "2024-01-20").coalesce(1))
     hot = src.filter(F.col("timestamp") >= "2024-01-20")
-    for i in range(5):
-        chunk = spec.align(hot.filter(F.hour("timestamp") % 5 == i))
-        wh._with_ds(spec, chunk).write.mode("append").partitionBy(
-            "ds"
-        ).parquet(wh.path(spec.name))
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "80")
+    try:
+        wh.upsert(spec, hot)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", "0")
     before = wh.partition_files(spec.name)
     frag = {ds: n for ds, (n, _) in before.items() if ds and n > 2}
     assert frag, f"fixture produced no fragmentation: {before}"
@@ -405,12 +405,14 @@ def test_read_rolls_forward_but_never_rolls_back_live_stage(spark, wh, fixture_d
     assert _staging_txs(wh, spec.name) == []
 
 
-def test_crash_point_sweep_every_rename_boundary(spark, wh, fixture_dir, tmp_path):
-    """Exhaustive crash-point sweep: for EVERY rename boundary in a
-    multi-partition upsert's publish, kill the writer there, recover,
-    and assert the final table is byte-equivalent (row multiset) to
-    the no-crash outcome. This is the WAP protocol's core invariant —
-    no crash point may yield a third state."""
+def test_crash_point_sweep_every_publish_boundary(spark, wh, fixture_dir, tmp_path):
+    """Exhaustive crash-point sweep: for EVERY publish boundary in a
+    multi-partition upsert — each staged file move AND each manifest
+    write (the grace copy and the reader commit point itself) — kill
+    the writer there, recover, and assert the final table is
+    byte-equivalent (row multiset) to the no-crash outcome. This is
+    the WAP protocol's core invariant — no crash point may yield a
+    third state."""
     spec = catalog.BN_SPOT_KLINES
     src = _klines(spark, fixture_dir)
 
@@ -424,32 +426,221 @@ def test_crash_point_sweep_every_rename_boundary(spark, wh, fixture_dir, tmp_pat
         for r in ref_wh.read(spec).collect()
     )
 
-    # count renames in a clean publish (2 partitions x 2 renames)
-    n_renames = 4
-    orig = type(wh)._rename
-    for crash_at in range(n_renames + 1):
+    orig_rename = type(wh)._rename
+    orig_json = type(wh)._write_json_atomic
+
+    def instrument(w, counter, crash_at):
+        """Crash on the crash_at-th publish op (file move or manifest
+        write). The plan-file write is excluded: before it, nothing
+        was published (rollback path, covered by its own test)."""
+
+        def c_rename(src_p, dst_p):
+            if counter["n"] >= crash_at:
+                raise RuntimeError(f"crash at op {crash_at}")
+            counter["n"] += 1
+            orig_rename(w, src_p, dst_p)
+
+        def c_json(path, payload):
+            import os as _os
+
+            if _os.path.basename(path).startswith("_MANIFEST"):
+                if counter["n"] >= crash_at:
+                    raise RuntimeError(f"crash at op {crash_at}")
+                counter["n"] += 1
+            orig_json(w, path, payload)
+
+        w._rename = c_rename
+        w._write_json_atomic = c_json
+
+    # count publish ops in a clean run
+    probe = Warehouse(spark, str(tmp_path / "probe"))
+    probe.overwrite(spec, src)
+    counter = {"n": 0}
+    instrument(probe, counter, 10**9)
+    probe.upsert(spec, batch)
+    n_ops = counter["n"]
+    assert n_ops >= 4  # ≥2 file moves + prev + current manifest
+
+    for crash_at in range(n_ops + 1):
         root = str(tmp_path / f"sweep{crash_at}")
         w = Warehouse(spark, root)
         w.overwrite(spec, src)
-        calls = {"n": 0}
-
-        def crashing(src_p, dst_p, _c=calls, _at=crash_at, _w=None):
-            if _c["n"] >= _at:
-                raise RuntimeError(f"crash at rename {_at}")
-            _c["n"] += 1
-            orig(w, src_p, dst_p)
-
-        w._rename = crashing
-        if crash_at < n_renames:
-            with pytest.raises(RuntimeError, match=f"crash at rename {crash_at}"):
+        counter = {"n": 0}
+        instrument(w, counter, crash_at)
+        if crash_at < n_ops:
+            with pytest.raises(RuntimeError, match=f"crash at op {crash_at}"):
                 w.upsert(spec, batch)
         else:
             w.upsert(spec, batch)  # enough budget: publish completes
         del w.__dict__["_rename"]
+        del w.__dict__["_write_json_atomic"]
         w.recover(spec.name)
         got = sorted(
             (r["symbol"], str(r["timestamp"]), r["close"])
             for r in w.read(spec).collect()
         )
-        assert got == expected, f"divergent state after crash at rename {crash_at}"
+        assert got == expected, f"divergent state after crash at op {crash_at}"
         assert _staging_txs(w, spec.name) == []
+
+
+# ----------------------------------------------- round 6: snapshot + lease
+
+
+def test_concurrent_reader_never_sees_mixed_snapshot(spark, wh, fixture_dir):
+    """THE round-6 contract: a reader looping during multi-partition
+    publishes never observes a mixed old/new state or a missing
+    partition — every read resolves to exactly one committed version
+    with the full row count (manifest-pinned file listing)."""
+    import threading
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    batch, d1, d2 = _two_date_batch(spark, src)
+    two = src.filter(F.to_date("timestamp").isin([d1, d2]))
+    n_two = two.count()
+    n_total = src.count()
+    wh.overwrite(spec, src.withColumn("close", F.lit(0.0)))
+
+    errors: list[str] = []
+    done = threading.Event()
+
+    def writer():
+        try:
+            for k in range(1, 5):
+                wh.upsert(spec, two.withColumn("close", F.lit(float(k))))
+        finally:
+            done.set()
+
+    reader_wh = Warehouse(spark, wh.root)
+    t = threading.Thread(target=writer)
+    t.start()
+    reads = 0
+    try:
+        while not done.is_set():
+            out = wh_read_once(reader_wh, spec)
+            if out is None:
+                continue
+            n, versions = out
+            if n != n_total:
+                errors.append(f"row count {n} != {n_total} (missing partition)")
+            if len(versions) > 1:
+                errors.append(f"mixed snapshot: versions {sorted(versions)}")
+            reads += 1
+    finally:
+        t.join()
+    assert reads >= 3, f"reader loop too slow to exercise the race ({reads} reads)"
+    assert errors == [], errors[:5]
+    final = wh.read(spec)
+    assert final.filter(F.col("close") == 4.0).count() == n_two
+
+
+def wh_read_once(reader_wh, spec):
+    """One manifest-pinned read: (row count, distinct close versions
+    over the two hot partitions)."""
+    df = reader_wh.read(spec)
+    rows = df.groupBy("close").count().collect()
+    if not rows:
+        return None
+    n = sum(r["count"] for r in rows)
+    versions = {r["close"] for r in rows if r["close"] != 0.0}
+    return n, versions or {0.0}
+
+
+def test_writer_lease_blocks_second_writer(spark, wh, fixture_dir):
+    from binancedatapipeline_spark.warehouse import ConcurrentWriterError
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    other = Warehouse(spark, wh.root)
+    with wh._writer_lock(spec.name):
+        with pytest.raises(ConcurrentWriterError, match="locked by writer"):
+            other.upsert(spec, src.limit(5))
+    # lease released: the second writer now proceeds
+    other.upsert(spec, src.limit(5).withColumn("close", F.lit(3.5)))
+    assert wh.read(spec).filter(F.col("close") == 3.5).count() == 5
+
+
+def test_stolen_lease_fences_zombie_writer(spark, wh, fixture_dir):
+    """A writer whose expired lease was stolen must fail at commit
+    (FencedWriterError) instead of overwriting the thief's published
+    state — and the thief's write must survive."""
+    from binancedatapipeline_spark.warehouse import FencedWriterError
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+
+    zombie = Warehouse(spark, wh.root, lease_ttl=900)
+    thief = Warehouse(spark, wh.root, lease_ttl=0.0)  # treats any lock as stale
+    with zombie._writer_lock(spec.name):
+        # thief steals the expired lease and publishes
+        thief.upsert(spec, src.limit(7).withColumn("close", F.lit(77.0)))
+        # zombie still believes it holds the lease; its commit is fenced
+        with pytest.raises(FencedWriterError, match="superseded"):
+            zombie.upsert(spec, src.limit(7).withColumn("close", F.lit(-66.0)))
+    out = wh.read(spec)
+    assert out.filter(F.col("close") == 77.0).count() == 7
+    assert out.filter(F.col("close") == -66.0).count() == 0
+    assert out.count() == src.count()
+
+
+def test_vacuum_grace_then_full(spark, wh, fixture_dir):
+    """Files of the superseded version survive one publish cycle
+    (reader grace), the version before that is vacuumed automatically,
+    and vacuum(full=True) strips the table to exactly the current
+    manifest (raw-path reader handoff)."""
+    import os
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    batch, d1, d2 = _two_date_batch(spark, src)
+    two = src.filter(F.to_date("timestamp").isin([d1, d2]))
+
+    wh.overwrite(spec, src)
+    v0_files = set(wh._manifest_files(spec.name, wh._load_manifest(spec.name)))
+    wh.upsert(spec, two.withColumn("close", F.lit(1.0)))  # v1
+    # grace: superseded v0 files still on disk
+    assert all(os.path.exists(f) for f in v0_files)
+    wh.upsert(spec, two.withColumn("close", F.lit(2.0)))  # v2
+    # v0's rewritten-partition files are now beyond grace → removed
+    d1_prefix = os.path.join(wh.path(spec.name), f"ds={d1.isoformat()}")
+    gone = [f for f in v0_files if f.startswith(d1_prefix)]
+    assert gone and not any(os.path.exists(f) for f in gone)
+
+    wh.vacuum(spec.name, full=True)
+    on_disk = set()
+    for dirpath, _, files in os.walk(wh.path(spec.name)):
+        for fn in files:
+            if not fn.startswith((".", "_")):
+                on_disk.add(os.path.join(dirpath, fn))
+    current = set(wh._manifest_files(spec.name, wh._load_manifest(spec.name)))
+    assert on_disk == current
+    # a raw-path reader now sees exactly one version
+    raw = spark.read.parquet(wh.path(spec.name))
+    assert raw.count() == src.count()
+    assert wh.read(spec).count() == src.count()
+
+
+def test_legacy_table_migrates_to_manifest(spark, wh, fixture_dir):
+    """A pre-manifest table (plain hive-partitioned parquet written by
+    round ≤5 or an external tool) is readable as-is and is folded into
+    the manifest protocol by its first mutation."""
+    import os
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh._with_ds(spec, spec.align(src)).write.partitionBy("ds").parquet(
+        wh.path(spec.name)
+    )
+    assert wh._load_manifest(spec.name) is None
+    assert wh.read(spec).count() == src.count()  # legacy read path
+
+    wh.upsert(spec, src.limit(5).withColumn("close", F.lit(5.5)))
+    m = wh._load_manifest(spec.name)
+    assert m is not None
+    out = wh.read(spec)
+    assert out.count() == src.count()
+    assert out.filter(F.col("close") == 5.5).count() == 5
+    # legacy files of untouched partitions are carried into the manifest
+    assert any("ds=" in f for f in wh._manifest_files(spec.name, m))

@@ -173,6 +173,24 @@ def main() -> None:
             centroids=cent, codebooks=rcb, encoded=ivf_enc, shortlist_factor=8,
         )
 
+        # round 6: OPQ-rotated residual codebooks (Ge et al. 2013),
+        # measured next to the plain residual row so the rotation's
+        # recall delta is a direct A/B at every corpus size
+        from binancedatapipeline_spark.similarity import train_opq_rotation_residual
+
+        rot, ocb = train_opq_rotation_residual(
+            corpus, cent, m=16, n_codes=256, sample_rows=20000
+        )
+        t0 = time.perf_counter()
+        opq_enc = ivfpq_encode(corpus, cent, ocb, rotation=rot).persist()
+        opq_enc.count()
+        sec.setdefault("ivfpq_opq_build", {})[str(n)] = round(time.perf_counter() - t0, 2)
+        strategies["ivfpq_opq"] = lambda: ivfpq_topk(
+            corpus, queries, k=args.k, n_cells=n_cells, nprobe=8, m=16, n_codes=256,
+            centroids=cent, codebooks=ocb, encoded=opq_enc, rotation=rot,
+            shortlist_factor=8,
+        )
+
         for name, build in strategies.items():
             best = min(_timed(build) for _ in range(2))
             sec.setdefault(name, {})[str(n)] = round(best, 2)
@@ -181,6 +199,7 @@ def main() -> None:
             print(f"  n={n} {name}: {best:.2f}s recall={r}", file=sys.stderr, flush=True)
         enc.unpersist()
         ivf_enc.unpersist()
+        opq_enc.unpersist()
         corpus.unpersist()
 
     print(json.dumps({"sizes": sizes, "dim": args.dim, "sec": sec, "recall": recall}))
