@@ -328,6 +328,32 @@ class Warehouse:
             return spec.empty(self.spark)
         return df.select(*spec.columns)
 
+    def read_prev(self, spec: TableSpec) -> DataFrame:
+        """Read the PREVIOUS committed snapshot (one version of time
+        travel) — the grace manifest whose files `vacuum` keeps for
+        exactly one publish cycle. The natural uses: diffing a
+        publish's effect (`read` vs `read_prev`), and giving a
+        long-running report a stable base while ingestion continues.
+        Raises if no previous version exists (first write, or after
+        ``vacuum(full=True)``)."""
+        prev_path = os.path.join(self.path(spec.name), MANIFEST_PREV)
+        try:
+            with open(prev_path) as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            raise FileNotFoundError(
+                f"no previous snapshot for table {spec.name!r} (first "
+                "write, legacy table, or vacuumed with full=True)"
+            ) from None
+        paths = self._manifest_files(spec.name, manifest)
+        if not paths:
+            return spec.empty(self.spark)
+        return (
+            self.spark.read.option("basePath", self.path(spec.name))
+            .parquet(*paths)
+            .select(*spec.columns)
+        )
+
     def latest_timestamp(self, spec: TableSpec):
         """The incremental watermark: MAX(time_column), or None.
 

@@ -644,3 +644,20 @@ def test_legacy_table_migrates_to_manifest(spark, wh, fixture_dir):
     assert out.filter(F.col("close") == 5.5).count() == 5
     # legacy files of untouched partitions are carried into the manifest
     assert any("ds=" in f for f in wh._manifest_files(spec.name, m))
+
+
+def test_read_prev_is_one_version_of_time_travel(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    with pytest.raises(FileNotFoundError, match="no previous snapshot"):
+        wh.read_prev(spec)
+    wh.upsert(spec, src.limit(30).withColumn("close", F.lit(8.25)))
+    # current sees the update; prev is the pre-upsert snapshot
+    assert wh.read(spec).filter(F.col("close") == 8.25).count() == 30
+    prev = wh.read_prev(spec)
+    assert prev.count() == src.count()
+    assert prev.filter(F.col("close") == 8.25).count() == 0
+    wh.vacuum(spec.name, full=True)
+    with pytest.raises(FileNotFoundError, match="no previous snapshot"):
+        wh.read_prev(spec)
