@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from binancedatapipeline_spark import catalog
 from binancedatapipeline_spark.catalog import TableSpec
-from binancedatapipeline_spark.plans.premium import premium_wma
+from binancedatapipeline_spark.plans.premium import WMA_WINDOW, premium_wma
 from binancedatapipeline_spark.plans.validate import validate_klines
 from binancedatapipeline_spark.warehouse import Warehouse
 
@@ -136,9 +136,20 @@ class Pipeline:
 
     def refresh_premium(self, start: datetime, end: datetime) -> int:
         """Materialize bn_premium from the stored kline tables
-        (§3.2) and upsert it."""
-        perp = self.warehouse.read(catalog.BN_PERP_KLINES)
-        spot = self.warehouse.read(catalog.BN_SPOT_KLINES)
+        (§3.2) and upsert it.
+
+        The kline reads are manifest-stat-pruned to [start − WMA
+        warm-up, end]: the hourly tick's window touches a handful of
+        files, not the table's history — partition pruning can't do
+        this (premium_wma filters the raw timestamp, not ``ds``), and
+        premium_wma's own row filter keeps the result exact."""
+        warmup = start - timedelta(minutes=WMA_WINDOW)
+        perp = self.warehouse.read_between(
+            catalog.BN_PERP_KLINES, since=warmup, until=end
+        )
+        spot = self.warehouse.read_between(
+            catalog.BN_SPOT_KLINES, since=warmup, until=end
+        )
         prem = premium_wma(perp, spot, str(start), str(end))
         n = prem.count()
         if n:

@@ -45,6 +45,13 @@ def get_session(
         # as TimestampType (not NTZ) so event-time ops (watermarks) work —
         # with the session pinned to UTC the semantics are identical
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # INT96 (Spark's legacy default) writes NO min/max statistics,
+        # so timestamp filters can't skip row groups and the warehouse
+        # manifest can't record file-level time bounds. TIMESTAMP_MICROS
+        # is the modern annotated-INT64 form: footer stats appear, row-
+        # group skipping works, and every engine (Spark/DuckDB/pyarrow)
+        # reads it natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

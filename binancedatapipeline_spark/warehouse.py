@@ -178,6 +178,63 @@ class Warehouse:
             for rel in rels
         ]
 
+    # ------------------------------------------------- file statistics
+
+    def _staged_file_stats(
+        self, stage: str, moves: list, column: str
+    ) -> dict[str, dict]:
+        """Per-file min/max of ``column`` for every staged data file,
+        keyed by its FINAL (post-move) relative path — recorded into
+        the manifest so the watermark and time-bounded reads can prune
+        files driver-side, before Spark lists anything.
+
+        Read from the parquet footers (metadata only — no data pages;
+        the files were just written by this driver, so the footer read
+        is a few KB of warm page cache each). A file whose every row
+        group carries stats gets ``{"min":…, "max":…}`` (None/None for
+        a file with no non-null values); a file with ANY stat-less row
+        group gets NO entry, which readers treat as unprunable.
+        (On an object store at 100 TB you would collect the same
+        bounds from the write tasks instead; the manifest format is
+        the contract, not the footer walk.)"""
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for src_rel, dst_rel in moves:
+            src = os.path.join(stage, src_rel)
+            if not src.endswith(".parquet") or not os.path.isfile(src):
+                continue
+            try:
+                md = pq.ParquetFile(src).metadata
+            except Exception:
+                continue
+            if md.num_row_groups == 0:
+                out[dst_rel] = {"min": None, "max": None}
+                continue
+            idx = None
+            for c in range(md.num_columns):
+                if md.row_group(0).column(c).path_in_schema == column:
+                    idx = c
+                    break
+            if idx is None:
+                continue  # column absent → unprunable
+            mn = mx = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(idx)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    if col.num_values == 0:
+                        continue  # all-null row group: no bounds needed
+                    ok = False
+                    break
+                lo, hi = _stat_to_naive(st.min), _stat_to_naive(st.max)
+                mn = lo if mn is None or lo < mn else mn
+                mx = hi if mx is None or hi > mx else mx
+            if ok:
+                out[dst_rel] = {"min": _stat_to_json(mn), "max": _stat_to_json(mx)}
+        return out
+
     # ------------------------------------------------------------- lease
 
     def _locks_dir(self) -> str:
@@ -354,17 +411,94 @@ class Warehouse:
             .select(*spec.columns)
         )
 
+    def read_between(self, spec: TableSpec, since=None, until=None) -> DataFrame:
+        """Snapshot read restricted to ``since <= time_column <=
+        until`` (either bound optional), with FILE-LEVEL pruning off
+        the manifest's recorded min/max bounds: files whose recorded
+        range cannot intersect the window are dropped from the listing
+        driver-side, before Spark lists, footers or schedules anything
+        — at 100 TB a one-hour incremental window touches a handful of
+        files out of millions. Files without a stats entry (legacy
+        data) are always included; the row-level filter below makes
+        the result exact either way, so pruning is a pure scan
+        reduction, never a semantics change.
+
+        Note this prunes on the TIME column directly, which Hive-style
+        partition pruning cannot do (the partition column is the
+        derived ``ds`` date; a filter on the raw timestamp doesn't
+        fold to it) — this is the Iceberg/Delta data-skipping idea
+        expressed on the plain-parquet manifest."""
+        col = spec.time_column
+        if col is None:
+            raise ValueError(f"table {spec.name!r} has no time column")
+        self.recover(spec.name, rollback_uncommitted=False)
+        manifest = self._load_manifest(spec.name)
+        df = None
+        if manifest is not None and manifest.get("stats_column") == col:
+            stats = manifest.get("stats", {})
+            base = self.path(spec.name)
+            keep = []
+            for rels in manifest["files"].values():
+                for rel in rels:
+                    s = stats.get(rel)
+                    if s is None:
+                        keep.append(rel)  # no bounds recorded → must read
+                        continue
+                    if s["max"] is None:  # file has no non-null values
+                        if since is None and until is None:
+                            keep.append(rel)
+                        continue
+                    mn, mx = _stat_value(s["min"]), _stat_value(s["max"])
+                    if since is not None and mx < since:
+                        continue
+                    if until is not None and mn > until:
+                        continue
+                    keep.append(rel)
+            if not keep:
+                df = spec.empty(self.spark)
+            else:
+                df = (
+                    self.spark.read.option("basePath", base)
+                    .parquet(*[os.path.join(base, r) for r in keep])
+                    .select(*spec.columns)
+                )
+        if df is None:  # legacy table or no stats: unpruned snapshot
+            df = self.read(spec)
+        if since is not None:
+            df = df.filter(F.col(col) >= F.lit(since))
+        if until is not None:
+            df = df.filter(F.col(col) <= F.lit(until))
+        return df
+
     def latest_timestamp(self, spec: TableSpec):
         """The incremental watermark: MAX(time_column), or None.
 
-        When the partition source IS the time column, ``ds`` is a
-        monotone function of it, so the max lives in the
+        Fast path: when the manifest carries complete per-file
+        min/max stats for the time column (every post-round-6 write
+        does), the watermark is the max of the recorded file bounds —
+        answered from the manifest alone, ZERO Spark jobs (the
+        reference's ``SELECT MAX`` was a metadata-speed ClickHouse
+        lookup; this restores that cost profile). Any file without a
+        stats entry (legacy data) falls back to the scan below.
+
+        Scan fallback: when the partition source IS the time column,
+        ``ds`` is a monotone function of it, so the max lives in the
         lexicographically-last partition — the manifest prunes the
         scan to just that partition's files (at 100 TB: one partition
         of thousands)."""
         if spec.time_column is None or not self.exists(spec.name):
             return None
         manifest = self._load_manifest(spec.name)
+        if manifest is not None and manifest.get("stats_column") == spec.time_column:
+            stats = manifest.get("stats", {})
+            rels = [r for rs in manifest["files"].values() for r in rs]
+            if rels and all(r in stats for r in rels):
+                maxes = [
+                    _stat_value(stats[r]["max"])
+                    for r in rels
+                    if stats[r]["max"] is not None
+                ]
+                return max(maxes) if maxes else None
         ds_values = None
         if (
             manifest is not None
@@ -451,13 +585,20 @@ class Warehouse:
         moves: list,
         replaced_ds: set[str] | None,
         fence: int | None,
+        stats_column: str | None = None,
     ) -> None:
         """Build the next manifest, commit the plan, publish.
 
         ``replaced_ds=None`` → whole-table replace (the next manifest
         lists only the staged files); otherwise the named partitions
         (iso strings) are replaced/dropped and the rest carried over
-        from the current manifest."""
+        from the current manifest.
+
+        ``stats_column`` (the spec's time column) records per-file
+        min/max bounds into the manifest: new files from their staged
+        footers, retained files carried forward from the previous
+        manifest — so the stats map stays complete across
+        partition-scoped upserts without re-reading anything."""
         self._check_fence(name, fence)
         prev = self._current_manifest(name) if self.exists(name) else None
         if replaced_ds is None:
@@ -474,6 +615,18 @@ class Warehouse:
             "fence": fence if fence is not None else (prev or {}).get("fence", 0),
             "files": files,
         }
+        if stats_column is not None:
+            live = {rel for rels in files.values() for rel in rels}
+            carried = (
+                (prev or {}).get("stats", {})
+                if (prev or {}).get("stats_column") == stats_column
+                else {}
+            )
+            stats = {rel: s for rel, s in carried.items() if rel in live}
+            staged_stats = self._staged_file_stats(stage, moves, stats_column)
+            stats.update({r: s for r, s in staged_stats.items() if r in live})
+            manifest["stats_column"] = stats_column
+            manifest["stats"] = stats
         self._write_plan(
             stage,
             {"moves": moves, "manifest": manifest, "prev_manifest": prev},
@@ -681,7 +834,8 @@ class Warehouse:
                 writer = writer.partitionBy(DS_COL)
             writer.parquet(data)
             moves, staged = self._staged_moves(spec.name, stage)
-            self._commit(spec.name, stage, staged, moves, None, fence)
+            self._commit(spec.name, stage, staged, moves, None, fence,
+                         stats_column=spec.time_column)
 
     def write_bucketed(
         self,
@@ -760,7 +914,8 @@ class Warehouse:
             stage = self._new_stage(spec.name)
             self._with_ds(spec, merged).write.parquet(os.path.join(stage, "data"))
             moves, staged = self._staged_moves(spec.name, stage)
-            self._commit(spec.name, stage, staged, moves, None, fence)
+            self._commit(spec.name, stage, staged, moves, None, fence,
+                         stats_column=spec.time_column)
             return
 
         updates_ds = self._with_ds(spec, updates)
@@ -806,7 +961,8 @@ class Warehouse:
         merged.write.partitionBy(DS_COL).parquet(data)
         moves, staged = self._staged_moves(spec.name, stage)
         replaced = {_ds_key(ds) for ds in touched} | set(staged)
-        self._commit(spec.name, stage, staged, moves, replaced, fence)
+        self._commit(spec.name, stage, staged, moves, replaced, fence,
+                     stats_column=spec.time_column)
 
     # ------------------------------------------------------ maintenance
 
@@ -890,7 +1046,8 @@ class Warehouse:
                 stage = self._new_stage(spec.name)
                 merged.write.parquet(os.path.join(stage, "data"))
                 moves, staged = self._staged_moves(spec.name, stage)
-                self._commit(spec.name, stage, staged, moves, None, fence)
+                self._commit(spec.name, stage, staged, moves, None, fence,
+                         stats_column=spec.time_column)
                 return {"partitions_compacted": 1, "files_before": n_files,
                         "files_after": target}
 
@@ -919,7 +1076,8 @@ class Warehouse:
             merged.write.partitionBy(DS_COL).parquet(os.path.join(stage, "data"))
             moves, staged = self._staged_moves(spec.name, stage)
             self._commit(
-                spec.name, stage, staged, moves, set(fragmented) | set(staged), fence
+                spec.name, stage, staged, moves, set(fragmented) | set(staged),
+                fence, stats_column=spec.time_column,
             )
             after = self.partition_files(spec.name)
             files_after = sum(after.get(ds, (0, 0))[0] for ds in fragmented)
@@ -935,3 +1093,37 @@ def _ds_key(v) -> str:
     if isinstance(v, str):
         return v
     return v.isoformat()
+
+
+def _stat_to_naive(v):
+    """Footer stat → the storage convention (tz-naive UTC).
+
+    pyarrow surfaces TIMESTAMP_MICROS(isAdjustedToUTC=true) stats as
+    tz-aware UTC datetimes; the tables store tz-naive UTC (session
+    pinned to UTC), so strip the tzinfo after normalizing."""
+    from datetime import timezone as _tz
+
+    if isinstance(v, datetime) and v.tzinfo is not None:
+        return v.astimezone(_tz.utc).replace(tzinfo=None)
+    return v
+
+
+def _stat_to_json(v):
+    """Manifest (JSON) encoding of a stat bound."""
+    if isinstance(v, datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, date):
+        return v.isoformat()
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    raise TypeError(f"unsupported stat type {type(v).__name__}")
+
+
+def _stat_value(v):
+    """Inverse of :func:`_stat_to_json` for comparison purposes."""
+    if isinstance(v, str):
+        try:
+            return datetime.fromisoformat(v)
+        except ValueError:
+            return v  # a genuinely-string time column: ISO-lexicographic
+    return v
