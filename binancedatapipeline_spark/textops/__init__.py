@@ -86,8 +86,18 @@ from binancedatapipeline_spark.textops.sampling import (
     mixture_sample,
     stable_split,
 )
+from binancedatapipeline_spark.textops.dsir import (
+    bucket_distribution,
+    dsir_select,
+    importance_log_ratio,
+    score_importance,
+)
 
 __all__ = [
+    "bucket_distribution",
+    "dsir_select",
+    "importance_log_ratio",
+    "score_importance",
     "with_fingerprint",
     "with_lang_guess",
     "tfidf_top_terms",

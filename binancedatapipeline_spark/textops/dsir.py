@@ -1,0 +1,208 @@
+"""DSIR-style data selection: importance resampling toward a target
+domain over hashed n-gram features (Xie et al. 2023, "Data Selection
+for Language Models via Importance Resampling" — a public method).
+
+The pipeline, and why every stage is 100 TB-shaped:
+
+1. **Features** — each document is a bag of hashed word uni+bigrams:
+   ``bucket = xxhash64(ngram) mod m`` with m a few thousand. Pure
+   per-row JVM expressions (no UDF, no shuffle).
+2. **Fit** — two bucket distributions: ``p`` over a TARGET sample
+   (the domain you want more of) and ``q`` over the RAW pool. Each
+   fit is one explode + one groupBy(bucket): the shuffle carries
+   (bucket, partial count) pairs, map-side combined, so network
+   volume is bounded by m per partition regardless of corpus size,
+   and the result relation is ≤ m rows.
+3. **Score** — per-document importance ``log w = Σ_b c_b·(log p̂_b −
+   log q̂_b)`` (add-k smoothed). The m-row log-ratio table joins
+   BROADCAST against the exploded buckets, re-aggregated on the doc
+   id the explode preserved — the one shuffle, partial-aggregated
+   map-side. A bucket absent from BOTH fit corpora coalesces to the
+   smoothed 0/0 constant, so unseen n-grams are defined, not null.
+4. **Select** — Gumbel top-k: rank by ``log w + Gumbel(id, seed)``,
+   which samples k documents WITHOUT replacement with probability
+   proportional to ``w`` (the Gumbel-max trick). The noise is a pure
+   hash of (id, seed) — deterministic across runs and engines, like
+   every sampler in :mod:`textops.sampling` — and the default cut is
+   a quantile-sketch threshold (two bounded passes, no global sort);
+   ``exact=True`` does a true top-k for modest k.
+
+The reference has no data-selection machinery; this extends the
+training-data suite alongside the temperature mixture and
+token-budget selection in :mod:`textops.sampling`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.operators.spread import spread
+from binancedatapipeline_spark.textops.analysis import tokens_col
+from binancedatapipeline_spark.textops.dedup import _shingle_array
+
+HASH_SEED = 4099  # fixed odd prime, same discipline as the MinHash family
+DEFAULT_BUCKETS = 8192
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+) -> DataFrame:
+    """Add ``__buckets``: the document's hashed n-gram bucket array."""
+    toks = tokens_col(F.col(text_col))
+    tmp = spread(df).withColumn("__toks", toks)
+    grams = None
+    for n in range(1, n_max + 1):
+        part = _shingle_array(n, "__toks")
+        grams = part if grams is None else F.concat(grams, part)
+    # an empty text tokenizes to [""] — drop the empty gram rather
+    # than let it pollute one bucket of both distributions
+    grams = F.filter(grams, lambda g: g != "")
+    hashed = F.transform(
+        grams, lambda g: F.pmod(F.xxhash64(g, F.lit(HASH_SEED)), F.lit(buckets))
+    )
+    return tmp.withColumn("__buckets", hashed).drop("__toks")
+
+
+def bucket_distribution(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+) -> DataFrame:
+    """(bucket, n): the corpus's hashed-n-gram counts — the fit
+    relation, ≤ ``buckets`` rows no matter the corpus size."""
+    return (
+        hashed_ngram_buckets(df, text_col, buckets, n_max)
+        .select(F.explode("__buckets").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def importance_log_ratio(
+    target_dist: DataFrame,
+    raw_dist: DataFrame,
+    buckets: int = DEFAULT_BUCKETS,
+    smoothing: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """(log-ratio table, default): per-bucket ``log p̂ − log q̂`` with
+    add-k smoothing over the full m-bucket support.
+
+    Returns the ≤ m-row table (bucket, log_ratio) plus the constant a
+    scoring join must ``coalesce`` to for buckets absent from both
+    distributions (the smoothed 0/0 case) — computing it here keeps
+    the two smoothing grids in one place."""
+    t_total = target_dist.agg(F.sum("n")).first()[0] or 0
+    r_total = raw_dist.agg(F.sum("n")).first()[0] or 0
+    t_denom = t_total + smoothing * buckets
+    r_denom = r_total + smoothing * buckets
+    joined = (
+        target_dist.withColumnRenamed("n", "t_n")
+        .join(raw_dist.withColumnRenamed("n", "r_n"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("t_n"), F.lit(0)) + smoothing) / t_denom)
+                - F.log((F.coalesce(F.col("r_n"), F.lit(0)) + smoothing) / r_denom)
+            ).alias("log_ratio"),
+        )
+    )
+    default = math.log(smoothing / t_denom) - math.log(smoothing / r_denom)
+    return joined, default
+
+
+def score_importance(
+    df: DataFrame,
+    log_ratio: DataFrame,
+    default_log_ratio: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+    output_col: str = "dsir_logw",
+) -> DataFrame:
+    """Per-document importance log-weight: explode the bucket array,
+    broadcast-join the m-row ratio table, re-aggregate on the doc id.
+    Documents whose text produces no n-grams score 0 (neutral)."""
+    per_bucket = (
+        hashed_ngram_buckets(df.select(id_col, text_col), text_col, buckets, n_max)
+        .select(id_col, F.explode("__buckets").alias("bucket"))
+        .join(F.broadcast(log_ratio), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.coalesce(F.col("log_ratio"), F.lit(default_log_ratio))
+            ).alias(output_col)
+        )
+    )
+    return df.join(per_bucket, id_col, "left").withColumn(
+        output_col, F.coalesce(F.col(output_col), F.lit(0.0))
+    )
+
+
+def _gumbel_noise(id_col: str, seed: int) -> F.Column:
+    """Deterministic standard Gumbel draw keyed on (id, seed): md5 →
+    56-bit uniform u ∈ (0,1) → −ln(−ln u). Same hash family as
+    :func:`textops.sampling.hash_bucket`, so it is reproducible
+    bit-identically on any engine and stable under re-runs — adding
+    data never changes an existing document's draw."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"), F.lit(f":{seed}")
+                ).cast("binary")
+            ),
+            1,
+            14,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(1.0)) / F.lit(float(2**56 + 2))
+    return -F.log(-F.log(u))
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+    smoothing: float = 0.5,
+    seed: int = 0,
+    exact: bool = False,
+    quantile_error: float = 0.001,
+) -> DataFrame:
+    """Select ~k documents from ``df`` by Gumbel-top-k importance
+    resampling toward ``target``'s n-gram distribution.
+
+    ``exact=False`` (default, the at-scale path): the cut point is an
+    ``approxQuantile`` over the perturbed scores — two bounded passes,
+    no global sort; the returned count is k ± the sketch error.
+    ``exact=True`` sorts and limits — exact k, pay the sort (fine for
+    driver-sized k; a top-k limit compiles to TakeOrdered, which never
+    materializes a global sort anyway). Deterministic either way:
+    same inputs + seed → same selection."""
+    t_dist = bucket_distribution(target, text_col, buckets, n_max)
+    r_dist = bucket_distribution(df, text_col, buckets, n_max)
+    ratio, default = importance_log_ratio(t_dist, r_dist, buckets, smoothing)
+    scored = score_importance(
+        df, ratio, default, id_col, text_col, buckets, n_max
+    ).withColumn("__key", F.col("dsir_logw") + _gumbel_noise(id_col, seed))
+    if exact:
+        return scored.orderBy(F.col("__key").desc()).limit(k).drop("__key")
+    n = scored.count()
+    if k >= n:
+        return scored.drop("__key")
+    q = 1.0 - k / n
+    cut = scored.approxQuantile("__key", [q], quantile_error)[0]
+    return scored.filter(F.col("__key") >= cut).drop("__key")
