@@ -92,12 +92,20 @@ from binancedatapipeline_spark.textops.dsir import (
     importance_log_ratio,
     score_importance,
 )
+from binancedatapipeline_spark.textops.quality_clf import (
+    quality_filter,
+    score_quality,
+    train_quality_classifier,
+)
 
 __all__ = [
     "bucket_distribution",
     "dsir_select",
     "importance_log_ratio",
     "score_importance",
+    "quality_filter",
+    "score_quality",
+    "train_quality_classifier",
     "with_fingerprint",
     "with_lang_guess",
     "tfidf_top_terms",

@@ -1,0 +1,124 @@
+"""Trained quality classification — the fastText-style document
+filter of a training-data pipeline (the public CCNet / LLaMA recipe:
+a linear classifier over hashed bag-of-n-gram features separates
+"reference-quality" text from crawl junk).
+
+Spark-native end to end:
+
+- features are hashed uni+bigram term frequencies (``HashingTF`` —
+  JVM MurmurHash3, no Python in the loop);
+- the model is ``pyspark.ml`` logistic regression: distributed
+  L-BFGS over the executors, so the fit itself scales with the
+  labeled corpus;
+- scoring is ``model.transform`` — whole-stage-codegen'd JVM
+  prediction, a pure map stage over 100 TB.
+
+This complements :mod:`textops.dsir` (distribution-matching
+selection, no labels) with the supervised filter (labeled
+good/bad examples); real pipelines run both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops.analysis import tokens_col
+from binancedatapipeline_spark.textops.dedup import _shingle_array
+
+DEFAULT_FEATURES = 1 << 18
+
+
+def _with_grams(df: DataFrame, text_col: str, n_max: int) -> DataFrame:
+    """Add ``__grams``: uni..n_max-gram strings (with multiplicity),
+    empty grams dropped — the shared feature text for TF hashing."""
+    tmp = df.withColumn("__toks", tokens_col(F.col(text_col)))
+    grams = None
+    for n in range(1, n_max + 1):
+        part = _shingle_array(n, "__toks")
+        grams = part if grams is None else F.concat(grams, part)
+    grams = F.filter(grams, lambda g: g != "")
+    return tmp.withColumn("__grams", grams).drop("__toks")
+
+
+def train_quality_classifier(
+    positive: DataFrame,
+    negative: DataFrame,
+    text_col: str = "text",
+    n_max: int = 2,
+    num_features: int = DEFAULT_FEATURES,
+    reg_param: float = 1e-4,
+    max_iter: int = 50,
+):
+    """Fit the filter from labeled examples: ``positive`` =
+    reference-quality documents (the classic choice: Wikipedia/books),
+    ``negative`` = raw-crawl junk. Returns a fitted model for
+    :func:`score_quality`.
+
+    The labeled set is normally tiny next to the corpus being
+    filtered (10⁴–10⁶ rows), but nothing here requires that — both
+    the TF hash and the L-BFGS fit are distributed."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    cols = [text_col]
+    labeled = positive.select(*cols).withColumn(
+        "label", F.lit(1.0)
+    ).unionByName(negative.select(*cols).withColumn("label", F.lit(0.0)))
+    feats = _with_grams(labeled, text_col, n_max)
+    tf = HashingTF(
+        inputCol="__grams", outputCol="features", numFeatures=num_features
+    )
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        regParam=reg_param,
+        maxIter=max_iter,
+    )
+    model = lr.fit(tf.transform(feats))
+    # remember the featurization so scoring can't drift from training
+    model._graft_tf = tf
+    model._graft_n_max = n_max
+    model._graft_text_col = text_col
+    return model
+
+
+def score_quality(
+    df: DataFrame,
+    model,
+    text_col: str | None = None,
+    output_col: str = "quality_prob",
+) -> DataFrame:
+    """Add ``output_col``: P(quality) per document — a pure JVM map
+    stage (hash TF → dot product → sigmoid), no shuffle, no UDF.
+    Null/empty text scores the model's intercept prior."""
+    from pyspark.ml.functions import vector_to_array
+
+    text_col = text_col or model._graft_text_col
+    feats = _with_grams(
+        df.withColumn("__text", F.coalesce(F.col(text_col), F.lit(""))),
+        "__text",
+        model._graft_n_max,
+    )
+    scored = model.transform(model._graft_tf.transform(feats))
+    return scored.withColumn(
+        output_col, vector_to_array(F.col("probability"))[1]
+    ).drop(
+        "__text", "__grams", "features", "rawPrediction", "probability",
+        "prediction",
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    model,
+    threshold: float = 0.5,
+    text_col: str | None = None,
+    keep_score: bool = True,
+) -> DataFrame:
+    """Keep documents with P(quality) ≥ threshold. The score is a
+    per-row expression, so the filter composes with pushdown and
+    costs one map pass over the corpus."""
+    out = score_quality(df, model, text_col)
+    out = out.filter(F.col("quality_prob") >= threshold)
+    return out if keep_score else out.drop("quality_prob")

@@ -1,0 +1,98 @@
+"""fastText-style quality classifier: planted separation, filter
+behavior, null/empty handling, pure-map scoring shape."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops import quality_clf
+
+GOOD = [
+    "the", "history", "of", "science", "describes", "observation",
+    "method", "theory", "evidence", "analysis", "published", "study",
+]
+BAD = [
+    "click", "free", "winner", "casino", "pills", "xxx", "offer",
+    "buy", "now", "limited", "deal", "cash",
+]
+
+
+def _doc(rng, vocab, n=25):
+    return " ".join(rng.choice(vocab) for _ in range(n))
+
+
+@pytest.fixture(scope="module")
+def model_and_eval(spark):
+    rng = random.Random(11)
+    pos = spark.createDataFrame(
+        [(f"p{i}", _doc(rng, GOOD)) for i in range(150)], ["doc_id", "text"]
+    )
+    neg = spark.createDataFrame(
+        [(f"n{i}", _doc(rng, BAD)) for i in range(150)], ["doc_id", "text"]
+    )
+    model = quality_clf.train_quality_classifier(
+        pos, neg, num_features=1 << 12, max_iter=25
+    )
+    hold = spark.createDataFrame(
+        [(f"hp{i}", _doc(rng, GOOD), 1) for i in range(40)]
+        + [(f"hn{i}", _doc(rng, BAD), 0) for i in range(40)],
+        ["doc_id", "text", "truth"],
+    )
+    return model, hold
+
+
+def test_classifier_separates_heldout(spark, model_and_eval):
+    model, hold = model_and_eval
+    scored = quality_clf.score_quality(hold, model)
+    rows = scored.select("truth", "quality_prob").collect()
+    good = [r["quality_prob"] for r in rows if r["truth"] == 1]
+    bad = [r["quality_prob"] for r in rows if r["truth"] == 0]
+    assert min(good) > 0.9 and max(bad) < 0.1  # disjoint vocab → easy
+    assert all(0.0 <= p <= 1.0 for p in good + bad)
+
+
+def test_quality_filter_keeps_good(spark, model_and_eval):
+    model, hold = model_and_eval
+    kept = quality_clf.quality_filter(hold, model, threshold=0.5)
+    rows = kept.select("truth").collect()
+    assert len(rows) == 40 and all(r["truth"] == 1 for r in rows)
+    # keep_score=False drops the column, keeps the rows
+    bare = quality_clf.quality_filter(hold, model, keep_score=False)
+    assert "quality_prob" not in bare.columns and bare.count() == 40
+
+
+def test_null_and_empty_text_score_the_prior(spark, model_and_eval):
+    model, _ = model_and_eval
+    odd = spark.createDataFrame(
+        [("e", ""), ("nul", None)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_clf.score_quality(odd, model).collect()
+    }
+    assert rows["e"] is not None and rows["nul"] is not None
+    assert rows["e"] == pytest.approx(rows["nul"])  # both = intercept prior
+
+
+def test_scoring_is_deterministic_and_schema_clean(spark, model_and_eval):
+    model, hold = model_and_eval
+    a = quality_clf.score_quality(hold, model)
+    b = quality_clf.score_quality(hold, model)
+    assert a.columns == ["doc_id", "text", "truth", "quality_prob"]
+    pa = {r["doc_id"]: r["quality_prob"] for r in a.collect()}
+    pb = {r["doc_id"]: r["quality_prob"] for r in b.collect()}
+    assert pa == pb
+
+
+def test_scoring_plan_is_shuffle_free(spark, model_and_eval):
+    model, hold = model_and_eval
+    plan = (
+        quality_clf.score_quality(hold, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan  # pure map stage over the corpus
