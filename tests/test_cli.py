@@ -1,0 +1,92 @@
+"""CLI shell: the resident scheduler and maintenance verbs as a
+process entry point (reference parity: scheduler_clickhouse.py run
+as a host process)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark import catalog, cli
+from binancedatapipeline_spark.warehouse import Warehouse
+
+
+@pytest.fixture()
+def wh_root(tmp_path):
+    return str(tmp_path / "wh")
+
+
+def test_update_populates_all_standard_tables(spark, wh_root):
+    lines = []
+    rc = cli.main(
+        ["--warehouse", wh_root, "--symbols", "BTCUSDT", "update"],
+        spark=spark,
+        out=lines.append,
+    )
+    assert rc == 0
+    wh = Warehouse(spark, wh_root)
+    for spec in (
+        catalog.BN_SPOT_SYMBOLS,
+        catalog.BN_PERP_SYMBOLS,
+        catalog.BN_SPOT_KLINES,
+        catalog.BN_PERP_KLINES,
+        catalog.BN_FUNDING_RATES,
+    ):
+        assert wh.read(spec).count() > 0, spec.name
+    # dims ordered before facts in the tick output
+    names = [ln.split(":")[0] for ln in lines if ln and not ln.startswith("[")]
+    assert names.index("bn_spot_symbols") < names.index("bn_spot_klines")
+    # perp dim got its synthetic onboard_date (extreme_cases needs it)
+    perp = wh.read(catalog.BN_PERP_SYMBOLS)
+    assert perp.filter(F.col("onboard_date").isNull()).count() == 0
+
+
+def test_update_then_watermark_and_validate(spark, wh_root):
+    lines = []
+    assert cli.main(
+        ["--warehouse", wh_root, "--symbols", "BTCUSDT", "update"],
+        spark=spark, out=lines.append,
+    ) == 0
+    lines.clear()
+    cli.main(
+        ["--warehouse", wh_root, "watermark", "--table", "bn_spot_klines"],
+        spark=spark, out=lines.append,
+    )
+    assert lines and "None" not in lines[0]
+    # synthetic bars are gap-free → validate exits 0
+    rc = cli.main(
+        ["--warehouse", wh_root, "validate", "--table", "bn_spot_klines"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0
+
+
+def test_update_is_incremental_and_idempotent(spark, wh_root):
+    cli.main(["--warehouse", wh_root, "--symbols", "ETHUSDT", "update"],
+             spark=spark, out=lambda s: None)
+    wh = Warehouse(spark, wh_root)
+    n1 = wh.read(catalog.BN_SPOT_KLINES).count()
+    # second tick replays the lookback window: no duplicate PKs
+    cli.main(["--warehouse", wh_root, "--symbols", "ETHUSDT", "update"],
+             spark=spark, out=lambda s: None)
+    out = wh.read(catalog.BN_SPOT_KLINES)
+    assert out.count() >= n1
+    pks = out.groupBy("symbol", "exchange", "timestamp").count()
+    assert pks.filter(F.col("count") > 1).count() == 0
+
+
+def test_vacuum_and_maintain_verbs(spark, wh_root):
+    cli.main(["--warehouse", wh_root, "--symbols", "BTCUSDT", "update"],
+             spark=spark, out=lambda s: None)
+    lines = []
+    assert cli.main(
+        ["--warehouse", wh_root, "maintain", "--table", "bn_spot_klines"],
+        spark=spark, out=lines.append,
+    ) == 0
+    assert "partitions_compacted" in lines[0]
+    lines.clear()
+    assert cli.main(
+        ["--warehouse", wh_root, "vacuum", "--table", "bn_spot_klines", "--full"],
+        spark=spark, out=lines.append,
+    ) == 0
+    assert "removed" in lines[0]
