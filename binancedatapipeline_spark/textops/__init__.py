@@ -97,6 +97,10 @@ from binancedatapipeline_spark.textops.quality_clf import (
     score_quality,
     train_quality_classifier,
 )
+from binancedatapipeline_spark.textops.spans import (
+    duplicate_spans,
+    remove_duplicate_spans,
+)
 
 __all__ = [
     "bucket_distribution",
@@ -106,6 +110,8 @@ __all__ = [
     "quality_filter",
     "score_quality",
     "train_quality_classifier",
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "with_fingerprint",
     "with_lang_guess",
     "tfidf_top_terms",
