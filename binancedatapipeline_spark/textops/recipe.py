@@ -4,9 +4,12 @@ production corpus build runs them:
 
     curate (PII → line clean → corpus-frequent lines → Gopher →
             exact dedup → decontaminate → splits)
+  → trained quality-classifier filter (optional, fastText-style)
   → near-duplicate cluster resolution (MinHash-LSH → components →
             one survivor per duplicate group)
+  → substring-level duplicate-span removal (optional, keep-first)
   → unigram-LM perplexity filter (fit on the surviving corpus)
+  → DSIR importance resampling toward a target domain (optional)
   → quality-ranked token-budget selection (optional)
   → temperature-flattened domain mixture (optional)
   → deterministic epoch shuffle
@@ -71,7 +74,12 @@ def prepare_training_corpus(
     text_col: str = "text",
     domain_col: str | None = None,
     curate_kwargs: dict | None = None,
+    quality_model=None,
+    quality_threshold: float = 0.5,
     dedup_kwargs: dict | None = None,
+    span_window: int | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_k: int | None = None,
     max_ppl: float | None = 1e4,
     min_ppl: float = 0.0,
     lm_vocab_size: int = 50_000,
@@ -86,7 +94,14 @@ def prepare_training_corpus(
 
     ``bench`` enables decontamination inside curation; ``domain_col``
     + ``mixture_alpha`` enable temperature mixture flattening;
-    ``budget_tokens`` enables quality-ranked selection. Selection
+    ``budget_tokens`` enables quality-ranked selection;
+    ``quality_model`` (a fitted :func:`quality_clf.
+    train_quality_classifier` model) enables the trained filter right
+    after curation; ``span_window`` enables substring-level
+    duplicate-span removal after doc-level dedup (documents emptied
+    by the cut are dropped); ``dsir_target`` + ``dsir_k`` enable DSIR
+    importance resampling toward the target corpus after the LM
+    filter. Selection
     ranks by CLOSENESS to the corpus's median log-perplexity, not by
     raw low perplexity: the LM is fit on the corpus itself, so its
     lowest-ppl tail is degenerate repetition (the exact tail
@@ -115,11 +130,36 @@ def prepare_training_corpus(
                  cache_registry=curate_caches, **(curate_kwargs or {}))
     audit.append(("curate", out.count()))
 
+    if quality_model is not None:
+        from binancedatapipeline_spark.textops.quality_clf import quality_filter
+
+        out = quality_filter(
+            out, quality_model, threshold=quality_threshold,
+            text_col=text_col, keep_score=False,
+        )
+        audit.append(("quality_clf", out.count()))
+
     dedup_bound = near_dedup(out, id_col=id_col, text_col=text_col,
                              **(dedup_kwargs or {}))
     dedup_bound = dedup_bound.persist(StorageLevel.MEMORY_AND_DISK)
     audit.append(("near_dedup", dedup_bound.count()))
     out = dedup_bound
+
+    if span_window is not None:
+        from binancedatapipeline_spark.textops.spans import (
+            remove_duplicate_spans,
+        )
+
+        # feeds the LM fit, the scoring pass and its own audit count —
+        # persist the boundary and release the one it supersedes
+        span_bound = remove_duplicate_spans(
+            out, id_col=id_col, text_col=text_col, window=span_window
+        ).filter(F.trim(F.col(text_col)) != "")
+        span_bound = span_bound.persist(StorageLevel.MEMORY_AND_DISK)
+        audit.append(("span_dedup", span_bound.count()))
+        dedup_bound.unpersist()
+        dedup_bound = span_bound  # later bookkeeping releases this handle
+        out = span_bound
 
     # persist the model HERE so the scoring join, its eager OOV-floor
     # probe, and the audit actions all read one warm vocab-sized
@@ -145,6 +185,14 @@ def prepare_training_corpus(
     audit.append(("lm_filter", scored_bound.count()))
     dedup_bound.unpersist()
     scored = scored_bound
+
+    if dsir_target is not None and dsir_k is not None:
+        from binancedatapipeline_spark.textops.dsir import dsir_select
+
+        scored = dsir_select(
+            scored, dsir_target, k=dsir_k, id_col=id_col, text_col=text_col
+        ).drop("dsir_logw")
+        audit.append(("dsir", scored.count()))
 
     if budget_tokens is not None:
         # rank by |ln ppl − ln median(ppl)|: the self-fit LM's lowest

@@ -84,3 +84,47 @@ def test_recipe_with_budget_and_mixture(spark):
     assert stages["mixture"] <= stages["token_budget"]
     assert "domain" in res.corpus.columns  # mixture col passes through
     res.release()  # drops the scored cache without error
+
+
+def test_recipe_with_quality_span_and_dsir_stages(spark):
+    from binancedatapipeline_spark.textops.quality_clf import (
+        train_quality_classifier,
+    )
+
+    # classifier: GOOD-style text vs spam-vocab junk
+    spam = " ".join("click free winner casino pills offer".split() * 8)
+    pos = spark.createDataFrame([(i, GOOD) for i in range(30)], "doc_id long, text string")
+    neg = spark.createDataFrame([(i, spam) for i in range(30)], "doc_id long, text string")
+    model = train_quality_classifier(pos, neg, num_features=1 << 12, max_iter=20)
+
+    passage = " ".join(f"boiler{i} plate tokens repeated verbatim" for i in range(4))
+    rows = [
+        (1, GOOD + " alpha", "web"),
+        (2, GOOD + " " + passage, "web"),       # carries the passage (first)
+        (3, GOOD + " gamma " + passage, "web"),  # passage copy → span-cut
+        (4, spam + " junky stuff here", "web"),  # classifier-filtered
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    res = prepare_training_corpus(
+        docs,
+        quality_model=model,
+        span_window=8,
+        dsir_target=spark.createDataFrame(
+            [(100, GOOD)], "doc_id long, text string"
+        ),
+        dsir_k=3,
+        curate_kwargs={"min_line_words": 1, "gopher_overrides": {"min_words": 10}},
+        dedup_kwargs={"k": 16, "bands": 8},
+        max_ppl=None,
+        chunk_max_tokens=32,
+        chunk_overlap=4,
+    )
+    stages = dict(res.audit)
+    assert stages["quality_clf"] == 3            # spam doc dropped
+    assert "span_dedup" in stages and "dsir" in stages
+    # the passage survives exactly once across the corpus
+    joined = " || ".join(
+        r["chunk_text"] for r in res.corpus.select("chunk_text").collect()
+    )
+    assert joined.count("boiler0 plate tokens") <= 1
+    res.release()
