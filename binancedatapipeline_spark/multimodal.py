@@ -177,6 +177,155 @@ def with_image_dims(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
+def _wav_chunk_walk(c: str) -> F.Column:
+    """RIFF chunk walk for WAVE content, the audio analog of
+    :func:`_jpeg_sof_offset`: a BOUNDED (16-chunk) JVM ``aggregate``
+    that hops chunk headers (4-byte id + LE u32 size, data padded to
+    even) looking for ``fmt `` and ``data``. Returns
+    struct(fmt_off, data_size): the 1-based offset of the fmt chunk's
+    payload (>0 when found) and the data chunk's byte size (≥0 when
+    found, else -1). Pure per-row projection — no Python, no shuffle;
+    real-world WAVs put LIST/INFO/fact chunks between fmt and data,
+    which is exactly what the walk (vs a fixed 44-byte assumption)
+    absorbs."""
+    b = f"`{c}`"
+    cid = f"hex(substring({b}, cast(acc.off as int), 4))"
+    csize = (
+        "cast(conv(concat("
+        + ",".join(
+            f"hex(substring({b}, cast(acc.off + {4 + i} as int), 1))"
+            for i in (3, 2, 1, 0)
+        )
+        + "), 16, 10) as bigint)"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(1, 16),
+          named_struct('off', cast(13 as bigint),
+                       'fmt_off', cast(-1 as bigint),
+                       'data_size', cast(-1 as bigint)),
+          (acc, i) -> CASE
+            WHEN (acc.fmt_off > 0 AND acc.data_size >= 0)
+                 OR acc.off + 8 > length({b}) + 1 THEN acc
+            WHEN {cid} = '666D7420'
+              THEN named_struct('off', acc.off + 8 + {csize} + ({csize} % 2),
+                                'fmt_off', acc.off + 8,
+                                'data_size', acc.data_size)
+            WHEN {cid} = '64617461'
+              THEN named_struct('off', acc.off + 8 + {csize} + ({csize} % 2),
+                                'fmt_off', acc.fmt_off,
+                                'data_size', {csize})
+            ELSE named_struct('off', acc.off + 8 + {csize} + ({csize} % 2),
+                              'fmt_off', acc.fmt_off,
+                              'data_size', acc.data_size)
+          END,
+          acc -> named_struct('fmt_off', acc.fmt_off, 'data_size', acc.data_size)
+        )
+        """
+    )
+
+
+def _le_uint_at(c: str, delta: int, n: int) -> F.Column:
+    """Little-endian unsigned int at column offset ``__fmt + delta``
+    (1-based) — field reads relative to the discovered fmt payload."""
+    b = f"`{c}`"
+    parts = [
+        F.hex(F.expr(f"substring({b}, cast(__fmt + {delta + i} as int), 1)"))
+        for i in range(n - 1, -1, -1)
+    ]
+    return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+
+def with_audio_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Audio metadata from container HEADERS — no decode, no Python,
+    no shuffle (the audio analog of :func:`with_image_dims`): format
+    dispatch by magic bytes, then for WAV a bounded RIFF chunk walk
+    extracting channels, sample rate, bits per sample and duration —
+    so a 100 TB audio table is filterable (``WHERE sample_rate >=
+    16000 AND duration_ms BETWEEN …``) without shipping bytes to a
+    decoder.
+
+    WAV gets full metadata. MP3/FLAC/OGG are format-detected only
+    (their rates live in bit-packed frame headers) — NULL meta routes
+    them through the mapInPandas decode kernel. Truncated or corrupt
+    WAVs yield NULL fields, never an error."""
+    c = content_col
+    b = f"`{c}`"
+    riff = F.expr(f"hex(substring({b}, 1, 4))") == "52494646"
+    wave = F.expr(f"hex(substring({b}, 9, 4))") == "57415645"
+    magic4 = F.hex(F.expr(f"substring({b}, 1, 4)"))
+    magic3 = F.hex(F.expr(f"substring({b}, 1, 3)"))
+    magic2 = F.hex(F.expr(f"substring({b}, 1, 2)"))
+    fmt = (
+        F.when(riff & wave, F.lit("wav"))
+        .when(magic4 == "664C6143", F.lit("flac"))
+        .when(magic4 == "4F676753", F.lit("ogg"))
+        .when(magic3 == "494433", F.lit("mp3"))  # ID3 tag prefix
+        .when(magic2.isin("FFFB", "FFF3", "FFF2"), F.lit("mp3"))
+        .otherwise(F.lit("unknown"))
+    )
+    out = df.withColumn("audio_format", fmt).withColumn(
+        "__wav",
+        F.when(fmt == "wav", _wav_chunk_walk(c)).otherwise(F.lit(None)),
+    )
+    ok = (F.col("audio_format") == "wav") & (F.col("__wav.fmt_off") > 0)
+    out = out.withColumn("__fmt", F.when(ok, F.col("__wav.fmt_off")))
+    # PCM fmt payload layout (offsets from the payload start):
+    # +0 audio_format u16, +2 channels u16, +4 sample_rate u32,
+    # +8 byte_rate u32, +14 bits_per_sample u16
+    out = (
+        out.withColumn("audio_channels", F.when(ok, _le_uint_at(c, 2, 2)))
+        .withColumn("audio_sample_rate", F.when(ok, _le_uint_at(c, 4, 4)))
+        .withColumn("__byte_rate", F.when(ok, _le_uint_at(c, 8, 4)))
+        .withColumn("audio_bits", F.when(ok, _le_uint_at(c, 14, 2)))
+    )
+    duration = F.when(
+        ok & (F.col("__wav.data_size") >= 0) & (F.col("__byte_rate") > 0),
+        F.round(F.col("__wav.data_size") * 1000.0 / F.col("__byte_rate")).cast(
+            "long"
+        ),
+    )
+    return (
+        out.withColumn("audio_duration_ms", duration)
+        .drop("__wav", "__fmt", "__byte_rate")
+    )
+
+
+def sample_audio_windows(
+    media: DataFrame,
+    window_ms: int = 30_000,
+    hop_ms: int | None = None,
+    duration_col: str = "audio_duration_ms",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Fixed-window sampling plan for audio rows (the audio analog of
+    :func:`sample_frames`): explode window starts 0, hop, 2·hop … <
+    duration into (id, window_idx, start_ms, end_ms); the decode of
+    each window is a later mapInPandas pass over those coordinates.
+    Rows with NULL/zero duration produce no windows."""
+    hop = hop_ms or window_ms
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)), F.lit(hop)
+    )
+    return (
+        media.filter(F.col(duration_col) > 0)
+        .select(
+            id_col,
+            F.posexplode(starts).alias("window_idx", "start_ms"),
+            F.col(duration_col),
+        )
+        .select(
+            id_col,
+            "window_idx",
+            "start_ms",
+            F.least(
+                F.col("start_ms") + window_ms, F.col(duration_col)
+            ).alias("end_ms"),
+        )
+    )
+
+
 def _fake_decode(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     """Deterministic stand-in decoder: pixels derived from a sha256
     keystream of the bytes. Same shape/dtype contract as a real

@@ -233,3 +233,98 @@ def test_image_dims_is_pure_projection(spark):
     plan = with_image_dims(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _wav_bytes(channels=1, rate=16000, width=2, n_frames=16000, extra_chunk=False):
+    """Canonical WAV via the stdlib; optionally splice a LIST chunk
+    between fmt and data (the real-world layout a fixed-44-byte
+    reader breaks on)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * width))
+    raw = buf.getvalue()
+    if not extra_chunk:
+        return raw
+    # canonical stdlib layout: RIFF(12) + fmt chunk(8+16) + data...
+    head, tail = raw[:36], raw[36:]
+    # odd-sized payload (17 B) so the walker's even-padding rule is
+    # actually exercised: chunk size says 17, layout pads to 18
+    info = b"INFOISFT" + struct.pack("<I", 5) + b"pytes"
+    chunk = b"LIST" + struct.pack("<I", len(info)) + info + b"\x00"
+    riff_size = struct.unpack("<I", raw[4:8])[0] + len(chunk)
+    patched = head[:4] + struct.pack("<I", riff_size) + head[8:]
+    return patched + chunk + tail
+
+
+def test_audio_meta_from_wav_headers(spark):
+    from binancedatapipeline_spark.multimodal import with_audio_meta
+
+    rows = [
+        (1, _wav_bytes(channels=2, rate=44100, width=2, n_frames=44100)),
+        (2, _wav_bytes(channels=1, rate=16000, width=2, n_frames=8000,
+                       extra_chunk=True)),
+        (3, b"\xff\xfb\x90\x00" + b"\x00" * 64),        # bare mp3 frame
+        (4, b"ID3\x04\x00" + b"\x00" * 64),              # id3-tagged mp3
+        (5, b"fLaC" + b"\x00" * 64),
+        (6, b"OggS" + b"\x00" * 64),
+        (7, b"\x00\x01\x02"),                            # junk / truncated
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in with_audio_meta(df).collect()}
+    assert got[1]["audio_format"] == "wav"
+    assert got[1]["audio_channels"] == 2
+    assert got[1]["audio_sample_rate"] == 44100
+    assert got[1]["audio_bits"] == 16
+    assert got[1]["audio_duration_ms"] == 1000
+    # the LIST chunk between fmt and data is walked over, not tripped on
+    assert got[2]["audio_sample_rate"] == 16000
+    assert got[2]["audio_duration_ms"] == 500
+    assert got[3]["audio_format"] == "mp3"
+    assert got[4]["audio_format"] == "mp3"
+    assert got[5]["audio_format"] == "flac"
+    assert got[6]["audio_format"] == "ogg"
+    for m in (3, 4, 5, 6, 7):  # detected-only / junk rows: NULL meta
+        assert got[m]["audio_sample_rate"] is None
+        assert got[m]["audio_duration_ms"] is None
+    assert got[7]["audio_format"] == "unknown"
+
+
+def test_audio_meta_is_python_free(spark):
+    from binancedatapipeline_spark.multimodal import with_audio_meta
+
+    df = spark.createDataFrame(
+        [(1, _wav_bytes())], "media_id long, content binary"
+    )
+    plan = (
+        with_audio_meta(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure per-row projection
+
+
+def test_sample_audio_windows(spark):
+    from binancedatapipeline_spark.multimodal import sample_audio_windows
+
+    media = spark.createDataFrame(
+        [(1, 70_000), (2, 30_000), (3, 0), (4, None)],
+        "media_id long, audio_duration_ms long",
+    )
+    rows = sample_audio_windows(media, window_ms=30_000).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(
+            (r["window_idx"], r["start_ms"], r["end_ms"])
+        )
+    assert by_id[1] == [(0, 0, 30_000), (1, 30_000, 60_000), (2, 60_000, 70_000)]
+    assert by_id[2] == [(0, 0, 30_000)]
+    assert 3 not in by_id and 4 not in by_id
+    # overlapping windows via hop
+    hop = sample_audio_windows(media, window_ms=30_000, hop_ms=20_000).collect()
+    assert len([r for r in hop if r["media_id"] == 2]) == 2  # 0 and 20k starts
