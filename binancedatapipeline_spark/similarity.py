@@ -1056,3 +1056,109 @@ def incremental_semantic_dedup(
 
     survivors = survivors_of_clean_components(within, rep_ids, hist_hits, id_col)
     return new_c.join(survivors, id_col, "left_semi")
+
+
+# ------------------------------------------------ scalar quantization
+
+
+def train_sq_params(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (mins, scales) for 8-bit scalar quantization —
+    the simplest of the public vector-compression family (4× smaller
+    than float32, near-lossless top-k; the SQ8 of faiss/Milvus).
+
+    Unlike the PQ trainers this is EXACT and fully distributed: one
+    posexplode + groupBy(dim) min/max, a shuffle whose output is
+    dim-sized regardless of corpus size. ``scales[d] == 0`` marks a
+    constant dimension (decode returns its min)."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty corpus: no dimensions to fit")
+    dim = max(r["d"] for r in rows) + 1
+    mins = [0.0] * dim
+    scales = [0.0] * dim
+    for r in rows:
+        mins[r["d"]] = float(r["lo"])
+        scales[r["d"]] = (float(r["hi"]) - float(r["lo"])) / 255.0
+    return mins, scales
+
+
+def sq_encode(
+    df: DataFrame,
+    params: tuple[list[float], list[float]],
+    vec_col: str = "embedding",
+    out: str = "sq_code",
+) -> DataFrame:
+    """Compress each vector to array<int> of 0..255 — a pure JVM
+    ``transform`` against the broadcast-literal min/scale arrays (no
+    Python anywhere, unlike the PQ path whose codebook argmin needs
+    numpy). Values are clamped, so encoding vectors outside the
+    trained range degrades gracefully instead of wrapping."""
+    mins, scales = params
+    mn = F.array(*[F.lit(v) for v in mins])
+    sc = F.array(*[F.lit(v) for v in scales])
+    code = F.expr(
+        f"transform({vec_col}, (x, i) -> CASE "
+        f"WHEN element_at(__sq_sc, i + 1) = 0.0 THEN 0 "
+        f"ELSE cast(least(255, greatest(0, "
+        f"round((x - element_at(__sq_mn, i + 1)) / "
+        f"element_at(__sq_sc, i + 1)))) as int) END)"
+    )
+    return (
+        df.withColumn("__sq_mn", mn)
+        .withColumn("__sq_sc", sc)
+        .withColumn(out, code)
+        .drop("__sq_mn", "__sq_sc")
+    )
+
+
+def sq_decode(
+    df: DataFrame,
+    params: tuple[list[float], list[float]],
+    code_col: str = "sq_code",
+    out: str = "embedding",
+) -> DataFrame:
+    """Reconstruct approximate float vectors: x̂ = min + code·scale.
+    Same JVM-transform shape as the encoder."""
+    mins, scales = params
+    mn = F.array(*[F.lit(v) for v in mins])
+    sc = F.array(*[F.lit(v) for v in scales])
+    rec = F.expr(
+        f"transform({code_col}, (c, i) -> element_at(__sq_mn, i + 1) + "
+        f"cast(c as double) * element_at(__sq_sc, i + 1))"
+    )
+    return (
+        df.withColumn("__sq_mn", mn)
+        .withColumn("__sq_sc", sc)
+        .withColumn(out, rec)
+        .drop("__sq_mn", "__sq_sc")
+    )
+
+
+def sq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    params: tuple[list[float], list[float]],
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    code_col: str = "sq_code",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Top-k over the SQ-compressed corpus: decode-on-the-fly into
+    the exact cosine_topk plan. The scan reads 1 byte/dim instead of
+    4 and stays whole-stage-codegen JVM end to end — the float
+    vectors are never stored, only reconstructed per-row inside the
+    scan stage. Returns (query_id, vec_id, cosine, rank)."""
+    recon = sq_decode(encoded, params, code_col=code_col, out="__sq_vec")
+    return cosine_topk(
+        recon, queries, k=k,
+        corpus_id=corpus_id, corpus_vec="__sq_vec",
+        query_id=query_id, query_vec=query_vec,
+    )

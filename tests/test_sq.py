@@ -1,0 +1,79 @@
+"""SQ8 scalar quantization: round-trip error bound, top-k recall vs
+exact, constant-dim/out-of-range edges, JVM-only plan pin."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(400, 16)).astype(np.float64)
+    x[:, 3] = 2.5  # a constant dimension
+    rows = [(i, x[i].tolist()) for i in range(len(x))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), x
+
+
+def test_roundtrip_error_within_half_step(spark, vectors):
+    df, x = vectors
+    params = sim.train_sq_params(df)
+    mins, scales = params
+    assert scales[3] == 0.0  # constant dim detected
+    rec = sim.sq_decode(sim.sq_encode(df, params), params, out="recon")
+    rows = rec.orderBy("vec_id").select("recon").collect()
+    recon = np.array([r["recon"] for r in rows])
+    err = np.abs(recon - x)
+    # quantization error ≤ half a step per dimension (+fp slack)
+    steps = np.array([s if s > 0 else 1.0 for s in scales])
+    assert (err <= steps / 2 + 1e-9).all()
+    assert np.allclose(recon[:, 3], 2.5)  # constant dim exact
+
+
+def test_sq_topk_recall_vs_exact(spark, vectors):
+    df, x = vectors
+    params = sim.train_sq_params(df)
+    enc = sim.sq_encode(df, params).drop("embedding")
+    queries = spark.createDataFrame(
+        [(i, x[i * 37].tolist()) for i in range(6)],
+        "query_id long, query_vec array<double>",
+    )
+    exact = sim.cosine_topk(df, queries, k=10)
+    approx = sim.sq_topk(enc, queries, params, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9  # SQ8 is near-lossless at these dims
+
+
+def test_out_of_range_vectors_clamp(spark, vectors):
+    df, _ = vectors
+    params = sim.train_sq_params(df)
+    wild = spark.createDataFrame(
+        [(999, [1e6] * 16), (998, [-1e6] * 16)],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r["sq_code"] for r in sim.sq_encode(wild, params).collect()}
+    assert all(c == 255 or i == 3 for i, c in enumerate(rows[999]))
+    assert all(c == 0 for c in rows[998])
+
+
+def test_sq_scan_is_jvm_only(spark, vectors):
+    df, x = vectors
+    params = sim.train_sq_params(df)
+    enc = sim.sq_encode(df, params).drop("embedding")
+    queries = spark.createDataFrame(
+        [(0, x[0].tolist())], "query_id long, query_vec array<double>"
+    )
+    plan = (
+        sim.sq_topk(enc, queries, params, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
