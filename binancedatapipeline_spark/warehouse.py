@@ -330,18 +330,44 @@ class Warehouse:
 
     # ------------------------------------------------------------- read
 
+    def _read_schema(self, spec: TableSpec):
+        """The explicit schema every snapshot read passes to the
+        parquet reader: the spec's declared columns (+ the derived
+        ``ds`` partition column). This is the ADDITIVE SCHEMA
+        EVOLUTION mechanism: a column added to the spec is requested
+        from every file, and parquet fills it with NULL where an
+        older file predates it — deterministic (no file-order-
+        dependent inference) and free (no mergeSchema footer sweep
+        over millions of files). Type changes and renames are NOT
+        supported this way; rewrite the table for those."""
+        from pyspark.sql import types as T
+
+        fields = list(spec.schema.fields)
+        if spec.partition_date_source is not None:
+            fields = fields + [T.StructField(DS_COL, T.DateType())]
+        return T.StructType(fields)
+
+    def _reader(self, spec: TableSpec | None):
+        r = self.spark.read
+        return r if spec is None else r.schema(self._read_schema(spec))
+
     def _read_live(
-        self, name: str, ds_values: list | None = None
+        self,
+        name: str,
+        ds_values: list | None = None,
+        spec: TableSpec | None = None,
     ) -> DataFrame | None:
         """A DataFrame pinned to the CURRENT manifest's files — the
         snapshot read. ``ds_values`` (date objects or iso strings)
         prunes to those partitions in Python, before Spark ever lists
-        a file. Returns None for a table with no data files."""
+        a file. ``spec`` pins the read schema (see ``_read_schema``);
+        without it the reader infers from footers (legacy callers).
+        Returns None for a table with no data files."""
         manifest = self._load_manifest(name)
         if manifest is None:
             if not self.exists(name):
                 return None
-            df = self.spark.read.parquet(self.path(name))  # legacy table
+            df = self._reader(spec).parquet(self.path(name))  # legacy table
             if ds_values is not None:
                 df = df.filter(F.col(DS_COL).isin(list(ds_values)))
             return df
@@ -362,11 +388,15 @@ class Warehouse:
                 return None
             # schema-preserving empty frame over the pruned-out table
             return (
-                self.spark.read.option("basePath", self.path(name))
+                self._reader(spec).option("basePath", self.path(name))
                 .parquet(*all_paths)
                 .filter(F.lit(False))
             )
-        return self.spark.read.option("basePath", self.path(name)).parquet(*paths)
+        return (
+            self._reader(spec)
+            .option("basePath", self.path(name))
+            .parquet(*paths)
+        )
 
     def read(self, spec: TableSpec) -> DataFrame:
         """Read a table (without the internal ds partition column) as
@@ -380,7 +410,7 @@ class Warehouse:
         NEXT mutation — the exact window where the pipeline being
         down is likeliest)."""
         self.recover(spec.name, rollback_uncommitted=False)
-        df = self._read_live(spec.name)
+        df = self._read_live(spec.name, spec=spec)
         if df is None:
             return spec.empty(self.spark)
         return df.select(*spec.columns)
@@ -406,7 +436,7 @@ class Warehouse:
         if not paths:
             return spec.empty(self.spark)
         return (
-            self.spark.read.option("basePath", self.path(spec.name))
+            self._reader(spec).option("basePath", self.path(spec.name))
             .parquet(*paths)
             .select(*spec.columns)
         )
@@ -458,7 +488,7 @@ class Warehouse:
                 df = spec.empty(self.spark)
             else:
                 df = (
-                    self.spark.read.option("basePath", base)
+                    self._reader(spec).option("basePath", base)
                     .parquet(*[os.path.join(base, r) for r in keep])
                     .select(*spec.columns)
                 )
@@ -507,7 +537,7 @@ class Warehouse:
             keys = [k for k in manifest["files"] if k]
             if keys:
                 ds_values = [max(keys)]
-        df = self._read_live(spec.name, ds_values=ds_values)
+        df = self._read_live(spec.name, ds_values=ds_values, spec=spec)
         if df is None:
             return None
         row = df.agg(F.max(spec.time_column).alias("m")).first()
@@ -906,7 +936,7 @@ class Warehouse:
         )
 
         if spec.partition_date_source is None:
-            live = self._read_live(spec.name)
+            live = self._read_live(spec.name, spec=spec)
             base = live.select(*spec.columns) if live is not None else spec.empty(self.spark)
             merged = base.join(
                 anti_build, on=list(spec.primary_keys), how="left_anti"
@@ -930,7 +960,7 @@ class Warehouse:
         # PK+ds) and fold it into the rewrite set. When the source IS a
         # PK column, a PK match implies the same ds — skip the scan.
         if spec.partition_date_source not in spec.primary_keys:
-            full = self._read_live(spec.name)
+            full = self._read_live(spec.name, spec=spec)
             if full is not None:
                 stranded = (
                     full.select(DS_COL, *spec.primary_keys)
@@ -942,7 +972,7 @@ class Warehouse:
                 touched |= {r[DS_COL] for r in stranded}
         touched = sorted(touched)
 
-        target = self._read_live(spec.name, ds_values=touched)
+        target = self._read_live(spec.name, ds_values=touched, spec=spec)
         kept = (
             target.join(anti_build, on=list(spec.primary_keys), how="left_anti")
             .select(*spec.columns)
@@ -1039,7 +1069,7 @@ class Warehouse:
                     return {"partitions_compacted": 0, "files_before": n_files,
                             "files_after": n_files}
                 merged = (
-                    self._read_live(spec.name)
+                    self._read_live(spec.name, spec=spec)
                     .coalesce(target)
                     .sortWithinPartitions(*pk)
                 )
@@ -1065,7 +1095,7 @@ class Warehouse:
             )
             touched = [date.fromisoformat(ds) for ds in fragmented]
             merged = (
-                self._read_live(spec.name, ds_values=touched)
+                self._read_live(spec.name, ds_values=touched, spec=spec)
                 # range-partition on (ds, pk): each ds owns contiguous
                 # output partitions sized by its byte share, and rows
                 # land PK-clustered within them

@@ -661,3 +661,43 @@ def test_read_prev_is_one_version_of_time_travel(spark, wh, fixture_dir):
     wh.vacuum(spec.name, full=True)
     with pytest.raises(FileNotFoundError, match="no previous snapshot"):
         wh.read_prev(spec)
+
+
+def test_additive_schema_evolution_on_read(spark, wh, fixture_dir):
+    """A column added to the spec reads as NULL from files written
+    before it existed (explicit read schema — no mergeSchema, no
+    inference), and an upsert under the new spec backfills it only
+    in the partitions it touches."""
+    import dataclasses
+
+    from pyspark.sql import types as T
+
+    old_spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(old_spec, src)
+
+    new_spec = dataclasses.replace(
+        old_spec,
+        schema=T.StructType(
+            list(old_spec.schema.fields) + [T.StructField("vwap", T.DoubleType())]
+        ),
+    )
+    out = wh.read(new_spec)
+    assert out.columns == new_spec.columns
+    assert out.count() == src.count()
+    assert out.filter(F.col("vwap").isNotNull()).count() == 0
+
+    # upsert one day's rows WITH the new column populated
+    last_day = src.agg(F.max(F.to_date("timestamp"))).first()[0]
+    batch = src.filter(F.to_date("timestamp") == F.lit(last_day)).withColumn(
+        "vwap", F.col("close") * 1.01
+    )
+    n_batch = batch.count()
+    wh.upsert(new_spec, batch)
+    out = wh.read(new_spec)
+    assert out.count() == src.count()
+    assert out.filter(F.col("vwap").isNotNull()).count() == n_batch
+    # old-epoch partitions still read (as NULL), new partition has data
+    assert wh.read_between(new_spec, since=None, until=None).count() == src.count()
+    # the old spec keeps working against the mixed-epoch table
+    assert wh.read(old_spec).count() == src.count()
