@@ -92,3 +92,33 @@ def test_lm_scoring_streams_identically(spark, tmp_path):
     streamed = _run_stream(spark, stage, score, tmp_path, "lm")
     cols = ["doc_id", "n_tokens", "n_oov", "avg_logp"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_quality_scoring_streams_identically(spark, tmp_path):
+    """The trained quality classifier's scoring is a pure map stage
+    (hash TF → dot → sigmoid), so model.transform-based scoring must
+    run unchanged on a streaming DataFrame — the filter a streaming
+    ingest applies per micro-batch."""
+    from binancedatapipeline_spark.textops.quality_clf import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    pos = spark.createDataFrame(
+        [(i, "observed method theory evidence analysis") for i in range(20)],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(i, "click free casino pills offer now") for i in range(20)],
+        "doc_id long, text string",
+    )
+    model = train_quality_classifier(pos, neg, num_features=1 << 10, max_iter=15)
+
+    stage = _write_stage(spark, tmp_path)
+    batch = score_quality(spark.read.parquet(stage), model)
+    streamed = _run_stream(
+        spark, stage, lambda s: score_quality(s, model), tmp_path, "qclf"
+    )
+    b = {r["doc_id"]: round(r["quality_prob"], 9) for r in batch.collect()}
+    s = {r["doc_id"]: round(r["quality_prob"], 9) for r in streamed.collect()}
+    assert b == s and len(b) == len(ROWS)

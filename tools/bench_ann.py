@@ -191,6 +191,23 @@ def main() -> None:
             shortlist_factor=8,
         )
 
+        # round 6: SQ8 scalar quantization — the JVM-only compressed
+        # scan (1 byte/dim, decode-on-the-fly into the exact plan)
+        from binancedatapipeline_spark.similarity import (
+            sq_encode,
+            sq_topk,
+            train_sq_params,
+        )
+
+        sq_params = train_sq_params(corpus)
+        t0 = time.perf_counter()
+        sq_enc = sq_encode(corpus, sq_params).drop("embedding").persist()
+        sq_enc.count()
+        sec.setdefault("sq8_build", {})[str(n)] = round(time.perf_counter() - t0, 2)
+        strategies["sq8_scan"] = lambda: sq_topk(
+            sq_enc, queries, sq_params, k=args.k
+        )
+
         for name, build in strategies.items():
             best = min(_timed(build) for _ in range(2))
             sec.setdefault(name, {})[str(n)] = round(best, 2)
@@ -200,6 +217,7 @@ def main() -> None:
         enc.unpersist()
         ivf_enc.unpersist()
         opq_enc.unpersist()
+        sq_enc.unpersist()
         corpus.unpersist()
 
     print(json.dumps({"sizes": sizes, "dim": args.dim, "sec": sec, "recall": recall}))
