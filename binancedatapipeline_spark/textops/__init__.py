@@ -98,8 +98,11 @@ from binancedatapipeline_spark.textops.quality_clf import (
     train_quality_classifier,
 )
 from binancedatapipeline_spark.textops.spans import (
+    apply_span_removal,
     duplicate_spans,
+    incremental_duplicate_spans,
     remove_duplicate_spans,
+    span_index,
 )
 
 __all__ = [
@@ -110,8 +113,11 @@ __all__ = [
     "quality_filter",
     "score_quality",
     "train_quality_classifier",
+    "apply_span_removal",
     "duplicate_spans",
+    "incremental_duplicate_spans",
     "remove_duplicate_spans",
+    "span_index",
     "with_fingerprint",
     "with_lang_guess",
     "tfidf_top_terms",

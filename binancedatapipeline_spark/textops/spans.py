@@ -21,6 +21,17 @@ Pipeline shape, and the 100 TB accounting:
    into maximal spans (one LAG window over the doc's own spans), and
    the tokens they cover are dropped by a per-row array filter.
 
+The INCREMENTAL form (:func:`span_index` +
+:func:`incremental_duplicate_spans`) is the ingest shape: the stored
+index keeps one row per distinct window hash with its canonical
+first-INGESTED occurrence, a batch probes it with one equi-join on
+the hash, and replay is idempotent (a re-ingested canonical is
+recognized, not removed). The index is O(distinct corpus windows) ≈
+one row per corpus token position — hash + id + pos only, no text;
+that footprint is inherent to exact substring dedup (Lee et al. pay
+it as a suffix array) and is the price of probing all history in
+O(batch).
+
 Only hashes and positions ever shuffle; document text stays columnar
 in place until the final per-row rewrite. Matches are 64-bit-hash
 equality, not byte equality — a collision (≈2⁻⁶⁴ per window pair)
@@ -52,21 +63,12 @@ def _window_hash_array(window: int, toks_col: str = "__toks") -> F.Column:
     )
 
 
-def duplicate_spans(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    window: int = 50,
-    keep_first: bool = True,
+def _window_occurrences(
+    df: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
-    """(id, span_start, span_end): maximal 1-based token spans covered
-    by windows whose hash repeats anywhere in the corpus (across OR
-    within documents). With ``keep_first`` the lexicographically-first
-    occurrence (min (doc id, position) per hash) is exempt — dedup
-    keeps one copy of the passage, it does not erase it from the
-    corpus."""
+    """(id, pos, h): every window occurrence, 1-based positions."""
     toks = tokens_col(F.col(text_col))
-    occ = (
+    return (
         spread(df.select(id_col, text_col))
         .withColumn("__toks", toks)
         .select(
@@ -75,21 +77,15 @@ def duplicate_spans(
         .withColumn("pos", F.col("pos0") + 1)
         .drop("pos0")
     )
-    counts = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
-    )
-    dup = occ.join(counts.filter(F.col("n") >= 2), "h")
-    if keep_first:
-        dup = dup.filter(
-            ~(
-                (F.col(id_col) == F.col("first_occ")[id_col])
-                & (F.col("pos") == F.col("first_occ")["pos"])
-            )
-        )
-    # merge overlapping/adjacent windows into maximal spans: windows
-    # at pos p, p' overlap when p' − p < window (they share tokens);
-    # the classic gaps-and-islands LAG over each doc's own positions
+
+
+def _merge_windows_to_spans(
+    dup: DataFrame, id_col: str, window: int
+) -> DataFrame:
+    """(id, span_start, span_end): merge overlapping/adjacent removal
+    windows into maximal spans — windows at pos p, p' overlap when
+    p' − p < window (they share tokens); the classic gaps-and-islands
+    LAG over each doc's own positions."""
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.select(id_col, "pos")
@@ -108,25 +104,50 @@ def duplicate_spans(
     ).drop("__grp")
 
 
-def remove_duplicate_spans(
+def duplicate_spans(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
     keep_first: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_end): maximal 1-based token spans covered
+    by windows whose hash repeats anywhere in the corpus (across OR
+    within documents). With ``keep_first`` the lexicographically-first
+    occurrence (min (doc id, position) per hash) is exempt — dedup
+    keeps one copy of the passage, it does not erase it from the
+    corpus."""
+    occ = _window_occurrences(df, id_col, text_col, window)
+    counts = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
+    )
+    dup = occ.join(counts.filter(F.col("n") >= 2), "h")
+    if keep_first:
+        dup = dup.filter(
+            ~(
+                (F.col(id_col) == F.col("first_occ")[id_col])
+                & (F.col("pos") == F.col("first_occ")["pos"])
+            )
+        )
+    return _merge_windows_to_spans(dup, id_col, window)
+
+
+def apply_span_removal(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
     output_col: str | None = None,
 ) -> DataFrame:
-    """Rewrite ``text_col`` (or ``output_col``) with every duplicate
-    span's tokens removed — one left join of the span sets back onto
-    the corpus, then a per-row array filter; documents with no
-    repeated spans pass through byte-identical."""
+    """Rewrite ``text_col`` (or ``output_col``) dropping the tokens
+    covered by ``spans`` (a (id, span_start, span_end) relation) —
+    one left join of the collected span sets back onto the corpus,
+    then a per-row array filter; documents with no spans pass
+    through byte-identical."""
     out_col = output_col or text_col
-    spans = (
-        duplicate_spans(df, id_col, text_col, window, keep_first)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
-        )
+    packed = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     toks = tokens_col(F.col(text_col))
     kept = F.filter(
@@ -138,10 +159,102 @@ def remove_duplicate_spans(
     )
     cleaned = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
     return (
-        df.join(spans, id_col, "left")
+        df.join(packed, id_col, "left")
         .withColumn(
             out_col,
             F.when(F.col("__spans").isNull(), F.col(text_col)).otherwise(cleaned),
         )
         .drop("__spans")
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+    keep_first: bool = True,
+    output_col: str | None = None,
+) -> DataFrame:
+    """One-shot detect + cut over a whole corpus (see
+    :func:`duplicate_spans` / :func:`apply_span_removal`)."""
+    spans = duplicate_spans(df, id_col, text_col, window, keep_first)
+    return apply_span_removal(df, spans, id_col, text_col, output_col)
+
+
+# ------------------------------------------------- incremental ingest
+
+
+def span_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> DataFrame:
+    """The persistable window-hash index of a corpus: ONE row per
+    distinct window hash — (h, first_id, first_pos), the canonical
+    occurrence future batches must not remove. Store it bucketed by
+    ``h`` so incremental probes join without reshuffling history.
+    For a corpus already ingested in batches, the index is exactly
+    the union of every batch's ``new_index_rows``."""
+    occ = _window_occurrences(df, id_col, text_col, window)
+    return occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f")
+    ).select(
+        "h", F.col(f"f.{id_col}").alias("first_id"), F.col("f.pos").alias("first_pos")
+    )
+
+
+def incremental_duplicate_spans(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Duplicate spans for an INCREMENTAL batch against all stored
+    history: returns ``(spans, new_index_rows)``.
+
+    - A batch window whose hash is in the index is a removal — UNLESS
+      it IS the index's canonical occurrence (same id and position):
+      that exemption is what makes replay idempotent, a re-ingested
+      batch does not destroy the copy the first ingest kept.
+    - A hash new to the index but repeated within the batch keeps its
+      batch-first occurrence and removes the rest.
+    - ``new_index_rows`` holds the batch-first occurrence of every
+      hash the index has not seen; append it for the next batch.
+
+    Keep-first is therefore FIRST-INGESTED order (the ingest-time
+    semantics), where the one-shot :func:`duplicate_spans` uses min
+    (id, pos) — the two agree whenever ingest order follows id order.
+    Cost: one equi-join of the batch's window hashes against the
+    hash-bucketed index — O(batch) probe, history never re-hashed."""
+    occ = _window_occurrences(batch, id_col, text_col, window)
+    batch_counts = occ.groupBy("h").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__bf"),
+    )
+    probed = occ.join(batch_counts, "h").join(
+        index.select("h", "first_id", "first_pos"), "h", "left"
+    )
+    known = F.col("first_id").isNotNull()
+    is_canonical = known & (
+        (F.col(id_col) == F.col("first_id")) & (F.col("pos") == F.col("first_pos"))
+    )
+    is_batch_first = ~known & (
+        (F.col(id_col) == F.col("__bf")[id_col])
+        & (F.col("pos") == F.col("__bf")["pos"])
+    )
+    dup = probed.filter(
+        (known & ~is_canonical) | (~known & (F.col("__n") >= 2) & ~is_batch_first)
+    )
+    spans = _merge_windows_to_spans(dup, id_col, window)
+    new_rows = (
+        batch_counts.join(index.select("h"), "h", "left_anti")
+        .select(
+            "h",
+            F.col(f"__bf.{id_col}").alias("first_id"),
+            F.col("__bf.pos").alias("first_pos"),
+        )
+    )
+    return spans, new_rows

@@ -4,6 +4,7 @@ semantics, span merging, within-doc repeats, short-doc passthrough."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops import spans
 
@@ -85,3 +86,70 @@ def test_shuffle_carries_hashes_not_text(spark, corpus):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_matches_full_when_order_follows_ids(spark, corpus):
+    """Ingest in id order → incremental keep-first == the one-shot
+    min(id, pos) rule; spans per doc identical."""
+    b1 = corpus.filter(F.col("doc_id").isin("a", "short"))
+    b2 = corpus.filter(~F.col("doc_id").isin("a", "short"))
+    s1, idx1 = spans.incremental_duplicate_spans(
+        b1, spans.span_index(b1, window=8).limit(0), window=8
+    )
+    s2, idx2 = spans.incremental_duplicate_spans(b2, idx1, window=8)
+    inc = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in s1.collect() + s2.collect()
+    }
+    full = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in spans.duplicate_spans(corpus, window=8).collect()
+    }
+    assert inc == full
+    # the union of batch index rows IS the full-corpus index
+    union_idx = {
+        (r["h"], r["first_id"], r["first_pos"])
+        for r in idx1.collect() + idx2.collect()
+    }
+    full_idx = {
+        (r["h"], r["first_id"], r["first_pos"])
+        for r in spans.span_index(corpus, window=8).collect()
+    }
+    assert union_idx == full_idx
+
+
+def test_incremental_replay_is_idempotent(spark, corpus):
+    """Re-ingesting a batch after its index rows landed must NOT flag
+    the canonical copies for removal — only the genuine duplicates."""
+    s1, idx1 = spans.incremental_duplicate_spans(
+        corpus, spans.span_index(corpus, window=8).limit(0), window=8
+    )
+    first = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in s1.collect()
+    }
+    s2, idx2 = spans.incremental_duplicate_spans(corpus, idx1, window=8)
+    replay = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in s2.collect()
+    }
+    assert replay == first  # same removals, canonical copies untouched
+    assert idx2.count() == 0  # nothing new to index
+
+
+def test_incremental_cross_batch_copy_removed(spark):
+    b1 = spark.createDataFrame(
+        [("orig", f"{_uniq('h', 3)} {PASSAGE}")], ["doc_id", "text"]
+    )
+    b2 = spark.createDataFrame(
+        [("copy", f"{PASSAGE} {_uniq('t', 5)}"), ("fresh", _uniq("f", 30))],
+        ["doc_id", "text"],
+    )
+    s1, idx1 = spans.incremental_duplicate_spans(
+        b1, spans.span_index(b1, window=8).limit(0), window=8
+    )
+    assert s1.count() == 0  # nothing duplicated yet
+    s2, _ = spans.incremental_duplicate_spans(b2, idx1, window=8)
+    found = {(r["doc_id"], r["span_start"], r["span_end"]) for r in s2.collect()}
+    assert found == {("copy", 1, 12)}
+    cleaned = spans.apply_span_removal(b2, s2, "doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in cleaned.collect()}
+    assert PASSAGE not in texts["copy"] and texts["fresh"] == _uniq("f", 30)
