@@ -490,6 +490,80 @@ def stream_incremental_dedup(
     return writer.start()
 
 
+def stream_span_dedup(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    docs_spec: TableSpec,
+    index_spec: TableSpec,
+    checkpoint_dir: str,
+    span_window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Continuous SUBSTRING-level dedup at ingest against all stored
+    history: per micro-batch, probe the warehouse-stored window-hash
+    index (textops/spans.py ``incremental_duplicate_spans``), cut the
+    duplicate spans out of the arriving documents (dropping documents
+    the cut empties), PK-upsert the cleaned documents, and append the
+    batch's novel hashes' canonical occurrences to the index.
+
+    The document-level sibling (:func:`stream_incremental_dedup`)
+    drops whole near-duplicate documents; this job removes REPEATED
+    PASSAGES (boilerplate, quoted blocks, mirrored sections) while
+    keeping the documents — the Lee et al. 2021 contract at ingest.
+
+    ``index_spec`` MUST be keyed ``(h,)``: one row per distinct
+    window hash carrying its first-ingested occurrence. Replay is
+    idempotent end to end — a re-processed batch finds its canonical
+    occurrences already in the index and exempt (same (id, pos)), so
+    the same spans are cut, the docs upsert replaces with identical
+    rows, and zero new index rows are produced."""
+    from binancedatapipeline_spark.textops.spans import (
+        apply_span_removal,
+        incremental_duplicate_spans,
+    )
+
+    if set(index_spec.primary_keys) != {"h"}:
+        raise ValueError("index_spec must be keyed (h,); see docstring")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        index = warehouse.read(index_spec)
+        spans, new_rows = incremental_duplicate_spans(
+            batch_df, index, id_col=id_col, text_col=text_col,
+            window=span_window,
+        )
+        cleaned = apply_span_removal(
+            batch_df, spans, id_col=id_col, text_col=text_col
+        ).filter(F.trim(F.col(text_col)) != "")
+        # one materialization each: both feed an upsert that would
+        # otherwise replay the hash+probe chain per consuming action
+        cleaned = cleaned.persist()
+        new_rows = new_rows.persist()
+        try:
+            n = cleaned.count()
+            if n:
+                warehouse.upsert(docs_spec, cleaned)
+            if new_rows.count():
+                warehouse.upsert(index_spec, new_rows)
+            if on_batch:
+                on_batch(batch_id, n)
+        finally:
+            cleaned.unpersist()
+            new_rows.unpersist()
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()
+
+
 def compact_dedup_index(
     warehouse: Warehouse,
     docs_spec: TableSpec,
