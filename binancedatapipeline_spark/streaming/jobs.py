@@ -588,6 +588,27 @@ def compact_dedup_index(
     )
 
 
+def compact_span_index(
+    warehouse: Warehouse,
+    docs_spec: TableSpec,
+    index_spec: TableSpec,
+    id_col: str = "doc_id",
+    min_orphan_frac: float = 0.1,
+) -> dict:
+    """Same fold for the substring-span window-hash index
+    (:func:`stream_span_dedup`): drop hash rows whose canonical
+    document no longer exists — once the content's last copy leaves
+    the corpus, a future re-appearance should be KEPT (it's novel
+    again), not cut against a phantom canonical. Run on a
+    maintenance cadence; the per-batch probe path is untouched."""
+    live = warehouse.read(docs_spec).select(
+        F.col(id_col).alias("first_id")
+    ).distinct()
+    return warehouse.prune_orphans(
+        index_spec, live, min_orphan_frac=min_orphan_frac
+    )
+
+
 def compact_vector_store(
     warehouse: Warehouse,
     docs_spec: TableSpec,

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import time
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from binancedatapipeline_spark.catalog import TableSpec
@@ -86,3 +87,40 @@ def test_cross_batch_span_dedup_and_replay(spark, tmp_path):
     docs2 = {r["doc_id"]: r["text"] for r in wh.read(DOCS_SPEC).collect()}
     assert docs2 == docs
     assert wh.read(INDEX_SPEC).count() == idx_before
+
+
+def test_compact_span_index_unsuppresses_deleted_content(spark, tmp_path):
+    """Once the passage's last copy is deleted from the corpus, the
+    compacted index treats a re-appearance as novel again."""
+    from binancedatapipeline_spark.streaming.jobs import compact_span_index
+    from binancedatapipeline_spark.textops.spans import (
+        incremental_duplicate_spans,
+        span_index,
+    )
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    doc1 = spark.createDataFrame(
+        [(1, f"{PASSAGE} {_uniq('x', 8)}")], "doc_id long, text string"
+    )
+    wh.init_table(DOCS_SPEC)
+    wh.init_table(INDEX_SPEC)
+    wh.upsert(DOCS_SPEC, doc1)
+    wh.upsert(INDEX_SPEC, span_index(doc1, window=8))
+    n_idx = wh.read(INDEX_SPEC).count()
+    assert n_idx > 0
+
+    # delete doc 1 (retention / curation drop): rewrite the table without it
+    wh.overwrite(DOCS_SPEC, wh.read(DOCS_SPEC).filter(F.col("doc_id") != 1))
+    stats = compact_span_index(wh, DOCS_SPEC, INDEX_SPEC)
+    assert stats["pruned"] and stats["orphans"] == n_idx
+    assert wh.read(INDEX_SPEC).count() == 0
+
+    # a re-appearance of the passage is novel again — no spans cut
+    doc2 = spark.createDataFrame(
+        [(2, f"{PASSAGE} {_uniq('y', 4)}")], "doc_id long, text string"
+    )
+    spans2, new_rows = incremental_duplicate_spans(
+        doc2, wh.read(INDEX_SPEC), window=8
+    )
+    assert spans2.count() == 0
+    assert new_rows.count() > 0
