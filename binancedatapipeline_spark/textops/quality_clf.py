@@ -91,7 +91,19 @@ def score_quality(
 ) -> DataFrame:
     """Add ``output_col``: P(quality) per document — a pure JVM map
     stage (hash TF → dot product → sigmoid), no shuffle, no UDF.
-    Null/empty text scores the model's intercept prior."""
+    Null/empty text scores the model's intercept prior.
+
+    The ML pipeline's working columns (``features``, ``probability``,
+    ``rawPrediction``, ``prediction``) are claimed during scoring and
+    dropped afterwards — an input that already carries a column with
+    one of those names is rejected rather than silently clobbered."""
+    reserved = {"features", "probability", "rawPrediction", "prediction"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input columns {sorted(clash)} collide with the scorer's "
+            "working columns; rename them before score_quality"
+        )
     from pyspark.ml.functions import vector_to_array
 
     text_col = text_col or model._graft_text_col

@@ -461,6 +461,13 @@ class Warehouse:
         col = spec.time_column
         if col is None:
             raise ValueError(f"table {spec.name!r} has no time column")
+        # a plain date bound cannot compare against the datetime file
+        # stats (Python raises on date<->datetime) — widen it to the
+        # day boundary matching the side it bounds
+        if isinstance(since, date) and not isinstance(since, datetime):
+            since = datetime.combine(since, datetime.min.time())
+        if isinstance(until, date) and not isinstance(until, datetime):
+            until = datetime.combine(until, datetime.max.time())
         self.recover(spec.name, rollback_uncommitted=False)
         manifest = self._load_manifest(spec.name)
         df = None

@@ -198,3 +198,16 @@ def test_no_time_column_means_no_stats_and_read_between_raises(spark, wh):
     assert "stats_column" not in m
     with pytest.raises(ValueError, match="no time column"):
         wh.read_between(spec, since=datetime(2024, 1, 1))
+
+
+def test_read_between_accepts_plain_dates(spark, wh, fixture_dir):
+    from datetime import date as _date
+
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    d = src.agg(F.max(F.to_date(spec.time_column))).first()[0]
+    assert isinstance(d, _date)
+    out = wh.read_between(spec, since=d, until=d)
+    expected = src.filter(F.to_date(spec.time_column) == F.lit(d))
+    assert out.count() == expected.count() > 0

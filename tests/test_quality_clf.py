@@ -96,3 +96,10 @@ def test_scoring_plan_is_shuffle_free(spark, model_and_eval):
         .toString()
     )
     assert "Exchange" not in plan  # pure map stage over the corpus
+
+
+def test_reserved_column_collision_rejected(spark, model_and_eval):
+    model, hold = model_and_eval
+    clash = hold.withColumn("prediction", F.lit(1.0))
+    with pytest.raises(ValueError, match="collide"):
+        quality_clf.score_quality(clash, model)
