@@ -415,6 +415,48 @@ class Warehouse:
             return spec.empty(self.spark)
         return df.select(*spec.columns)
 
+    def snapshot(self, *specs: TableSpec) -> dict:
+        """Pin a CROSS-TABLE snapshot: capture every listed table's
+        current manifest in one pass, so a multi-table computation
+        (premium = perp ⋈ spot, a backfill audit, a report) reads ONE
+        consistent version of each table even while ingestion keeps
+        publishing — the cross-table analog of the per-read isolation
+        ``read`` already has, and the parity point for the reference's
+        engine-level transactions (duckdb:1546-1594).
+
+        Validity window: a pinned version's files survive exactly one
+        further publish per table (the ``_MANIFEST.prev.json`` grace
+        cycle) before ``vacuum`` may remove them — consume the
+        snapshot within that horizon, same contract as
+        :meth:`read_prev`. The capture itself is not atomic across
+        tables (no global lock), but each hourly tick publishes each
+        table once, so a snapshot taken between ticks is exact; taken
+        mid-tick it is at worst one tick stale on the tables already
+        republished — never torn within a table."""
+        out = {}
+        for spec in specs:
+            self.recover(spec.name, rollback_uncommitted=False)
+            out[spec.name] = self._load_manifest(spec.name)
+        return out
+
+    def read_snapshot(self, spec: TableSpec, snap: dict) -> DataFrame:
+        """Read ``spec`` pinned to the version captured by
+        :meth:`snapshot` — concurrent publishes after the capture are
+        invisible. Legacy tables (no manifest at capture) fall back to
+        a live read."""
+        manifest = snap[spec.name]
+        if manifest is None:
+            return self.read(spec)
+        paths = self._manifest_files(spec.name, manifest)
+        if not paths:
+            return spec.empty(self.spark)
+        return (
+            self._reader(spec)
+            .option("basePath", self.path(spec.name))
+            .parquet(*paths)
+            .select(*spec.columns)
+        )
+
     def read_prev(self, spec: TableSpec) -> DataFrame:
         """Read the PREVIOUS committed snapshot (one version of time
         travel) — the grace manifest whose files `vacuum` keeps for

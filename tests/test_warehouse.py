@@ -701,3 +701,34 @@ def test_additive_schema_evolution_on_read(spark, wh, fixture_dir):
     assert wh.read_between(new_spec, since=None, until=None).count() == src.count()
     # the old spec keeps working against the mixed-epoch table
     assert wh.read(old_spec).count() == src.count()
+
+
+def test_cross_table_snapshot_isolation(spark, wh, fixture_dir):
+    """A multi-table computation pinned to a snapshot sees one
+    consistent version of every table, regardless of publishes that
+    land mid-computation."""
+    spot_spec, perp_spec = catalog.BN_SPOT_KLINES, catalog.BN_PERP_KLINES
+    spot = _klines(spark, fixture_dir)
+    perp = spark.read.parquet(f"{fixture_dir}/bn_perp_klines.parquet")
+    wh.overwrite(spot_spec, spot)
+    wh.overwrite(perp_spec, perp)
+
+    snap = wh.snapshot(spot_spec, perp_spec)
+
+    # concurrent ingestion publishes to BOTH tables after the capture
+    wh.upsert(spot_spec, spot.limit(50).withColumn("close", F.lit(-9.0)))
+    wh.upsert(perp_spec, perp.limit(50).withColumn("close", F.lit(-9.0)))
+
+    # live reads see the update; the snapshot does not
+    assert wh.read(spot_spec).filter(F.col("close") == -9.0).count() == 50
+    s_spot = wh.read_snapshot(spot_spec, snap)
+    s_perp = wh.read_snapshot(perp_spec, snap)
+    assert s_spot.filter(F.col("close") == -9.0).count() == 0
+    assert s_perp.filter(F.col("close") == -9.0).count() == 0
+    # and a cross-table join over the snapshot is internally consistent
+    joined = s_spot.select("symbol", "timestamp", F.col("close").alias("sc")).join(
+        s_perp.select("symbol", "timestamp", F.col("close").alias("pc")),
+        ["symbol", "timestamp"],
+    )
+    assert joined.filter((F.col("sc") == -9.0) | (F.col("pc") == -9.0)).count() == 0
+    assert joined.count() > 0
