@@ -211,3 +211,28 @@ def test_read_between_accepts_plain_dates(spark, wh, fixture_dir):
     out = wh.read_between(spec, since=d, until=d)
     expected = src.filter(F.to_date(spec.time_column) == F.lit(d))
     assert out.count() == expected.count() > 0
+
+
+def test_int96_writer_degrades_gracefully(spark, wh, fixture_dir):
+    """A writer running WITHOUT the session's TIMESTAMP_MICROS config
+    (vanilla INT96 — no footer stats for timestamps) must still
+    commit correctly: the manifest simply records no bounds for those
+    files, the watermark falls back to the scan, and read_between
+    includes them unpruned. No wrong answers, only less pruning."""
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        wh.overwrite(spec, src)
+    finally:
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+    m = _manifest(wh, spec.name)
+    rels = _live_rels(m)
+    assert rels and all(r not in m.get("stats", {}) for r in rels)
+    expected = src.agg(F.max(spec.time_column)).first()[0]
+    assert wh.latest_timestamp(spec) == expected  # scan fallback
+    since = expected.replace(hour=0, minute=0, second=0, microsecond=0)
+    out = wh.read_between(spec, since=since)
+    assert out.count() == src.filter(F.col(spec.time_column) >= since).count() > 0
