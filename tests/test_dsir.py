@@ -130,3 +130,15 @@ def test_scoring_plan_broadcasts_ratio_table(spark, corpora):
 def test_k_at_least_n_returns_everything(spark, corpora):
     raw, target = corpora
     assert dsir.dsir_select(raw, target, k=10_000, buckets=512).count() == 400
+
+
+def test_identical_target_and_raw_zero_weights(spark, corpora):
+    """target == raw → every bucket's smoothed ratio is exactly 1 →
+    all log-weights exactly 0; selection reduces to the deterministic
+    Gumbel hash sample."""
+    raw, _ = corpora
+    t = dsir.bucket_distribution(raw, buckets=512)
+    ratio, default = dsir.importance_log_ratio(t, t, buckets=512)
+    scored = dsir.score_importance(raw, ratio, default, buckets=512)
+    vals = [r["dsir_logw"] for r in scored.select("dsir_logw").collect()]
+    assert all(abs(v) < 1e-12 for v in vals)

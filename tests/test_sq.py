@@ -77,3 +77,43 @@ def test_sq_scan_is_jvm_only(spark, vectors):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sq_roundtrip_bound_property(spark):
+    """Hypothesis sweep: the half-step reconstruction bound holds for
+    arbitrary value ranges, constant dimensions and extreme scales."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    dims = 5
+
+    @given(
+        rows=st.lists(
+            st.lists(
+                st.floats(
+                    min_value=-1e6, max_value=1e6,
+                    allow_nan=False, allow_infinity=False, width=32,
+                ),
+                min_size=dims, max_size=dims,
+            ),
+            min_size=2, max_size=12,
+        )
+    )
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(rows):
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(rows)],
+            "vec_id long, embedding array<double>",
+        )
+        params = sim.train_sq_params(df)
+        mins, scales = params
+        rec = sim.sq_decode(sim.sq_encode(df, params), params, out="recon")
+        got = {r["vec_id"]: r["recon"] for r in rec.collect()}
+        for i, v in enumerate(rows):
+            for d in range(dims):
+                step = scales[d] if scales[d] > 0 else 0.0
+                tol = step / 2 + 1e-6 * max(abs(float(v[d])), 1.0)
+                assert abs(got[i][d] - float(v[d])) <= tol
+
+    run()
