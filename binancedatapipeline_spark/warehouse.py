@@ -415,6 +415,42 @@ class Warehouse:
             return spec.empty(self.spark)
         return df.select(*spec.columns)
 
+    def migrate(self, spec: TableSpec) -> int:
+        """One-shot rewrite of a table to the spec's CURRENT schema —
+        the non-additive evolution path (type widening, dropped
+        columns; additive columns need no migration, see
+        ``_read_schema``). Reads the stored files with merged footer
+        inference (the one place inference is correct: the point is
+        to accept whatever epochs are on disk), aligns to the spec
+        (null-pad + cast + reorder), and republishes through the
+        normal staged commit — crash-safe, snapshot-visible, grace
+        files kept for in-flight readers. Returns the row count."""
+        with self._writer_lock(spec.name) as fence:
+            self.recover(spec.name)
+            if not self.exists(spec.name):
+                return 0
+            manifest = self._current_manifest(spec.name)
+            paths = self._manifest_files(spec.name, manifest)
+            if not paths:
+                return 0
+            raw = (
+                self.spark.read.option("mergeSchema", "true")
+                .option("basePath", self.path(spec.name))
+                .parquet(*paths)
+            )
+            out = self._with_ds(spec, spec.align(raw))
+            n = out.count()
+            stage = self._new_stage(spec.name)
+            data = os.path.join(stage, "data")
+            writer = out.write
+            if spec.partition_date_source:
+                writer = writer.partitionBy(DS_COL)
+            writer.parquet(data)
+            moves, staged = self._staged_moves(spec.name, stage)
+            self._commit(spec.name, stage, staged, moves, None, fence,
+                         stats_column=spec.time_column)
+            return n
+
     def snapshot(self, *specs: TableSpec) -> dict:
         """Pin a CROSS-TABLE snapshot: capture every listed table's
         current manifest in one pass, so a multi-table computation

@@ -732,3 +732,34 @@ def test_cross_table_snapshot_isolation(spark, wh, fixture_dir):
     )
     assert joined.filter((F.col("sc") == -9.0) | (F.col("pc") == -9.0)).count() == 0
     assert joined.count() > 0
+
+
+def test_migrate_rewrites_to_widened_schema(spark, wh, fixture_dir):
+    """Type widening (trades_count int → long) needs the one-shot
+    rewrite; after migrate, the explicit-schema read works and
+    values survive intact."""
+    import dataclasses
+
+    from pyspark.sql import types as T
+
+    old_spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(old_spec, src)
+
+    fields = [
+        T.StructField("trades_count", T.LongType()) if f.name == "trades_count" else f
+        for f in old_spec.schema.fields
+    ]
+    new_spec = dataclasses.replace(old_spec, schema=T.StructType(fields))
+    n = wh.migrate(new_spec)
+    assert n == src.count()
+    out = wh.read(new_spec)
+    assert dict(out.dtypes)["trades_count"] == "bigint"
+    assert out.count() == src.count()
+    got = out.agg(F.sum("trades_count")).first()[0]
+    want = src.agg(F.sum("trades_count")).first()[0]
+    assert got == want
+    # stats survive the rewrite: watermark still manifest-answered
+    m = wh._load_manifest(new_spec.name)
+    rels = [r for rs in m["files"].values() for r in rs]
+    assert rels and all(r in m["stats"] for r in rels)
