@@ -97,6 +97,7 @@ from binancedatapipeline_spark.textops.quality_clf import (
     score_quality,
     train_quality_classifier,
 )
+from binancedatapipeline_spark.textops.corpus_io import read_wet
 from binancedatapipeline_spark.textops.spans import (
     apply_span_removal,
     duplicate_spans,
@@ -113,6 +114,7 @@ __all__ = [
     "quality_filter",
     "score_quality",
     "train_quality_classifier",
+    "read_wet",
     "apply_span_removal",
     "duplicate_spans",
     "incremental_duplicate_spans",
