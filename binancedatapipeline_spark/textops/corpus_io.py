@@ -71,8 +71,14 @@ def read_wet(
                 F.md5(F.col("__body").cast("binary")),
             ).alias("doc_id"),
             hdr("WARC-Target-URI").alias("url"),
-            F.to_timestamp(hdr("WARC-Date")).alias("fetch_time"),
-            hdr("Content-Length").cast("long").alias("length"),
+            # try_-variants, not cast/to_timestamp: a record missing a
+            # header yields '' from regexp_extract, and ANSI mode
+            # (Spark 4 default) makes a plain cast of '' THROW — a
+            # malformed crawl record must yield NULL, not kill the scan
+            F.try_to_timestamp(F.nullif(hdr("WARC-Date"), F.lit(""))).alias(
+                "fetch_time"
+            ),
+            hdr("Content-Length").try_cast("long").alias("length"),
             # the body carries the record separator's blank lines;
             # strip whitespace EDGES only, never interior whitespace
             # (regex, not trim() — trim strips spaces, not \r\n)

@@ -83,3 +83,24 @@ def test_read_wet_feeds_downstream_ops(spark, tmp_path):
     toks = with_tokens(docs)
     got = {r["url"]: r["n_tokens"] for r in toks.collect()}
     assert got["https://example.com/a"] == 4
+
+
+def test_malformed_headers_yield_nulls_not_errors(spark, tmp_path):
+    """A conversion record missing Content-Length/WARC-Date must not
+    kill the scan under ANSI mode — fields go NULL, text survives."""
+    from binancedatapipeline_spark.textops.corpus_io import read_wet
+
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/m\r\n"
+        "\r\n"
+        "malformed but readable body\r\n\r\n"
+    )
+    (tmp_path / "m.wet").write_bytes(rec.encode())
+    rows = read_wet(spark, str(tmp_path / "m.wet")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["text"] == "malformed but readable body"
+    assert r["fetch_time"] is None and r["length"] is None
+    assert len(r["doc_id"]) == 32  # md5 fallback
