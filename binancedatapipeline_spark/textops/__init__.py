@@ -97,7 +97,11 @@ from binancedatapipeline_spark.textops.quality_clf import (
     score_quality,
     train_quality_classifier,
 )
-from binancedatapipeline_spark.textops.corpus_io import read_wet
+from binancedatapipeline_spark.textops.corpus_io import (
+    dedup_by_url,
+    read_wet,
+    with_url_parts,
+)
 from binancedatapipeline_spark.textops.spans import (
     apply_span_removal,
     duplicate_spans,
@@ -115,6 +119,8 @@ __all__ = [
     "score_quality",
     "train_quality_classifier",
     "read_wet",
+    "dedup_by_url",
+    "with_url_parts",
     "apply_span_removal",
     "duplicate_spans",
     "incremental_duplicate_spans",

@@ -20,7 +20,7 @@ this produces.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _HDR_BODY_SPLIT = r"\r?\n\r?\n"  # first blank line ends the header block
@@ -88,3 +88,74 @@ def read_wet(
         .filter(F.length("text") >= min_length)
     )
     return out
+
+
+def with_url_parts(
+    df: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Add ``host``, ``domain`` (registrable-ish: last two labels),
+    ``path`` and ``url_canonical`` — the crawl pipeline's URL
+    normalization (RefinedWeb/CCNet run URL-level dedup before any
+    content pass). Canonicalization: lowercase scheme+host, strip the
+    fragment, drop tracking query params (utm_*, fbclid, gclid,
+    ref), drop a trailing "/" — all JVM ``parse_url``/regex, no UDF.
+
+    The two-label ``domain`` is a heuristic, not a public-suffix-list
+    lookup ("example.co.uk" → "co.uk"); for per-site grouping at
+    quality-analysis fidelity, join a real PSL table instead."""
+    u = F.col(url_col)
+    # try_parse_url: an invalid URL must yield NULL parts (and pass
+    # through canonicalization untouched), not kill the scan — crawl
+    # URL fields are adversarial input by definition
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    path = F.try_parse_url(u, F.lit("PATH"))
+    query = F.try_parse_url(u, F.lit("QUERY"))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    # drop tracking params, then any leftover leading/trailing separators
+    q_clean = F.regexp_replace(
+        F.coalesce(query, F.lit("")),
+        r"(?i)(^|&)(utm_[^=&]*|fbclid|gclid|ref)=[^&]*",
+        "",
+    )
+    q_clean = F.regexp_replace(q_clean, r"^&+|&+$", "")
+    path_norm = F.regexp_replace(F.coalesce(path, F.lit("")), r"/+$", "")
+    canonical = F.concat(
+        scheme, F.lit("://"), host, path_norm,
+        F.when(q_clean != "", F.concat(F.lit("?"), q_clean)).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return (
+        df.withColumn("host", host)
+        .withColumn("domain", domain)
+        .withColumn("path", path_norm)
+        .withColumn(
+            "url_canonical",
+            F.when(host.isNull() | (host == ""), u).otherwise(canonical),
+        )
+    )
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str | None = "fetch_time",
+) -> DataFrame:
+    """URL-level dedup: one row per canonical URL — keep the LATEST
+    fetch when ``order_col`` is given (ties broken deterministically),
+    else an arbitrary-but-deterministic min. One shuffle on the
+    canonical URL; runs before any content-level pass because it
+    needs no text comparison at all."""
+    from binancedatapipeline_spark.operators.dedup import dedup_keep_last
+
+    tmp = with_url_parts(df, url_col)
+    if order_col is not None:
+        out = dedup_keep_last(tmp, ["url_canonical"], order_col)
+    else:
+        w = Window.partitionBy("url_canonical").orderBy(F.col(url_col).asc())
+        out = (
+            tmp.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return out.drop("host", "domain", "path", "url_canonical")

@@ -104,3 +104,37 @@ def test_malformed_headers_yield_nulls_not_errors(spark, tmp_path):
     assert r["text"] == "malformed but readable body"
     assert r["fetch_time"] is None and r["length"] is None
     assert len(r["doc_id"]) == 32  # md5 fallback
+
+
+def test_url_parts_and_canonicalization(spark):
+    from binancedatapipeline_spark.textops.corpus_io import with_url_parts
+
+    rows = [
+        (1, "HTTPS://Example.COM/Path/?utm_source=x&q=1&fbclid=z#frag"),
+        (2, "https://sub.example.co.uk/a/b/"),
+        (3, "not a url"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in with_url_parts(df).collect()}
+    assert got[1]["host"] == "example.com"
+    assert got[1]["url_canonical"] == "https://example.com/Path?q=1"
+    assert got[2]["domain"] == "co.uk"  # documented two-label heuristic
+    assert got[2]["url_canonical"] == "https://sub.example.co.uk/a/b"
+    assert got[3]["url_canonical"] == "not a url"  # unparseable passes through
+
+
+def test_dedup_by_url_keeps_latest_fetch(spark):
+    from datetime import datetime
+
+    from binancedatapipeline_spark.textops.corpus_io import dedup_by_url
+
+    rows = [
+        (1, "https://example.com/a?utm_source=x", datetime(2024, 1, 1), "old"),
+        (2, "https://example.com/a/", datetime(2024, 2, 1), "new"),
+        (3, "https://example.com/b", datetime(2024, 1, 5), "other"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, fetch_time timestamp, text string")
+    out = dedup_by_url(df).collect()
+    texts = sorted(r["text"] for r in out)
+    assert texts == ["new", "other"]  # 1 and 2 collapse; latest fetch wins
+    assert sorted(df.columns) == sorted(out[0].asDict().keys())  # no helper cols leak
