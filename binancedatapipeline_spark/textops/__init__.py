@@ -78,6 +78,7 @@ from binancedatapipeline_spark.textops.recipe import (
     prepare_training_corpus,
 )
 from binancedatapipeline_spark.textops.sampling import (
+    cap_per_group,
     hash_sample,
     select_token_budget,
     shuffle_rows,
@@ -119,6 +120,7 @@ __all__ = [
     "score_quality",
     "train_quality_classifier",
     "read_wet",
+    "cap_per_group",
     "dedup_by_url",
     "with_url_parts",
     "apply_span_removal",

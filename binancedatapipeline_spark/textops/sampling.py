@@ -320,3 +320,32 @@ def select_token_budget(
         .drop("__cum")
     )
     return kept.unionByName(edge_kept)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    order_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap each group's contribution at ``max_rows`` documents — the
+    per-domain quota of crawl curation (RefinedWeb-style: no single
+    site dominates the corpus). Keeps the best ``order_col``
+    (descending — pass a quality score) per group, ties and the
+    no-score case broken by ``id_col`` so the selection is
+    deterministic and stable under re-runs. One window over the
+    group key; rows with a NULL group pass through uncapped (no
+    meaningful quota key)."""
+    from pyspark.sql import Window
+
+    order = (
+        [F.col(order_col).desc_nulls_last(), F.col(id_col).asc()]
+        if order_col is not None
+        else [F.col(id_col).asc()]
+    )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    return ranked.filter(
+        F.col(group_col).isNull() | (F.col("__rank") <= max_rows)
+    ).drop("__rank")

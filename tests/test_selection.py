@@ -103,3 +103,23 @@ def test_temperature_rates(spark):
     counts = {r["domain"]: r["count"] for r in kept.groupBy("domain").count().collect()}
     assert counts["code"] == 10  # rate 1.0 keeps everything
     assert counts["web"] < 900 * rates["web"] * 1.5
+
+
+def test_cap_per_group_quota(spark):
+    from binancedatapipeline_spark.textops.sampling import cap_per_group
+
+    rows = (
+        [(f"a{i}", "siteA", float(i)) for i in range(10)]
+        + [(f"b{i}", "siteB", 1.0) for i in range(2)]
+        + [("n0", None, 9.9)]
+    )
+    df = spark.createDataFrame(rows, "doc_id string, domain string, score double")
+    out = cap_per_group(df, "domain", max_rows=3, order_col="score")
+    got = sorted(r["doc_id"] for r in out.collect())
+    # siteA keeps its 3 best scores (a9,a8,a7); siteB under quota; null passes
+    assert got == ["a7", "a8", "a9", "b0", "b1", "n0"]
+    assert "__rank" not in out.columns
+    # deterministic without a score: lowest ids win
+    out2 = cap_per_group(df, "domain", max_rows=2)
+    got2 = sorted(r["doc_id"] for r in out2.collect())
+    assert got2 == ["a0", "a1", "b0", "b1", "n0"]
