@@ -100,7 +100,9 @@ from binancedatapipeline_spark.textops.quality_clf import (
 )
 from binancedatapipeline_spark.textops.corpus_io import (
     dedup_by_url,
+    parse_wet_records,
     read_wet,
+    read_wet_stream,
     with_url_parts,
 )
 from binancedatapipeline_spark.textops.spans import (
@@ -120,6 +122,8 @@ __all__ = [
     "score_quality",
     "train_quality_classifier",
     "read_wet",
+    "read_wet_stream",
+    "parse_wet_records",
     "cap_per_group",
     "dedup_by_url",
     "with_url_parts",

@@ -26,24 +26,16 @@ from pyspark.sql import functions as F
 _HDR_BODY_SPLIT = r"\r?\n\r?\n"  # first blank line ends the header block
 
 
-def read_wet(
-    spark: SparkSession,
-    path: str,
-    min_length: int = 1,
-    keep_headers: bool = False,
-) -> DataFrame:
-    """Read WARC/WET file(s) into (doc_id, url, fetch_time, length,
-    text) — one row per ``conversion`` record (the plain-text
-    documents); the leading ``warcinfo`` record and empty fragments
-    are dropped.
-
-    ``doc_id`` is the record's WARC-Record-ID when present (the
-    stable choice for dedup/splits), else a content hash.
-    ``keep_headers`` adds the raw header block for debugging."""
-    rec = (
-        spark.read.option("lineSep", "WARC/1.0").text(path)
+def parse_wet_records(rec: DataFrame, min_length: int = 1,
+                      keep_headers: bool = False) -> DataFrame:
+    """The shared WET parse: ``rec`` is the record-split relation
+    (one row per ``WARC/1.0`` fragment, column ``value``) from either
+    the batch or the streaming text reader — every expression below
+    is a pure per-row projection, so the same plan runs identically
+    in both modes (the package's stream≡batch discipline)."""
+    rec = rec.filter(
         # NB: Spark's trim() strips 0x20 only — newline edges need regex
-        .filter(F.length(F.regexp_replace("value", r"^\s+|\s+$", "")) > 0)
+        F.length(F.regexp_replace("value", r"^\s+|\s+$", "")) > 0
     )
     # header block = everything before the first blank line (DOTALL:
     # the block spans multiple header lines; each record fragment
@@ -56,7 +48,7 @@ def read_wet(
             F.col("__hdr"), rf"(?mi)^{name}:\s*(.*?)\s*$", 1
         )
 
-    out = (
+    return (
         rec.withColumn("__hdr", header)
         .withColumn("__body", body)
         .filter(F.lower(hdr("WARC-Type")) == "conversion")
@@ -87,7 +79,42 @@ def read_wet(
         )
         .filter(F.length("text") >= min_length)
     )
-    return out
+
+
+def read_wet(
+    spark: SparkSession,
+    path: str,
+    min_length: int = 1,
+    keep_headers: bool = False,
+) -> DataFrame:
+    """Read WARC/WET file(s) into (doc_id, url, fetch_time, length,
+    text) — one row per ``conversion`` record (the plain-text
+    documents); the leading ``warcinfo`` record and empty fragments
+    are dropped.
+
+    ``doc_id`` is the record's WARC-Record-ID when present (the
+    stable choice for dedup/splits), else a content hash.
+    ``keep_headers`` adds the raw header block for debugging."""
+    rec = spark.read.option("lineSep", "WARC/1.0").text(path)
+    return parse_wet_records(rec, min_length, keep_headers)
+
+
+def read_wet_stream(
+    spark: SparkSession,
+    path: str,
+    min_length: int = 1,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WET ingest: watch ``path`` for arriving .wet[.gz]
+    files and emit parsed documents per micro-batch — the front end
+    for ``stream_curate``/``stream_incremental_dedup``/
+    ``stream_span_dedup``. Same record split, SAME parse expressions
+    as :func:`read_wet` (one implementation, batch and stream cannot
+    drift)."""
+    reader = spark.readStream.option("lineSep", "WARC/1.0")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_wet_records(reader.text(path), min_length)
 
 
 def with_url_parts(

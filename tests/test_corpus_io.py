@@ -138,3 +138,34 @@ def test_dedup_by_url_keeps_latest_fetch(spark):
     texts = sorted(r["text"] for r in out)
     assert texts == ["new", "other"]  # 1 and 2 collapse; latest fetch wins
     assert sorted(df.columns) == sorted(out[0].asDict().keys())  # no helper cols leak
+
+
+def test_read_wet_stream_equals_batch(spark, tmp_path):
+    """The streaming reader shares the batch parse expressions — a
+    file-replayed stream emits exactly the batch rows."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        read_wet,
+        read_wet_stream,
+    )
+
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src)
+    (tmp_path / "in" / "a.wet").write_bytes(_wet_bytes())
+
+    batch = read_wet(spark, src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        read_wet_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.parquet(out_dir)
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in streamed.collect())
+    assert b == s and len(b) == 2
