@@ -101,6 +101,7 @@ from binancedatapipeline_spark.textops.quality_clf import (
 from binancedatapipeline_spark.textops.corpus_io import (
     dedup_by_url,
     parse_wet_records,
+    psl_table,
     read_wet,
     read_wet_stream,
     with_url_parts,
@@ -127,6 +128,7 @@ __all__ = [
     "cap_per_group",
     "dedup_by_url",
     "with_url_parts",
+    "psl_table",
     "apply_span_removal",
     "duplicate_spans",
     "incremental_duplicate_spans",

@@ -25,6 +25,18 @@ from pyspark.sql import functions as F
 
 _HDR_BODY_SPLIT = r"\r?\n\r?\n"  # first blank line ends the header block
 
+# The record separator is ANCHORED: the WARC spec mandates CRLF header
+# lines and a CRLF CRLF record terminator, so every record boundary in
+# a compliant file is exactly "\r\nWARC/1.0\r\n". Splitting on the bare
+# marker (round 6) tore records whose EXTRACTED TEXT contained the
+# literal "WARC/1.0" (pages about web archiving do) — extracted WET
+# text uses \n line endings, so "\nWARC/1.0\n" in a body no longer
+# matches, and the torn-tail silent text loss is gone. A body would
+# have to contain the full CRLF-framed marker to tear (i.e. embed a
+# raw WARC excerpt verbatim), which the docstring documents as the
+# residual limit of delimiter-based splitting.
+_RECORD_SEP = "\r\nWARC/1.0\r\n"
+
 
 def parse_wet_records(rec: DataFrame, min_length: int = 1,
                       keep_headers: bool = False) -> DataFrame:
@@ -38,14 +50,27 @@ def parse_wet_records(rec: DataFrame, min_length: int = 1,
         F.length(F.regexp_replace("value", r"^\s+|\s+$", "")) > 0
     )
     # header block = everything before the first blank line (DOTALL:
-    # the block spans multiple header lines; each record fragment
-    # begins with the newline that followed the split marker)
-    header = F.regexp_extract("value", rf"(?s)^(.*?){_HDR_BODY_SPLIT}", 1)
+    # the block spans multiple header lines). The anchored separator
+    # leaves the very FIRST record of a file with its leading
+    # "WARC/1.0" version line — strip it so every fragment parses
+    # identically.
+    header = F.regexp_replace(
+        F.regexp_extract("value", rf"(?s)^(.*?){_HDR_BODY_SPLIT}", 1),
+        r"^WARC/1\.0\r?\n",
+        "",
+    )
     body = F.regexp_replace("value", rf"(?s)^.*?{_HDR_BODY_SPLIT}", "")
 
     def hdr(name: str) -> F.Column:
-        return F.regexp_extract(
-            F.col("__hdr"), rf"(?mi)^{name}:\s*(.*?)\s*$", 1
+        # nullif: a MISSING header must be NULL downstream, never '' —
+        # '' is a value ('' == '' groups/joins; NULL does not), and the
+        # URL dedup pass must not collapse all URI-less records into
+        # one '' group (round-6 finding)
+        return F.nullif(
+            F.regexp_extract(
+                F.col("__hdr"), rf"(?mi)^{name}:\s*(.*?)\s*$", 1
+            ),
+            F.lit(""),
         )
 
     return (
@@ -63,13 +88,10 @@ def parse_wet_records(rec: DataFrame, min_length: int = 1,
                 F.md5(F.col("__body").cast("binary")),
             ).alias("doc_id"),
             hdr("WARC-Target-URI").alias("url"),
-            # try_-variants, not cast/to_timestamp: a record missing a
-            # header yields '' from regexp_extract, and ANSI mode
-            # (Spark 4 default) makes a plain cast of '' THROW — a
-            # malformed crawl record must yield NULL, not kill the scan
-            F.try_to_timestamp(F.nullif(hdr("WARC-Date"), F.lit(""))).alias(
-                "fetch_time"
-            ),
+            # try_-variants, not cast/to_timestamp: a malformed header
+            # value must yield NULL under ANSI mode (Spark 4 default),
+            # not kill the scan
+            F.try_to_timestamp(hdr("WARC-Date")).alias("fetch_time"),
             hdr("Content-Length").try_cast("long").alias("length"),
             # the body carries the record separator's blank lines;
             # strip whitespace EDGES only, never interior whitespace
@@ -95,7 +117,7 @@ def read_wet(
     ``doc_id`` is the record's WARC-Record-ID when present (the
     stable choice for dedup/splits), else a content hash.
     ``keep_headers`` adds the raw header block for debugging."""
-    rec = spark.read.option("lineSep", "WARC/1.0").text(path)
+    rec = spark.read.option("lineSep", _RECORD_SEP).text(path)
     return parse_wet_records(rec, min_length, keep_headers)
 
 
@@ -111,26 +133,84 @@ def read_wet_stream(
     ``stream_span_dedup``. Same record split, SAME parse expressions
     as :func:`read_wet` (one implementation, batch and stream cannot
     drift)."""
-    reader = spark.readStream.option("lineSep", "WARC/1.0")
+    reader = spark.readStream.option("lineSep", _RECORD_SEP)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return parse_wet_records(reader.text(path), min_length)
 
 
+# Curated subset of the (public) Mozilla Public Suffix List: the
+# multi-label suffixes a crawl corpus actually hits at volume. Plain
+# rules only (no wildcard/exception rules); pass a fuller table via
+# ``psl=`` for exotic ccTLD schemes. Single-label TLDs need no entry —
+# "not in the list" already means "suffix = last label".
+_PSL_MULTI_LABEL = (
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "gen.nz", "geek.nz", "maori.nz", "iwi.nz",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "org.my", "net.my", "edu.my", "gov.my",
+    "com.tr", "org.tr", "net.tr", "edu.tr", "gov.tr", "gen.tr", "web.tr",
+    "com.ar", "org.ar", "net.ar", "edu.ar", "gob.ar",
+    "com.co", "org.co", "net.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "com.ve", "com.ua", "in.ua", "kiev.ua",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "co.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.eg", "com.sa", "com.ng", "com.gh",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
+    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
+)
+
+
+def psl_table(spark: SparkSession) -> DataFrame:
+    """The bundled public-suffix dim as a DataFrame: ``suffix`` plus
+    its label count. Tiny (hundreds of rows even for the full PSL) —
+    always the broadcast side of the domain join. Swap in the complete
+    Mozilla list by building the same shape from its file."""
+    rows = [(s, s.count(".") + 1) for s in _PSL_MULTI_LABEL]
+    return spark.createDataFrame(rows, "suffix string, labels int")
+
+
 def with_url_parts(
     df: DataFrame,
     url_col: str = "url",
+    domain_mode: str = "heuristic",
+    psl: DataFrame | None = None,
 ) -> DataFrame:
-    """Add ``host``, ``domain`` (registrable-ish: last two labels),
-    ``path`` and ``url_canonical`` — the crawl pipeline's URL
-    normalization (RefinedWeb/CCNet run URL-level dedup before any
-    content pass). Canonicalization: lowercase scheme+host, strip the
-    fragment, drop tracking query params (utm_*, fbclid, gclid,
-    ref), drop a trailing "/" — all JVM ``parse_url``/regex, no UDF.
+    """Add ``host``, ``domain``, ``path`` and ``url_canonical`` — the
+    crawl pipeline's URL normalization (RefinedWeb/CCNet run URL-level
+    dedup before any content pass). Canonicalization: lowercase
+    scheme+host, strip the fragment, drop tracking query params
+    (utm_*, fbclid, gclid, ref), drop a trailing "/" — all JVM
+    ``parse_url``/regex, no UDF.
 
-    The two-label ``domain`` is a heuristic, not a public-suffix-list
-    lookup ("example.co.uk" → "co.uk"); for per-site grouping at
-    quality-analysis fidelity, join a real PSL table instead."""
+    ``domain_mode``:
+
+    * ``"heuristic"`` (default, zero-dependency): last two host labels.
+      Wrong for multi-label public suffixes ("example.co.uk" →
+      "co.uk"), which under-caps UK/AU/JP sites in per-domain caps.
+    * ``"psl"``: public-suffix-list lookup via two broadcast left
+      joins (2- and 3-label suffix candidates against the ``psl``
+      dim, default :func:`psl_table`); the registrable domain is one
+      label + the longest matching suffix, falling back to the
+      two-label rule for unlisted TLDs. No shuffle of ``df`` — both
+      joins broadcast the tiny suffix side."""
     u = F.col(url_col)
     # try_parse_url: an invalid URL must yield NULL parts (and pass
     # through canonicalization untouched), not kill the scan — crawl
@@ -151,16 +231,53 @@ def with_url_parts(
         scheme, F.lit("://"), host, path_norm,
         F.when(q_clean != "", F.concat(F.lit("?"), q_clean)).otherwise(F.lit("")),
     )
-    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return (
+    out = (
         df.withColumn("host", host)
-        .withColumn("domain", domain)
         .withColumn("path", path_norm)
         .withColumn(
             "url_canonical",
             F.when(host.isNull() | (host == ""), u).otherwise(canonical),
         )
     )
+
+    def last_labels(k: int) -> F.Column:
+        # last k dot-separated labels of host; NULL when host has
+        # fewer than k labels (nullif — '' must not become a domain)
+        return F.nullif(
+            F.regexp_extract(
+                F.col("host"), r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1), 1
+            ),
+            F.lit(""),
+        )
+
+    if domain_mode == "heuristic":
+        return out.withColumn(
+            "domain", F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
+        )
+    if domain_mode != "psl":
+        raise ValueError(f"domain_mode must be 'heuristic' or 'psl', got {domain_mode!r}")
+
+    if psl is None:
+        psl = psl_table(df.sparkSession)
+    # longest-match PSL rule via two broadcast left joins (suffix dim
+    # is tiny — no shuffle of the corpus side); registrable domain =
+    # matched suffix + one label, NULL when the host IS the suffix
+    p2 = F.broadcast(psl.filter(F.col("labels") == 2).select(F.col("suffix").alias("__psl2")))
+    p3 = F.broadcast(psl.filter(F.col("labels") == 3).select(F.col("suffix").alias("__psl3")))
+    out = (
+        out.withColumn("__s2", last_labels(2))
+        .withColumn("__s3", last_labels(3))
+        .join(p3, F.col("__s3") == F.col("__psl3"), "left")
+        .join(p2, F.col("__s2") == F.col("__psl2"), "left")
+        .withColumn(
+            "domain",
+            F.when(F.col("__psl3").isNotNull(), last_labels(4))
+            .when(F.col("__psl2").isNotNull(), last_labels(3))
+            .otherwise(F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)),
+        )
+        .drop("__s2", "__s3", "__psl2", "__psl3")
+    )
+    return out
 
 
 def dedup_by_url(
@@ -172,17 +289,27 @@ def dedup_by_url(
     fetch when ``order_col`` is given (ties broken deterministically),
     else an arbitrary-but-deterministic min. One shuffle on the
     canonical URL; runs before any content-level pass because it
-    needs no text comparison at all."""
+    needs no text comparison at all.
+
+    Rows with a NULL or empty canonical URL pass through UNDEDUPED
+    (the same discipline ``cap_per_group`` applies to NULL groups):
+    "no URL" is missing information, not a shared identity, and
+    collapsing all URI-less records to one survivor is silent corpus
+    loss (round-6 finding)."""
     from binancedatapipeline_spark.operators.dedup import dedup_keep_last
 
     tmp = with_url_parts(df, url_col)
+    no_url = F.col("url_canonical").isNull() | (F.col("url_canonical") == "")
+    passthrough = tmp.filter(no_url)
+    cand = tmp.filter(~no_url)
     if order_col is not None:
-        out = dedup_keep_last(tmp, ["url_canonical"], order_col)
+        out = dedup_keep_last(cand, ["url_canonical"], order_col)
     else:
         w = Window.partitionBy("url_canonical").orderBy(F.col(url_col).asc())
         out = (
-            tmp.withColumn("__rn", F.row_number().over(w))
+            cand.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+    out = out.unionByName(passthrough)
     return out.drop("host", "domain", "path", "url_canonical")

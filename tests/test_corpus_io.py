@@ -106,6 +106,139 @@ def test_malformed_headers_yield_nulls_not_errors(spark, tmp_path):
     assert len(r["doc_id"]) == 32  # md5 fallback
 
 
+def test_missing_uri_header_is_null_not_empty(spark, tmp_path):
+    """An absent WARC-Target-URI must surface as NULL, not '' — ''
+    is a joinable/groupable value and made dedup_by_url collapse all
+    URI-less records into one survivor (round-6 finding)."""
+    from binancedatapipeline_spark.textops.corpus_io import read_wet
+
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Date: 2024-03-01T12:30:00Z\r\n"
+        "\r\n"
+        "no uri here\r\n\r\n"
+    )
+    (tmp_path / "n.wet").write_bytes(rec.encode())
+    rows = read_wet(spark, str(tmp_path / "n.wet")).collect()
+    assert len(rows) == 1 and rows[0]["url"] is None
+
+
+def test_url_less_records_survive_dedup_by_url(spark, tmp_path):
+    """Verdict r6 #1 done-criterion: two URL-less WET records BOTH
+    survive read_wet |> dedup_by_url (no-URL is missing information,
+    not a shared identity)."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        dedup_by_url,
+        read_wet,
+    )
+
+    recs = "".join(
+        (
+            "WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            f"WARC-Date: 2024-03-01T12:3{i}:00Z\r\n"
+            "\r\n"
+            f"url-less document {i}\r\n\r\n"
+        )
+        for i in (0, 1)
+    )
+    (tmp_path / "u.wet").write_bytes(recs.encode())
+    docs = read_wet(spark, str(tmp_path / "u.wet"))
+    out = dedup_by_url(docs).collect()
+    assert sorted(r["text"] for r in out) == [
+        "url-less document 0",
+        "url-less document 1",
+    ]
+
+
+def test_dedup_by_url_null_and_empty_pass_through(spark):
+    """NULL and '' urls never collapse with each other (or among
+    themselves); real duplicate URLs still do."""
+    from datetime import datetime
+
+    from binancedatapipeline_spark.textops.corpus_io import dedup_by_url
+
+    rows = [
+        (1, None, datetime(2024, 1, 1), "null-a"),
+        (2, None, datetime(2024, 1, 2), "null-b"),
+        (3, "", datetime(2024, 1, 3), "empty-a"),
+        (4, "", datetime(2024, 1, 4), "empty-b"),
+        (5, "https://example.com/a", datetime(2024, 1, 5), "old"),
+        (6, "https://example.com/a/", datetime(2024, 1, 6), "new"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, fetch_time timestamp, text string"
+    )
+    texts = sorted(r["text"] for r in dedup_by_url(df).collect())
+    assert texts == ["empty-a", "empty-b", "new", "null-a", "null-b"]
+
+
+def test_body_containing_version_marker_round_trips(spark, tmp_path):
+    """A document whose extracted text mentions 'WARC/1.0' on its own
+    line (pages about web archiving) must NOT tear the record: the
+    separator is CRLF-anchored and extracted WET text uses \\n."""
+    from binancedatapipeline_spark.textops.corpus_io import read_wet
+
+    body = "about web archiving:\nWARC/1.0\nis the version line"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/warc\r\n"
+        "WARC-Date: 2024-03-01T12:30:00Z\r\n"
+        "\r\n"
+        f"{body}\r\n\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        "WARC-Target-URI: https://example.com/next\r\n"
+        "WARC-Date: 2024-03-01T12:31:00Z\r\n"
+        "\r\n"
+        "next record intact\r\n\r\n"
+    )
+    (tmp_path / "w.wet").write_bytes(rec.encode())
+    rows = {r["url"]: r["text"] for r in read_wet(spark, str(tmp_path / "w.wet")).collect()}
+    assert rows == {
+        "https://example.com/warc": body,
+        "https://example.com/next": "next record intact",
+    }
+
+
+def test_psl_domain_mode(spark):
+    """domain_mode='psl': registrable domain = one label + longest
+    PSL suffix; unlisted TLDs fall back to the two-label rule; a host
+    that IS a suffix has no registrable domain (NULL)."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        psl_table,
+        with_url_parts,
+    )
+
+    rows = [
+        (1, "https://sub.example.co.uk/a"),
+        (2, "https://news.example.com.au/b"),
+        (3, "https://deep.sub.example.com/c"),
+        (4, "https://co.uk/"),
+        (5, "https://example.weirdtld/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["domain"] for r in with_url_parts(df, domain_mode="psl").collect()}
+    assert got[1] == "example.co.uk"
+    assert got[2] == "example.com.au"
+    assert got[3] == "example.com"  # unlisted suffix → two-label rule
+    assert got[4] is None  # host IS the suffix: no registrable domain
+    assert got[5] == "example.weirdtld"
+
+    # a 3-label suffix via a user-supplied PSL table (longest wins
+    # over the also-present 2-label edu.au rule)
+    psl = psl_table(spark).unionByName(
+        spark.createDataFrame([("act.edu.au", 3)], "suffix string, labels int")
+    )
+    df2 = spark.createDataFrame(
+        [(1, "https://www.school.act.edu.au/x")], "doc_id long, url string"
+    )
+    (row,) = with_url_parts(df2, domain_mode="psl", psl=psl).collect()
+    assert row["domain"] == "school.act.edu.au"
+
+
 def test_url_parts_and_canonicalization(spark):
     from binancedatapipeline_spark.textops.corpus_io import with_url_parts
 
