@@ -76,6 +76,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
 from contextlib import contextmanager
 from datetime import date, datetime, timedelta
@@ -307,9 +308,26 @@ class Warehouse:
                 f,
             )
         self._held[name] = fence
+        # Lease HEARTBEAT: staleness is judged by the lock's mtime, and
+        # a legitimate writer can easily out-live the TTL mid-stage (a
+        # big maintain/migrate Spark write). Refresh the mtime from a
+        # daemon thread every ttl/3 so a LIVE writer is never stolen;
+        # a crashed one stops heartbeating and ages out as before.
+        stop = threading.Event()
+
+        def _beat() -> None:
+            while not stop.wait(max(self.lease_ttl / 3.0, 0.05)):
+                try:
+                    os.utime(lock)
+                except OSError:
+                    return  # lock gone: released or stolen; stop quietly
+        beater = threading.Thread(target=_beat, daemon=True)
+        beater.start()
         try:
             yield fence
         finally:
+            stop.set()
+            beater.join(timeout=5)
             del self._held[name]
             try:
                 os.unlink(lock)
@@ -773,13 +791,31 @@ class Warehouse:
                 except FileNotFoundError:
                     pass  # the concurrent publisher won the race; done
         os.makedirs(base, exist_ok=True)
+        # Commit-point guard: a replayer (reader-side recover) may have
+        # stalled after opening the plan while the winning publisher
+        # executed it AND committed newer transactions. Replaying the
+        # stale manifest here would REGRESS the table and the vacuum
+        # below would then delete the newer commit's files — committed
+        # data loss. The fence is monotone per table (bumped under the
+        # writer lock) and the version is a sortable tx timestamp, so
+        # "live strictly newer than plan" ⇒ this plan was already
+        # published (recover runs before every new mutation) ⇒ skip
+        # the manifest replace and the vacuum; just clear the stage.
+        live = self._load_manifest(name)
+        plan_m = plan["manifest"]
+        if live is not None and (
+            live.get("fence", 0),
+            str(live.get("version", "")),
+        ) > (plan_m.get("fence", 0), str(plan_m.get("version", ""))):
+            shutil.rmtree(stage, ignore_errors=True)
+            return
         if plan.get("prev_manifest"):
             self._write_json_atomic(
                 os.path.join(base, MANIFEST_PREV), plan["prev_manifest"]
             )
         # THE reader commit point: one atomic replace
-        self._write_json_atomic(self._manifest_path(name), plan["manifest"])
-        self._vacuum_unreferenced(name, extra_manifests=[plan["manifest"]])
+        self._write_json_atomic(self._manifest_path(name), plan_m)
+        self._vacuum_unreferenced(name, extra_manifests=[plan_m])
         shutil.rmtree(stage, ignore_errors=True)
 
     def recover(self, name: str, rollback_uncommitted: bool = True) -> int:
@@ -843,22 +879,23 @@ class Warehouse:
     ) -> int:
         """Delete data files referenced by neither the current nor the
         grace (prev) manifest nor any pending committed plan. With
-        ``full=True`` the grace set is ignored too (current only) —
-        for handing the directory to a raw-path reader. Returns the
-        number of files removed."""
+        ``full=True`` the grace manifest is dropped first (so its
+        files lose their reference) — for handing the directory to a
+        raw-path reader. Pending committed-plan references are kept in
+        EVERY mode: a plan on disk is a committed transaction whose
+        files recover() will publish, and deleting them (the round-6
+        ``vacuum --full`` after a crash mid-publish) breaks all
+        subsequent reads of the table. Returns the number of files
+        removed."""
         base = self.path(name)
         if not os.path.isdir(base) or self._load_manifest(name) is None:
             return 0
-        refs = self._referenced(name, extra_manifests or [])
         if full:
-            refs = set()
-            m = self._load_manifest(name)
-            for rels in (m or {"files": {}})["files"].values():
-                refs.update(rels)
             try:
                 os.unlink(os.path.join(base, MANIFEST_PREV))
             except FileNotFoundError:
                 pass
+        refs = self._referenced(name, extra_manifests or [])
         removed = 0
         for dirpath, dirnames, filenames in os.walk(base, topdown=False):
             for fn in filenames:
@@ -879,7 +916,13 @@ class Warehouse:
         return removed
 
     def vacuum(self, name: str, full: bool = False) -> int:
-        """Public GC entry point (see :meth:`_vacuum_unreferenced`)."""
+        """Public GC entry point (see :meth:`_vacuum_unreferenced`).
+
+        Rolls committed-but-unpublished plans FORWARD first (without
+        touching plan-less stages — those may belong to a live writer
+        mid-stage), so a vacuum run right after a crash mid-publish
+        never sees a half-applied transaction."""
+        self.recover(name, rollback_uncommitted=False)
         return self._vacuum_unreferenced(name, full=full)
 
     def prune_orphans(
