@@ -335,6 +335,12 @@ BN_EXTREME_ALERTS = _register(
                 "fundingRate": "double",
                 "fundingRate_change": "double",
                 "batch_id": "bigint",
+                # delivery flag: written False with the ledger row,
+                # flipped True after the notify succeeds — a crash
+                # between the two re-sends on the next tick instead of
+                # dropping the alert forever (NULL = legacy row,
+                # treated as sent)
+                "notified": "boolean",
             }
         ),
         kind="derived",

@@ -22,6 +22,7 @@ DataFrame or a watermarked stream.
 from __future__ import annotations
 
 from collections.abc import Callable
+from datetime import timedelta
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -166,14 +167,24 @@ def stream_extreme_alerts(
     3. anti-join detections against the alert LEDGER
        (``alerts_spec``, PK (symbol, fundingTime)): only
        never-alerted events survive;
-    4. record the new events in the ledger FIRST, then format + send
-       one alert. Ledger-before-notify makes replay produce exactly
-       ONE alert per event (the test contract); the cost is
-       at-most-once delivery in the crash window between the two —
-       the reference has the same window in reverse (it can
-       double-send), and a missed alert resurfaces on the next tick
-       only if the event re-triggers, which is the conservative side
-       for an alerting channel.
+    4. record the new events in the ledger FIRST (``notified=False``),
+       then format + send one alert, then flip the rows to
+       ``notified=True``. Ledger-before-notify makes replay produce
+       exactly ONE alert per event in the normal path (the test
+       contract); rows still ``notified=False`` at the next tick —
+       the crash window between ledger write and send — are picked up
+       and re-sent, so delivery is EFFECTIVELY-once: no double-send
+       without a crash, no alert dropped forever by one. (The
+       reference double-sends in its reverse-ordered window and drops
+       nothing; this trades at most one crash-duplicate for the same
+       no-loss guarantee.)
+
+    Scale: the detection tick never scans the premium table. The
+    horizon comes from :meth:`Warehouse.latest_timestamp` (a zero-job
+    manifest-stats read) and the history from
+    :meth:`Warehouse.read_between` (driver-side file pruning off the
+    manifest's per-file time bounds) — at 100 TB the tick reads the
+    lookback window's handful of files, not the table listing.
 
     ``notify`` is the injected transport (a
     :class:`~binancedatapipeline_spark.notifications.TelegramNotifier`
@@ -187,16 +198,21 @@ def stream_extreme_alerts(
         if not batch_df.take(1):
             return
         warehouse.upsert(premium_spec, batch_df)
-        stored = warehouse.read(premium_spec)
+        stored = None
         if detect_lookback is not None:
-            horizon = stored.agg(
-                F.max(premium_spec.time_column).alias("m")
-            ).first()["m"]
+            # zero-job watermark off the manifest stats, then a
+            # file-pruned window read — never a full table scan
+            horizon = warehouse.latest_timestamp(premium_spec)
             if horizon is not None:
-                stored = stored.filter(
-                    F.col(premium_spec.time_column)
-                    >= F.lit(horizon) - F.expr(f"interval {detect_lookback}")
+                value, unit = detect_lookback.split()
+                delta = timedelta(
+                    **{unit if unit.endswith("s") else unit + "s": int(value)}
                 )
+                stored = warehouse.read_between(
+                    premium_spec, since=horizon - delta
+                )
+        if stored is None:
+            stored = warehouse.read(premium_spec)
         events = extreme_cases(
             stored,
             perp_symbols,
@@ -205,25 +221,39 @@ def stream_extreme_alerts(
             threshold_diff=threshold_diff,
             top_n=max_alert_rows,
         ).select("symbol", "fundingTime", "fundingRate", "fundingRate_change")
-        ledger = warehouse.read(alerts_spec).select("symbol", "fundingTime")
+        ledger = warehouse.read(alerts_spec)
         fresh = events.join(
-            F.broadcast(ledger), on=["symbol", "fundingTime"], how="left_anti"
-        ).persist()
+            F.broadcast(ledger.select("symbol", "fundingTime")),
+            on=["symbol", "fundingTime"],
+            how="left_anti",
+        )
+        # crash-window repair: rows recorded last tick whose notify
+        # never happened (still False; NULL = legacy row, counts as
+        # sent) are re-sent now
+        unsent = ledger.filter(
+            ~F.coalesce(F.col("notified"), F.lit(True))
+        ).select("symbol", "fundingTime", "fundingRate", "fundingRate_change")
+        to_send = fresh.unionByName(unsent).persist()
         try:
-            if fresh.take(1):
+            if to_send.take(1):
+                stamped = to_send.withColumn(
+                    "batch_id", F.lit(batch_id).cast("long")
+                )
                 warehouse.upsert(
-                    alerts_spec,
-                    fresh.withColumn("batch_id", F.lit(batch_id).cast("long")),
+                    alerts_spec, stamped.withColumn("notified", F.lit(False))
                 )
                 notify(
                     format_alert(
                         "Extreme funding squeeze detected",
-                        fresh.orderBy(F.col("fundingTime").desc(), "symbol"),
+                        to_send.orderBy(F.col("fundingTime").desc(), "symbol"),
                         max_rows=max_alert_rows,
                     )
                 )
+                warehouse.upsert(
+                    alerts_spec, stamped.withColumn("notified", F.lit(True))
+                )
         finally:
-            fresh.unpersist()
+            to_send.unpersist()
 
     writer = premium_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

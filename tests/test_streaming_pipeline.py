@@ -539,3 +539,135 @@ def test_stream_extreme_alerts_end_to_end(spark, tmp_path):
     assert len(messages) == 1  # still exactly one alert ever
     assert wh.read(alerts_spec).count() == 1
     assert wh.read(spec).count() == 96  # premium upserts stayed idempotent
+    # normal path: the delivery flag ends True (no re-send next tick)
+    assert wh.read(alerts_spec).collect()[0]["notified"] is True
+
+
+def _premium_stream_fixture(spark, tmp_path):
+    """The planted-squeeze premium stream shared by the alert tests:
+    (source dir, perp_symbols df, expected row count)."""
+    import pandas as pd
+
+    ts = pd.date_range("2024-03-01", periods=96, freq="h").astype("datetime64[us]")
+    wma = [0.001] * 80 + [-0.02] * 16
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["AAAUSDT"] * 96,
+            "exchange": ["binance"] * 96,
+            "timestamp": ts,
+            "close_time": ts,
+            "premium": wma,
+            "wma120_premium": wma,
+        }
+    )
+    src = spark.createDataFrame(pdf)
+    stage_dir = str(tmp_path / "prem_in")
+    src.repartitionByRange(3, F.col("timestamp")).write.parquet(stage_dir)
+    onboard = pd.DataFrame(
+        {
+            "symbol": ["AAAUSDT"],
+            "onboard_date": pd.to_datetime(["2024-01-01"]).astype("datetime64[us]"),
+        }
+    )
+    return stage_dir, spark.createDataFrame(onboard), src.schema
+
+
+def test_alert_crash_between_ledger_and_notify_resends_once(spark, tmp_path):
+    """Effectively-once delivery (verdict r6 #8): kill the transport
+    between the ledger write and the send — the next tick re-sends
+    EXACTLY one alert (the notified=False pickup), and a further full
+    replay sends nothing."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from binancedatapipeline_spark.streaming.jobs import stream_extreme_alerts
+
+    spec = catalog.BN_PREMIUM
+    alerts_spec = catalog.BN_EXTREME_ALERTS
+    stage_dir, perp_symbols, schema = _premium_stream_fixture(spark, tmp_path)
+    wh = Warehouse(spark, str(tmp_path / "wh_alerts2"))
+
+    messages: list[str] = []
+    crash = {"armed": True}
+
+    def flaky_notify(msg: str) -> None:
+        if crash["armed"]:
+            crash["armed"] = False
+            raise RuntimeError("transport down")
+        messages.append(msg)
+
+    def run(ckpt: str, notify) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        q = stream_extreme_alerts(
+            stream, perp_symbols, wh, spec, alerts_spec, ckpt,
+            notify=notify, interval=2, threshold_delta=-0.006,
+            threshold_diff=1440, available_now=True,
+        )
+        q.awaitTermination(180)
+
+    with pytest.raises(StreamingQueryException, match="transport down"):
+        run(str(tmp_path / "c1"), flaky_notify)
+    ledger = wh.read(alerts_spec).collect()
+    assert len(ledger) == 1 and ledger[0]["notified"] is False  # recorded, unsent
+
+    run(str(tmp_path / "c2"), flaky_notify)  # crash disarmed
+    assert len(messages) == 1 and "AAAUSDT" in messages[0]
+    ledger = wh.read(alerts_spec).collect()
+    assert len(ledger) == 1 and ledger[0]["notified"] is True
+
+    run(str(tmp_path / "c3"), flaky_notify)  # full replay: suppressed
+    assert len(messages) == 1
+
+
+def test_alert_tick_reads_history_via_pruned_window(spark, tmp_path):
+    """Verdict r6 #3: the detect tick's premium history must come from
+    read_between (manifest file-pruned) with the horizon from
+    latest_timestamp — never a full-table read + post-filter."""
+    from binancedatapipeline_spark.streaming.jobs import stream_extreme_alerts
+    from binancedatapipeline_spark.warehouse import Warehouse as WH
+
+    spec = catalog.BN_PREMIUM
+    alerts_spec = catalog.BN_EXTREME_ALERTS
+    stage_dir, perp_symbols, schema = _premium_stream_fixture(spark, tmp_path)
+
+    window_calls: list[tuple[str, object]] = []
+    full_reads: list[str] = []
+
+    class SpyWarehouse(WH):
+        def read_between(self, spec, since=None, until=None):
+            window_calls.append((spec.name, since))
+            return super().read_between(spec, since, until)
+
+        def read(self, spec):
+            full_reads.append(spec.name)
+            return super().read(spec)
+
+    wh = SpyWarehouse(spark, str(tmp_path / "wh_alerts3"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = stream_extreme_alerts(
+        stream, perp_symbols, wh, spec, alerts_spec,
+        str(tmp_path / "c_spy"), notify=lambda m: None, interval=2,
+        threshold_delta=-0.006, threshold_diff=1440,
+        detect_lookback="2 days", available_now=True,
+    )
+    q.awaitTermination(180)
+
+    # every detection tick went through the pruned window read, with
+    # since = horizon − lookback …
+    assert [n for n, _ in window_calls] == [spec.name] * 3
+    assert all(s is not None for _, s in window_calls)
+    # … and the premium table was never read unpruned during ticks
+    assert spec.name not in full_reads
+    # the pruning is real: the 2-day window over the 4-day table lists
+    # strictly fewer files than the full table
+    last_since = window_calls[-1][1]
+    pruned = set(WH.read_between(wh, spec, since=last_since).inputFiles())
+    full = set(WH.read(wh, spec).inputFiles())
+    assert pruned and len(pruned) < len(full)
