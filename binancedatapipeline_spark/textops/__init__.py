@@ -94,6 +94,7 @@ from binancedatapipeline_spark.textops.dsir import (
     score_importance,
 )
 from binancedatapipeline_spark.textops.quality_clf import (
+    QualityClassifier,
     quality_filter,
     score_quality,
     train_quality_classifier,
@@ -122,6 +123,7 @@ __all__ = [
     "quality_filter",
     "score_quality",
     "train_quality_classifier",
+    "QualityClassifier",
     "read_wet",
     "read_wet_stream",
     "parse_wet_records",

@@ -20,13 +20,56 @@ good/bad examples); real pipelines run both.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops.analysis import tokens_col
 from binancedatapipeline_spark.textops.dedup import _shingle_array
 
 DEFAULT_FEATURES = 1 << 18
+
+
+@dataclass
+class QualityClassifier:
+    """The trained filter: the pyspark.ml LR model plus the
+    featurization it was fit with (hash width, n-gram order, text
+    column) — the parameters ``score_quality`` needs to rebuild the
+    EXACT training-time features. A bare LogisticRegressionModel
+    can't carry these through ``save()``/``load()`` (private
+    attributes don't persist), which broke the normal
+    train-once/score-many deployment; this wrapper persists both
+    halves (pyspark.ml writer for the model, a one-row JSON relation
+    for the params — both go through the Hadoop FS, so the path can
+    be local, HDFS or object storage alike)."""
+
+    model: object  # pyspark.ml LogisticRegressionModel
+    num_features: int
+    n_max: int
+    text_col: str
+
+    def save(self, path: str) -> None:
+        self.model.write().overwrite().save(f"{path}/lr")
+        spark = SparkSession.getActiveSession()
+        meta = spark.createDataFrame(
+            [(int(self.num_features), int(self.n_max), self.text_col)],
+            "num_features long, n_max int, text_col string",
+        )
+        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "QualityClassifier":
+        from pyspark.ml.classification import LogisticRegressionModel
+
+        model = LogisticRegressionModel.load(f"{path}/lr")
+        row = spark.read.json(f"{path}/meta").first()
+        return cls(
+            model=model,
+            num_features=int(row["num_features"]),
+            n_max=int(row["n_max"]),
+            text_col=row["text_col"],
+        )
 
 
 def _with_grams(df: DataFrame, text_col: str, n_max: int) -> DataFrame:
@@ -76,11 +119,11 @@ def train_quality_classifier(
         maxIter=max_iter,
     )
     model = lr.fit(tf.transform(feats))
-    # remember the featurization so scoring can't drift from training
-    model._graft_tf = tf
-    model._graft_n_max = n_max
-    model._graft_text_col = text_col
-    return model
+    # carry the featurization WITH the model so scoring can't drift
+    # from training — and so it survives save()/load()
+    return QualityClassifier(
+        model=model, num_features=num_features, n_max=n_max, text_col=text_col
+    )
 
 
 def score_quality(
@@ -104,15 +147,29 @@ def score_quality(
             f"input columns {sorted(clash)} collide with the scorer's "
             "working columns; rename them before score_quality"
         )
+    from pyspark.ml.feature import HashingTF
     from pyspark.ml.functions import vector_to_array
 
-    text_col = text_col or model._graft_text_col
+    clf = model if isinstance(model, QualityClassifier) else None
+    if clf is None:  # pre-wrapper model objects (round-6 API)
+        clf = QualityClassifier(
+            model=model,
+            num_features=model._graft_tf.getNumFeatures(),
+            n_max=model._graft_n_max,
+            text_col=model._graft_text_col,
+        )
+    text_col = text_col or clf.text_col
     feats = _with_grams(
         df.withColumn("__text", F.coalesce(F.col(text_col), F.lit(""))),
         "__text",
-        model._graft_n_max,
+        clf.n_max,
     )
-    scored = model.transform(model._graft_tf.transform(feats))
+    # HashingTF is stateless given its width — rebuilding it here is
+    # bit-identical to the training featurizer
+    tf = HashingTF(
+        inputCol="__grams", outputCol="features", numFeatures=clf.num_features
+    )
+    scored = clf.model.transform(tf.transform(feats))
     return scored.withColumn(
         output_col, vector_to_array(F.col("probability"))[1]
     ).drop(

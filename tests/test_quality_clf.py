@@ -103,3 +103,25 @@ def test_reserved_column_collision_rejected(spark, model_and_eval):
     clash = hold.withColumn("prediction", F.lit(1.0))
     with pytest.raises(ValueError, match="collide"):
         quality_clf.score_quality(clash, model)
+
+
+def test_save_load_roundtrip_scores_identically(spark, model_and_eval, tmp_path):
+    """The normal deployment is train-once/score-many: the classifier
+    must survive save()/load() (ADVICE r6 — private attributes on the
+    LR model did not) and score bit-identically afterwards."""
+    model, hold = model_and_eval
+    path = str(tmp_path / "clf")
+    model.save(path)
+    loaded = quality_clf.QualityClassifier.load(spark, path)
+    assert (loaded.num_features, loaded.n_max, loaded.text_col) == (
+        model.num_features, model.n_max, model.text_col
+    )
+    a = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_clf.score_quality(hold, model).collect()
+    }
+    b = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_clf.score_quality(hold, loaded).collect()
+    }
+    assert a == b
