@@ -10,11 +10,16 @@ loop per partition — so on a cluster the fetch scales with
 executors, with a per-task token-bucket rate limiter replacing the
 reference's @sleep_and_retry/@limits decorators (duckdb:434-440).
 
-No network IO exists in this environment, so the transport is an
-injected callable (``api_factory``); ``SyntheticBinanceApi``
-reproduces the exact wire shapes (FIXTURES.md §B): 12-element kline
-arrays with numerics-as-strings and epoch-ms ints, funding dicts
-with occasionally-empty markPrice, pageable forward from startTime.
+The transport is an injected callable (``api_factory``), with BOTH
+ends of the seam shipped: ``HttpBinanceApi`` is the production
+transport (stdlib GETs against the public api/fapi/eapi REST hosts —
+deploying for real is config, not code), and ``SyntheticBinanceApi``
+is the deterministic test/sandbox stand-in reproducing the exact
+wire shapes (FIXTURES.md §B): 12-element kline arrays with
+numerics-as-strings and epoch-ms ints, funding dicts with
+occasionally-empty markPrice, pageable forward from startTime. No
+network IO happens in CI — ``HttpBinanceApi`` is covered by a
+transport-contract test with an injected ``get``.
 
 Parsing wire → typed rows happens in Spark (``parse_kline_records``)
 with explicit casts (timestamp_millis, cast double) mirroring
@@ -210,6 +215,119 @@ class SyntheticBinanceApi:
             })
             ts += step
         return out
+
+
+def _urllib_get_json(url: str, params: dict) -> object:
+    """Default HTTP transport: stdlib GET returning parsed JSON (no
+    requests dependency — the notifier's ``_urllib_post`` pattern).
+    418/429 responses raise :class:`TransientBanError` carrying the
+    advertised retry horizon, so :func:`call_with_ban_retry` handles
+    real bans exactly like synthetic ones."""
+    import json
+    from urllib.error import HTTPError
+    from urllib.parse import urlencode
+    from urllib.request import Request, urlopen
+
+    query = urlencode({k: v for k, v in params.items() if v is not None})
+    req = Request(
+        url + (f"?{query}" if query else ""),
+        headers={"User-Agent": "binancedatapipeline-spark"},
+    )
+    try:
+        with urlopen(req, timeout=15) as resp:
+            return json.loads(resp.read().decode())
+    except HTTPError as e:
+        if e.code in (418, 429):
+            retry_s = int(e.headers.get("Retry-After") or 60)
+            raise TransientBanError(
+                int(time.time() * 1000) + retry_s * 1000
+            ) from e
+        raise
+
+
+class HttpBinanceApi:
+    """Production transport: the same method surface as
+    :class:`SyntheticBinanceApi` (the contract every distributed
+    fetcher consumes) over Binance's PUBLIC market-data endpoints
+    (api/fapi/eapi hosts, per the published REST docs — the endpoints
+    the reference's requests client calls, app/src/utils.py:171-280).
+
+    Deploying for real is therefore CONFIG, not code:
+    ``fetch_klines_distributed(..., api_factory=HttpBinanceApi)``.
+    The ``get`` callable is injectable (tests pass a canned
+    transport; no network IO happens in CI), each call runs under
+    :func:`call_with_ban_retry`, and a per-instance
+    :class:`TokenBucket` enforces the weight budget — one instance
+    per Spark task (the fetchers construct via ``api_factory`` inside
+    ``mapInPandas``), so cluster-wide pressure = tasks × bucket rate,
+    which is the knob to size against the account limit."""
+
+    BASES = {
+        "spot": "https://api.binance.com/api/v3",
+        "perp": "https://fapi.binance.com/fapi/v1",
+        "options": "https://eapi.binance.com/eapi/v1",
+    }
+
+    def __init__(
+        self,
+        market: str = "spot",
+        page_limit: int = 500,
+        get: Callable[[str, dict], object] | None = None,
+        rate_limit: tuple[int, float] | None = (1200, 60.0),
+    ):
+        if market not in self.BASES:
+            raise ValueError(f"market must be one of {sorted(self.BASES)}")
+        self.market = market
+        self.page_limit = page_limit
+        self.get = get or _urllib_get_json
+        self.bucket = TokenBucket(*rate_limit) if rate_limit else None
+
+    def _call(self, base: str, path: str, **params) -> object:
+        if self.bucket is not None:
+            self.bucket.acquire()
+        url = self.BASES[base] + path
+        return call_with_ban_retry(lambda: self.get(url, params))
+
+    def klines(self, symbol: str, interval: str, start_ms: int, end_ms: int) -> list[list]:
+        return self._call(
+            self.market, "/klines", symbol=symbol, interval=interval,
+            startTime=start_ms, endTime=end_ms, limit=self.page_limit,
+        )
+
+    def klines_tail(self, symbol: str, interval: str, start_ms: int, end_ms: int) -> list[list]:
+        # endTime without startTime = the NEWEST `limit` bars ≤ end
+        # (Binance's documented backward-pagination behavior); clamp
+        # to the window client-side to honor the contract's lower bound
+        page = self._call(
+            self.market, "/klines", symbol=symbol, interval=interval,
+            endTime=end_ms, limit=self.page_limit,
+        )
+        return [row for row in page if row[0] >= start_ms]
+
+    def funding(self, symbol: str, start_ms: int, end_ms: int) -> list[dict]:
+        return self._call(
+            "perp", "/fundingRate", symbol=symbol,
+            startTime=start_ms, endTime=end_ms, limit=self.page_limit,
+        )
+
+    def depth(self, symbol: str, limit: int = 100) -> dict:
+        return self._call("options", "/depth", symbol=symbol, limit=limit)
+
+    def mark_price(self, symbol: str) -> list[dict]:
+        return self._call("options", "/mark", symbol=symbol)
+
+    def open_interest(self, underlying: str, expiration: str) -> list[dict]:
+        return self._call(
+            "options", "/openInterest",
+            underlyingAsset=underlying, expiration=expiration,
+        )
+
+    def historical_trades(self, symbol: str, limit: int = 100,
+                          from_id: int | None = None) -> list[dict]:
+        return self._call(
+            "options", "/historicalTrades",
+            symbol=symbol, limit=min(limit, 500), fromId=from_id,
+        )
 
 
 def _symbol_fanout(

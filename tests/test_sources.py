@@ -194,3 +194,124 @@ def test_fetch_historical_trades_requested_limit_above_server_cap(spark):
     out = fetch_historical_trades_distributed(spark, ["Z-9"], page_limit=1000)
     ids = sorted(r["trade_id"] for r in out.collect())
     assert ids == list(range(260))
+
+
+class _CannedGet:
+    """Injected HTTP transport: answers HttpBinanceApi's GETs from a
+    SyntheticBinanceApi, recording every (url, params) — the
+    transport-contract seam (no sockets anywhere)."""
+
+    def __init__(self, page_limit=500, fail_first_with_ban=False):
+        from binancedatapipeline_spark.sources.binance import SyntheticBinanceApi
+
+        self.synth = SyntheticBinanceApi(page_limit=page_limit)
+        self.calls = []
+        self.fail_first_with_ban = fail_first_with_ban
+
+    def __call__(self, url, params):
+        import time as _t
+
+        from binancedatapipeline_spark.sources.binance import TransientBanError
+
+        self.calls.append((url, dict(params)))
+        if self.fail_first_with_ban and len(self.calls) == 1:
+            raise TransientBanError(int(_t.time() * 1000) - 1)  # expired ban
+        if url.endswith("/klines"):
+            start = params.get("startTime")
+            if start is None:  # endTime-only = newest `limit` bars
+                return self.synth.klines_tail(
+                    params["symbol"], params["interval"], 0, params["endTime"]
+                )
+            return self.synth.klines(
+                params["symbol"], params["interval"], start, params["endTime"]
+            )
+        if url.endswith("/fundingRate"):
+            return self.synth.funding(
+                params["symbol"], params["startTime"], params["endTime"]
+            )
+        if url.endswith("/mark"):
+            return self.synth.mark_price(params["symbol"])
+        raise AssertionError(f"unexpected endpoint {url}")
+
+
+def test_http_api_transport_contract_matches_synthetic(spark):
+    """HttpBinanceApi speaks the same method contract the distributed
+    fetchers consume: driven through an injected transport it yields
+    byte-identical rows to the SyntheticBinanceApi path, and its GETs
+    hit the right public hosts with the right params."""
+    from binancedatapipeline_spark.sources.binance import (
+        HttpBinanceApi,
+        SyntheticBinanceApi,
+        fetch_klines_distributed,
+    )
+
+    start, end = 1_700_000_000_000, 1_700_000_000_000 + 12 * 3_600_000
+    canned = _CannedGet()
+
+    # executor-side canned transport: a local closure (pickled by
+    # value) touching only package classes, so workers need no test
+    # module import
+    def canned_get(url, params):
+        from binancedatapipeline_spark.sources.binance import (
+            SyntheticBinanceApi,
+        )
+
+        assert url.endswith("/klines"), url
+        return SyntheticBinanceApi().klines(
+            params["symbol"], params["interval"],
+            params["startTime"], params["endTime"],
+        )
+
+    http_rows = sorted(
+        map(tuple, fetch_klines_distributed(
+            spark, ["AAAUSDT", "BBBUSDT"], start, end, interval="1h",
+            api_factory=lambda: HttpBinanceApi(get=canned_get, rate_limit=None),
+            parallelism=2,
+        ).collect())
+    )
+    synth_rows = sorted(
+        map(tuple, fetch_klines_distributed(
+            spark, ["AAAUSDT", "BBBUSDT"], start, end, interval="1h",
+            api_factory=SyntheticBinanceApi, parallelism=2,
+        ).collect())
+    )
+    assert http_rows == synth_rows and len(http_rows) > 0
+
+    # URL/param shape, checked driver-side on one instance
+    api = HttpBinanceApi(market="perp", get=canned, rate_limit=None)
+    api.klines("AAAUSDT", "1h", start, end)
+    api.funding("AAAUSDT", start, end)
+    api.mark_price("AAA-240101-50000-C")
+    urls = [u for u, _ in canned.calls]
+    assert urls[0] == "https://fapi.binance.com/fapi/v1/klines"
+    assert urls[1] == "https://fapi.binance.com/fapi/v1/fundingRate"
+    assert urls[2] == "https://eapi.binance.com/eapi/v1/mark"
+    assert canned.calls[0][1]["startTime"] == start
+    assert canned.calls[0][1]["limit"] == 500
+
+    # spot market routes klines to the spot host
+    spot = HttpBinanceApi(market="spot", get=canned, rate_limit=None)
+    spot.klines("AAAUSDT", "1h", start, end)
+    assert canned.calls[-1][0] == "https://api.binance.com/api/v3/klines"
+
+
+def test_http_api_ban_retry_and_tail_clamp():
+    """A 418-style ban raised by the transport is retried through
+    call_with_ban_retry; klines_tail clamps the endTime-only page to
+    the requested lower bound."""
+    from binancedatapipeline_spark.sources.binance import HttpBinanceApi
+
+    start, end = 1_700_000_000_000, 1_700_000_000_000 + 24 * 3_600_000
+    banned = _CannedGet(fail_first_with_ban=True)
+    api = HttpBinanceApi(get=banned, rate_limit=None)
+    page = api.klines("AAAUSDT", "1h", start, end)
+    assert page == banned.synth.klines("AAAUSDT", "1h", start, end)
+    assert len(page) > 0
+    assert len(banned.calls) == 2  # retried after the (expired) ban
+
+    canned = _CannedGet(page_limit=10)
+    tail_api = HttpBinanceApi(get=canned, page_limit=10, rate_limit=None)
+    tail_start = end - 3 * 3_600_000
+    tail = tail_api.klines_tail("AAAUSDT", "1h", tail_start, end)
+    assert tail == canned.synth.klines_tail("AAAUSDT", "1h", tail_start, end)
+    assert 0 < len(tail) <= 4 and all(r[0] >= tail_start for r in tail)
