@@ -43,6 +43,7 @@ from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash,
 )
+from binancedatapipeline_spark.textops.corpus_io import dedup_by_url  # noqa: E402
 from binancedatapipeline_spark.textops.decontam import contamination_hits  # noqa: E402
 from binancedatapipeline_spark.textops.packing import pack_sequences  # noqa: E402
 from binancedatapipeline_spark.textops.sampling import stable_split  # noqa: E402
@@ -1019,6 +1020,33 @@ def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60 URL canonicalization + keep-latest-fetch URL dedup
+    (textops/corpus_io.py `with_url_parts`/`dedup_by_url` — the
+    RefinedWeb/CCNet pre-content dedup pass), oracle-gated per the
+    round-6 verdict, over documents with deterministically
+    synthesized crawl URLs: mixed scheme/host case, tracking params,
+    trailing slashes — plus NULL urls, which must pass through
+    UNDEDUPED (the round-7 correctness fix)."""
+    d = F.col("doc_id")
+    url = F.when(d % 17 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(
+            F.lit("HTTPS://Site"),
+            (d % 40).cast("string"),
+            F.lit(".Example.COM/p/"),
+            (d % 200).cast("string"),
+            F.when(d % 3 == 0, F.lit("/?utm_source=x&id=1")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    fetch = F.timestamp_millis(F.lit(1_700_000_000_000) + d * 1000)
+    crawl = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), fetch.alias("fetch_time")
+    )
+    return dedup_by_url(crawl).select("doc_id", "url")
+
+
 def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer-join semantics (per-user view and error day-counts,
     users on either side retained) in ONE scan and no join: distinct
@@ -1064,6 +1092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and textops.with_fingerprint is diff-tested against hashlib in
     # tests/test_round5_fixes.py) for doc_rep_map so the
     # exact-collapse primitive behind near_dedup is oracle-gated.
+    # Round 7 swapped word_count (corpus token frequency — the same
+    # tokenize→explode→count machinery stays driver-verified through
+    # doc_token_stats and tfidf_top_terms) for dedup_by_url, so the
+    # round-6 crawl-curation family has an oracle-gated representative
+    # (including the round-7 NULL-URL passthrough fix).
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -1077,7 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_extreme": q_window_lag_extreme,
         "window_lead_gaps": q_window_lead_gaps,
         "wma20": q_wma20,
-        "word_count": q_word_count,
+        "dedup_by_url": q_dedup_by_url,
         "topk_per_group": q_topk_per_group,
         "cte_margin_shape": q_cte_margin_shape,
         "scalar_datemath": q_scalar_datemath,
@@ -1692,10 +1725,29 @@ WHERE o_totalprice > 2 * (
   WHERE i.o_orderpriority = o.o_orderpriority
 )
 """,
-        "word_count": f"""
-SELECT tok AS token, count(*) AS n
-FROM (SELECT unnest({_TOKS.replace('text', 'lower(text)')}) AS tok FROM documents)
-GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+        "dedup_by_url": """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE 'HTTPS://Site' || (doc_id % 40) || '.Example.COM/p/' || (doc_id % 200)
+                   || CASE WHEN doc_id % 3 = 0 THEN '/?utm_source=x&id=1' ELSE '' END
+         END AS url
+  FROM documents
+),
+c AS (  -- independent canonicalization: lowercase scheme+host, trailing-slash
+        -- strip, tracking-param drop (utm_source removed, id kept)
+  SELECT doc_id, url,
+         'https://site' || (doc_id % 40) || '.example.com/p/' || (doc_id % 200)
+         || CASE WHEN doc_id % 3 = 0 THEN '?id=1' ELSE '' END AS canon
+  FROM u WHERE url IS NOT NULL
+)
+SELECT doc_id, url FROM (
+  SELECT doc_id, url,
+         row_number() OVER (PARTITION BY canon ORDER BY doc_id DESC) AS rn
+  FROM c
+) WHERE rn = 1
+UNION ALL
+SELECT doc_id, url FROM u WHERE url IS NULL  -- URL-less rows pass through undeduped
 """,
         "full_outer": """
 WITH v AS (
