@@ -557,19 +557,23 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct-count per group.
 
-    Plan: one distinct + count branch PER distinct aggregate, joined
-    on the group key — not the single countDistinct(…), countDistinct(…)
-    call, whose Expand doubles every scanned row before the partial
-    aggregate (that form measured 1.05s best-of-3 vs 0.62s for this
-    one at sf0.1; it was the registry's slowest query). Each branch
-    map-side-dedups (suppkey, value) pairs before its shuffle, the
-    count-per-suppkey rides the distinct's partitioning, and the final
-    join reuses the suppkey partitioning — so the trade against Expand
-    is one extra COLUMN-PRUNED scan (2 cols each vs 3 once, ~1.33x
-    scan bytes at 100 TB) for half the aggregate pipeline and no row
-    doubling. Neither form ever materializes a per-group value set: a
-    hot supplier costs CPU, not executor memory (the collect_set
-    formulation stays banned; plan-regression-tested).
+    Plan: repartition by the GROUP KEY first, then one distinct +
+    count branch per distinct aggregate, joined on the key. The
+    up-front ``repartition(l_suppkey)`` makes every downstream
+    operator exchange-free: a distinct on (suppkey, value) is
+    satisfied by hash-partitioning on suppkey alone (same suppkey ⇒
+    same partition), so each branch collapses to a single post-shuffle
+    HashAggregate pipeline and the join rides the same partitioning.
+    Round-7 measurement at sf0.1 (7 interleaved passes): 6 stages /
+    4 jobs vs the round-6 per-branch-distinct form's 12 stages /
+    6 jobs, best 0.62s vs 0.68s, median 0.68s vs 0.73s — the win is
+    scheduler overhead, which is exactly what inflated the driver's
+    median (FLAGSHIP "count_distinct floor study"). The single
+    countDistinct(a), countDistinct(b) call stays rejected: its
+    Expand doubles every row (1.05s round-5; 0.77s median even
+    repartition-first in round 7). Nothing materializes per-group
+    value sets — a hot supplier costs CPU, not executor memory (the
+    collect_set formulation stays banned; plan-regression-tested).
 
     NULL semantics: each branch keeps null value rows THROUGH the
     distinct (so a group whose values are all NULL still yields one
@@ -580,14 +584,17 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     no outer join, no extra key scan (differential-tested against
     null-only groups in tests/test_round6_fixes.py)."""
     li = _t(spark, sf_dir, "lineitem")
+    d = li.select("l_suppkey", "l_partkey", "l_orderkey").repartition(
+        F.col("l_suppkey")
+    )
     parts = (
-        li.select("l_suppkey", "l_partkey")
+        d.select("l_suppkey", "l_partkey")
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count("l_partkey").alias("n_parts"))
     )
     orders = (
-        li.select("l_suppkey", "l_orderkey")
+        d.select("l_suppkey", "l_orderkey")
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count("l_orderkey").alias("n_orders"))

@@ -211,6 +211,7 @@ def incremental_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 50,
+    broadcast_probe: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Duplicate spans for an INCREMENTAL batch against all stored
     history: returns ``(spans, new_index_rows)``.
@@ -227,16 +228,32 @@ def incremental_duplicate_spans(
     Keep-first is therefore FIRST-INGESTED order (the ingest-time
     semantics), where the one-shot :func:`duplicate_spans` uses min
     (id, pos) — the two agree whenever ingest order follows id order.
-    Cost: one equi-join of the batch's window hashes against the
-    hash-bucketed index — O(batch) probe, history never re-hashed."""
+
+    Cost (``broadcast_probe=True``, the ingest default): the batch's
+    DISTINCT hash set is broadcast and the index streams through an
+    inner map-side join — history is SCANNED once but never
+    SHUFFLED or sorted; everything downstream joins against the
+    (batch-sized) matched set. The round-7 growth measurement is the
+    reason this is not a plain left join: at a 64M-row index the
+    shuffle-join probe took 63.5s for a 5k-doc batch where the
+    broadcast probe holds the scan-only slope (FLAGSHIP "ingest
+    growth curves"). The broadcast is one long per distinct batch
+    hash (~8 MB per 1M hashes) — for bulk REPLAYS with huge batches
+    set ``broadcast_probe=False`` to fall back to the shuffle join,
+    which is cheaper when the batch is no smaller than history."""
     occ = _window_occurrences(batch, id_col, text_col, window)
     batch_counts = occ.groupBy("h").agg(
         F.count(F.lit(1)).alias("__n"),
         F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__bf"),
     )
-    probed = occ.join(batch_counts, "h").join(
-        index.select("h", "first_id", "first_pos"), "h", "left"
-    )
+    idx = index.select("h", "first_id", "first_pos")
+    if broadcast_probe:
+        # matched ⊆ batch hash set: the only index rows the batch can
+        # touch — produced WITHOUT shuffling the index
+        idx = idx.join(F.broadcast(batch_counts.select("h")), "h")
+        probed = occ.join(batch_counts, "h").join(F.broadcast(idx), "h", "left")
+    else:
+        probed = occ.join(batch_counts, "h").join(idx, "h", "left")
     known = F.col("first_id").isNotNull()
     is_canonical = known & (
         (F.col(id_col) == F.col("first_id")) & (F.col("pos") == F.col("first_pos"))
@@ -249,8 +266,12 @@ def incremental_duplicate_spans(
         (known & ~is_canonical) | (~known & (F.col("__n") >= 2) & ~is_batch_first)
     )
     spans = _merge_windows_to_spans(dup, id_col, window)
+    # anti-join against the SAME broadcast subplan as the probe (not a
+    # re-pruned copy) so AQE serves it from a ReusedExchange — one
+    # index scan total
+    anti_side = F.broadcast(idx) if broadcast_probe else idx
     new_rows = (
-        batch_counts.join(index.select("h"), "h", "left_anti")
+        batch_counts.join(anti_side, "h", "left_anti")
         .select(
             "h",
             F.col(f"__bf.{id_col}").alias("first_id"),

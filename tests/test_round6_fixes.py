@@ -16,15 +16,19 @@ from binancedatapipeline_spark.notifications import _clip_escaped, format_alert
 
 def _count_distinct_plan(li):
     """The registry query's plan applied to an arbitrary lineitem-shaped
-    frame (the registry callable is bound to a parquet dir)."""
+    frame (the registry callable is bound to a parquet dir) — the
+    round-7 repartition-first form."""
+    d = li.select("l_suppkey", "l_partkey", "l_orderkey").repartition(
+        F.col("l_suppkey")
+    )
     parts = (
-        li.select("l_suppkey", "l_partkey")
+        d.select("l_suppkey", "l_partkey")
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count("l_partkey").alias("n_parts"))
     )
     orders = (
-        li.select("l_suppkey", "l_orderkey")
+        d.select("l_suppkey", "l_orderkey")
         .distinct()
         .groupBy("l_suppkey")
         .agg(F.count("l_orderkey").alias("n_orders"))
