@@ -78,7 +78,7 @@ import os
 import shutil
 import threading
 import uuid
-from contextlib import contextmanager
+from contextlib import ExitStack, contextmanager
 from datetime import date, datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,6 +115,7 @@ class Warehouse:
         self.writer_id = writer_id or uuid.uuid4().hex[:12]
         self.lease_ttl = lease_ttl
         self._held: dict[str, int] = {}  # table -> fence (re-entrancy)
+        self._txn: "_Transaction | None" = None
         os.makedirs(root, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -760,10 +761,27 @@ class Warehouse:
             stats.update({r: s for r, s in staged_stats.items() if r in live})
             manifest["stats_column"] = stats_column
             manifest["stats"] = stats
-        self._write_plan(
-            stage,
-            {"moves": moves, "manifest": manifest, "prev_manifest": prev},
-        )
+        plan = {"moves": moves, "manifest": manifest, "prev_manifest": prev}
+        if self._txn is not None:
+            # cross-table transaction: the plan is staged but NOT yet
+            # committed — a group plan counts as committed only once
+            # the transaction's commit record exists (see transaction())
+            if name not in self._txn.owned:
+                raise RuntimeError(
+                    "mutations inside a transaction must go through the "
+                    "transaction handle (tx.upsert/tx.overwrite)"
+                )
+            if any(n == name for n, _ in self._txn.stages):
+                raise ValueError(
+                    f"table {name!r} already mutated in this transaction; "
+                    "one mutation per table per transaction (a second "
+                    "mutation would not see the first's staged rows)"
+                )
+            plan["group"] = self._txn.group
+            self._write_plan(stage, plan)
+            self._txn.stages.append((name, stage))
+            return
+        self._write_plan(stage, plan)
         self._publish(name, stage)
 
     def _publish(self, name: str, stage: str) -> None:
@@ -828,7 +846,15 @@ class Warehouse:
         ``rollback_uncommitted=False`` — a plan-less stage there may
         be a LIVE writer mid-stage, and only the writer path (which
         holds the lease) may discard one. Returns the number of
-        transactions repaired."""
+        transactions repaired.
+
+        GROUP plans (cross-table transactions) are committed only
+        once the group's commit record exists in ``_txlog`` — a group
+        plan without its record is an aborted/in-flight transaction
+        and is treated exactly like a plan-less stage (rolled back
+        under the writer path, left alone under the reader path;
+        stages of THIS instance's live transaction are never
+        touched)."""
         sroot = self._staging_root(name)
         if not os.path.isdir(sroot):
             return 0
@@ -837,7 +863,19 @@ class Warehouse:
             stage = os.path.join(sroot, tx)
             if not os.path.isdir(stage):
                 continue
-            if os.path.exists(os.path.join(stage, "_PLAN.json")):
+            group = None
+            committed = os.path.exists(os.path.join(stage, "_PLAN.json"))
+            if committed:
+                try:
+                    with open(os.path.join(stage, "_PLAN.json")) as f:
+                        group = json.load(f).get("group")
+                except (OSError, ValueError):
+                    continue  # concurrently published+cleaned; skip
+            if group is not None:
+                if self._txn is not None and group == self._txn.group:
+                    continue  # this instance's live transaction
+                committed = os.path.exists(self._txcommit_path(group))
+            if committed:
                 self._publish(name, stage)
             elif rollback_uncommitted:
                 shutil.rmtree(stage, ignore_errors=True)
@@ -845,6 +883,109 @@ class Warehouse:
                 continue
             n += 1
         return n
+
+    # ----------------------------------------- cross-table transactions
+
+    def _txlog_dir(self) -> str:
+        d = os.path.join(self.root, "_txlog")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _txcommit_path(self, group: str) -> str:
+        return os.path.join(self._txlog_dir(), f"{group}.json")
+
+    @contextmanager
+    def transaction(self):
+        """Cross-table ATOMIC publish (the one granularity the
+        per-table protocol lacks — e.g. the premium upsert and its
+        alert-ledger write landing as one unit):
+
+            with wh.transaction() as tx:
+                tx.upsert(premium_spec, batch)
+                tx.upsert(alerts_spec, events)
+
+        Every mutation inside the block stages normally but its plan
+        carries a GROUP id and does not count as committed until the
+        group's commit record lands in ``_txlog`` (one atomic
+        write-then-replace — THE commit point). On exit: record, then
+        publish each member; on exception: every staged member is
+        discarded and nothing was ever visible. Crash anywhere:
+        before the record ⇒ all members roll back; after ⇒ recover()
+        rolls every member forward (each table's next read or
+        mutation self-heals it).
+
+        Guarantees and limits, stated precisely: this is atomic
+        DURABILITY (never a partially-committed group on disk), with
+        per-table writer leases held for the whole block (acquired at
+        first touch, sorted acquisition is the caller's concern if
+        two transactions touch overlapping table sets in opposite
+        order — each acquisition fails fast with
+        ConcurrentWriterError rather than deadlocking). It is NOT a
+        serializable multi-table READ: a live reader interleaving
+        single-table reads between two member publishes can still see
+        (new A, old B) — pin ``snapshot()`` for consistent cross-table
+        reads. One mutation per table per transaction (a second would
+        not see the first's staged rows; enforced). The reference has
+        no cross-statement transaction at all (per-statement
+        ClickHouse/DuckDB inserts, scheduler_clickhouse.py:66-117) —
+        this is beyond-parity, built because the alert loop's
+        ledger+notify pairing wants it."""
+        if self._txn is not None:
+            raise RuntimeError("transactions do not nest")
+        txn = _Transaction(self)
+        self._txn = txn
+        try:
+            yield txn
+        except BaseException:
+            self._txn = None
+            for _, stage in txn.stages:
+                shutil.rmtree(stage, ignore_errors=True)
+            txn.stack.close()
+            raise
+        self._txn = None
+        try:
+            if txn.stages:
+                record = {
+                    "group": txn.group,
+                    "stages": [
+                        [n, os.path.basename(s)] for n, s in txn.stages
+                    ],
+                }
+                # THE commit point: one atomic replace
+                self._write_json_atomic(self._txcommit_path(txn.group), record)
+                for name, stage in txn.stages:
+                    self._publish(name, stage)
+                try:
+                    os.unlink(self._txcommit_path(txn.group))
+                except FileNotFoundError:
+                    pass
+        finally:
+            txn.stack.close()
+
+    def _gc_txlog(self) -> int:
+        """Drop commit records whose member stages are all gone (a
+        crash between the last member publish and the record unlink
+        leaves one behind). Records with surviving stages are kept —
+        they are what recover() rolls forward. Cold path (vacuum)."""
+        d = self._txlog_dir()
+        removed = 0
+        for fn in os.listdir(d):
+            try:
+                with open(os.path.join(d, fn)) as f:
+                    rec = json.load(f)
+                live = any(
+                    os.path.isdir(os.path.join(self._staging_root(n), tx))
+                    for n, tx in rec.get("stages", [])
+                )
+            except (OSError, ValueError):
+                continue
+            if not live:
+                try:
+                    os.unlink(os.path.join(d, fn))
+                    removed += 1
+                except FileNotFoundError:
+                    pass
+        return removed
 
     # ----------------------------------------------------------- vacuum
 
@@ -923,6 +1064,7 @@ class Warehouse:
         mid-stage), so a vacuum run right after a crash mid-publish
         never sees a half-applied transaction."""
         self.recover(name, rollback_uncommitted=False)
+        self._gc_txlog()
         return self._vacuum_unreferenced(name, full=full)
 
     def prune_orphans(
@@ -1244,6 +1386,36 @@ class Warehouse:
                 "files_before": files_before,
                 "files_after": files_after,
             }
+
+
+class _Transaction:
+    """Handle yielded by :meth:`Warehouse.transaction`: routes
+    mutations so they stage under one atomic group commit, holding
+    each touched table's writer lease from first touch to publish."""
+
+    def __init__(self, wh: Warehouse):
+        self.wh = wh
+        self.group = (
+            datetime.now().strftime("%Y%m%d%H%M%S%f")
+            + "-"
+            + uuid.uuid4().hex[:8]
+        )
+        self.stages: list[tuple[str, str]] = []
+        self.owned: set[str] = set()
+        self.stack = ExitStack()
+
+    def _own(self, name: str) -> None:
+        if name not in self.owned:
+            self.stack.enter_context(self.wh._writer_lock(name))
+            self.owned.add(name)
+
+    def upsert(self, spec: TableSpec, updates: DataFrame, order_col: str | None = None) -> None:
+        self._own(spec.name)
+        self.wh.upsert(spec, updates, order_col)
+
+    def overwrite(self, spec: TableSpec, df: DataFrame) -> None:
+        self._own(spec.name)
+        self.wh.overwrite(spec, df)
 
 
 def _ds_key(v) -> str:

@@ -1,0 +1,159 @@
+"""Cross-table atomic publish (round 7): all-or-nothing multi-table
+transactions over the per-table WAP protocol."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark import catalog
+from binancedatapipeline_spark.warehouse import ConcurrentWriterError, Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _tables(spark, fixture_dir):
+    kl = spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+    sym = spark.read.parquet(f"{fixture_dir}/bn_spot_symbols.parquet")
+    return kl, sym
+
+
+def _staging_txs(wh, name):
+    sroot = wh._staging_root(name)
+    return sorted(os.listdir(sroot)) if os.path.isdir(sroot) else []
+
+
+def test_transaction_commits_both_tables_atomically(spark, wh, fixture_dir):
+    kl, sym = _tables(spark, fixture_dir)
+    k_spec, s_spec = catalog.BN_SPOT_KLINES, catalog.BN_SPOT_SYMBOLS
+    wh.overwrite(k_spec, kl)
+    wh.overwrite(s_spec, sym)
+
+    with wh.transaction() as tx:
+        tx.upsert(k_spec, kl.limit(60).withColumn("close", F.lit(-9.0)))
+        tx.overwrite(s_spec, sym.limit(3))
+        # nothing is visible while the transaction is open
+        assert wh.read(k_spec).filter(F.col("close") == -9.0).count() == 0
+        assert wh.read(s_spec).count() == sym.count()
+
+    assert wh.read(k_spec).filter(F.col("close") == -9.0).count() == 60
+    assert wh.read(s_spec).count() == 3
+    assert _staging_txs(wh, k_spec.name) == []
+    assert _staging_txs(wh, s_spec.name) == []
+    assert os.listdir(wh._txlog_dir()) == []  # record cleaned after publish
+
+
+def test_transaction_exception_rolls_back_everything(spark, wh, fixture_dir):
+    kl, sym = _tables(spark, fixture_dir)
+    k_spec, s_spec = catalog.BN_SPOT_KLINES, catalog.BN_SPOT_SYMBOLS
+    wh.overwrite(k_spec, kl)
+    wh.overwrite(s_spec, sym)
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with wh.transaction() as tx:
+            tx.upsert(k_spec, kl.limit(60).withColumn("close", F.lit(-9.0)))
+            tx.overwrite(s_spec, sym.limit(3))
+            raise RuntimeError("boom")
+
+    assert wh.read(k_spec).filter(F.col("close") == -9.0).count() == 0
+    assert wh.read(s_spec).count() == sym.count()
+    assert _staging_txs(wh, k_spec.name) == []
+    assert _staging_txs(wh, s_spec.name) == []
+    # the warehouse is not stuck in a transaction
+    wh.upsert(k_spec, kl.limit(5).withColumn("close", F.lit(7.0)))
+    assert wh.read(k_spec).filter(F.col("close") == 7.0).count() == 5
+
+
+def test_crash_before_commit_record_leaves_nothing_visible(
+    spark, wh, fixture_dir
+):
+    """Process death after staging but before the group commit record:
+    no member may ever become visible; the next writer-side mutation
+    sweeps the aborted stages."""
+    kl, sym = _tables(spark, fixture_dir)
+    k_spec, s_spec = catalog.BN_SPOT_KLINES, catalog.BN_SPOT_SYMBOLS
+    wh.overwrite(k_spec, kl)
+    wh.overwrite(s_spec, sym)
+
+    orig = type(wh)._write_json_atomic
+
+    def crashing(path, payload):
+        if "_txlog" in path:
+            raise RuntimeError("crash at commit point")
+        orig(wh, path, payload)
+
+    wh._write_json_atomic = crashing
+    with pytest.raises(RuntimeError, match="crash at commit point"):
+        with wh.transaction() as tx:
+            tx.upsert(k_spec, kl.limit(60).withColumn("close", F.lit(-9.0)))
+            tx.overwrite(s_spec, sym.limit(3))
+    del wh.__dict__["_write_json_atomic"]
+
+    # reads never surface the aborted group (reader-side recover skips)
+    assert wh.read(k_spec).filter(F.col("close") == -9.0).count() == 0
+    assert wh.read(s_spec).count() == sym.count()
+    # the next mutation's writer-side recover sweeps the stages
+    wh.upsert(k_spec, kl.limit(1))
+    assert _staging_txs(wh, k_spec.name) == []
+    assert wh.read(s_spec).count() == sym.count()
+
+
+def test_crash_after_commit_record_rolls_both_forward(spark, wh, fixture_dir):
+    """Process death between the commit record and the member
+    publishes: every member rolls FORWARD on the next read of its
+    table — the group is all-or-nothing on disk."""
+    kl, sym = _tables(spark, fixture_dir)
+    k_spec, s_spec = catalog.BN_SPOT_KLINES, catalog.BN_SPOT_SYMBOLS
+    wh.overwrite(k_spec, kl)
+    wh.overwrite(s_spec, sym)
+
+    def crashing(name, stage):
+        raise RuntimeError("crash mid-group-publish")
+
+    wh._publish = crashing
+    with pytest.raises(RuntimeError, match="crash mid-group-publish"):
+        with wh.transaction() as tx:
+            tx.upsert(k_spec, kl.limit(60).withColumn("close", F.lit(-9.0)))
+            tx.overwrite(s_spec, sym.limit(3))
+    del wh.__dict__["_publish"]
+    assert len(os.listdir(wh._txlog_dir())) == 1  # record survived the crash
+
+    # each table self-heals on first read
+    assert wh.read(k_spec).filter(F.col("close") == -9.0).count() == 60
+    assert wh.read(s_spec).count() == 3
+    # vacuum GCs the record once every member stage is gone
+    wh.vacuum(k_spec.name)
+    assert os.listdir(wh._txlog_dir()) == []
+
+
+def test_one_mutation_per_table_per_transaction(spark, wh, fixture_dir):
+    kl, _ = _tables(spark, fixture_dir)
+    k_spec = catalog.BN_SPOT_KLINES
+    wh.overwrite(k_spec, kl)
+    with pytest.raises(ValueError, match="already mutated"):
+        with wh.transaction() as tx:
+            tx.upsert(k_spec, kl.limit(5))
+            tx.upsert(k_spec, kl.limit(5))
+    # and the failed transaction rolled back cleanly
+    assert wh.read(k_spec).count() == kl.count()
+
+
+def test_concurrent_writer_blocked_while_transaction_holds_lease(
+    spark, wh, fixture_dir
+):
+    kl, _ = _tables(spark, fixture_dir)
+    k_spec = catalog.BN_SPOT_KLINES
+    wh.overwrite(k_spec, kl)
+    other = Warehouse(spark, wh.root)
+    with wh.transaction() as tx:
+        tx.upsert(k_spec, kl.limit(5).withColumn("close", F.lit(1.0)))
+        with pytest.raises(ConcurrentWriterError):
+            other.upsert(k_spec, kl.limit(5))
+    # released after commit
+    other.upsert(k_spec, kl.limit(5).withColumn("close", F.lit(2.0)))
+    assert wh.read(k_spec).filter(F.col("close") == 2.0).count() == 5
