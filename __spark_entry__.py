@@ -289,6 +289,26 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53 substring duplicate-span detection (Lee et al. 2021;
+    textops/spans.py `duplicate_spans`), oracle-gated per the round-6
+    verdict: maximal token spans covered by 8-token windows repeating
+    anywhere in the corpus, keep-first exemption, LAG island merge.
+    The oracle groups windows by their token STRING where Spark
+    groups by xxhash64 — identical spans unless a 64-bit collision
+    lands inside one corpus, which the driver's hash check would
+    expose."""
+    from binancedatapipeline_spark.textops.spans import duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_spans(docs, window=8)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+    )
+
+
 def q_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: deterministic keep-last dedup (latest event per
     user+type, event_id as tiebreak)."""
@@ -1103,7 +1123,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tokenize→explode→count machinery stays driver-verified through
     # doc_token_stats and tfidf_top_terms) for dedup_by_url, so the
     # round-6 crawl-curation family has an oracle-gated representative
-    # (including the round-7 NULL-URL passthrough fix).
+    # (including the round-7 NULL-URL passthrough fix); and semi_join
+    # (EXISTS — the same BroadcastHashJoin build/probe machinery as
+    # the still-registered anti_join, one join-type flag apart) for
+    # doc_duplicate_spans, gating the L53 span-dedup family. Both
+    # retired queries stay DuckDB-diff-tested verbatim in
+    # tests/test_retired_queries.py.
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -1111,7 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_theta": q_join_theta,
         "join_dims_broadcast": q_join_dims_broadcast,
         "anti_join": q_anti_join,
-        "semi_join": q_semi_join,
+        "doc_duplicate_spans": q_doc_duplicate_spans,
         "dedup_keep_last": q_dedup_keep_last,
         "scalar_subquery": q_scalar_subquery,
         "window_lag_extreme": q_window_lag_extreme,
@@ -1259,13 +1284,43 @@ WHERE NOT EXISTS (
 )
 GROUP BY c_mktsegment
 """,
-        "semi_join": """
-SELECT s_suppkey, s_name, s_nationkey
-FROM supplier s
-WHERE EXISTS (
-  SELECT 1 FROM lineitem l
-  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate >= TIMESTAMP '2001-01-01'
+        "doc_duplicate_spans": """
+WITH tok AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
+),
+win AS (  -- every 8-token window occurrence, 1-based positions
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+7], ' ') AS w
+  FROM tok, UNNEST(range(1, len(t) - 6)) AS r(i)
+  WHERE len(t) >= 8
+),
+c AS (SELECT w, count(*) AS n FROM win GROUP BY w),
+firsts AS (  -- keep-first exemption: min (doc_id, pos) per window text
+  SELECT w, doc_id AS fd, pos AS fp FROM (
+    SELECT w, doc_id, pos,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+    FROM win
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT win.doc_id, win.pos
+  FROM win JOIN c USING (w) JOIN firsts USING (w)
+  WHERE c.n >= 2 AND NOT (win.doc_id = firsts.fd AND win.pos = firsts.fp)
+),
+isl AS (  -- gaps-and-islands merge of overlapping windows
+  SELECT doc_id, pos,
+    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+          OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+         THEN 1 ELSE 0 END AS brk
+  FROM dup
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
 )
+SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+FROM grp GROUP BY doc_id, g
 """,
         "dedup_keep_last": """
 SELECT user_id, event_type, ts, event_id, round(value, 6) AS value
