@@ -295,21 +295,30 @@ def dedup_by_url(
     (the same discipline ``cap_per_group`` applies to NULL groups):
     "no URL" is missing information, not a shared identity, and
     collapsing all URI-less records to one survivor is silent corpus
-    loss (round-6 finding)."""
+    loss (round-6 finding). Implementation: URL-less rows get a
+    row-unique group key instead of being split off and unioned back
+    — one scan and one shuffle over the corpus either way, where the
+    filter+union form scans it twice (the NUL bytes in the synthetic
+    key cannot appear in a real URL)."""
     from binancedatapipeline_spark.operators.dedup import dedup_keep_last
 
     tmp = with_url_parts(df, url_col)
     no_url = F.col("url_canonical").isNull() | (F.col("url_canonical") == "")
-    passthrough = tmp.filter(no_url)
-    cand = tmp.filter(~no_url)
+    grp = F.when(
+        no_url,
+        F.concat(
+            F.lit("\x00nourl\x00"),
+            F.monotonically_increasing_id().cast("string"),
+        ),
+    ).otherwise(F.col("url_canonical"))
+    tmp = tmp.withColumn("__grp", grp)
     if order_col is not None:
-        out = dedup_keep_last(cand, ["url_canonical"], order_col)
+        out = dedup_keep_last(tmp, ["__grp"], order_col)
     else:
-        w = Window.partitionBy("url_canonical").orderBy(F.col(url_col).asc())
+        w = Window.partitionBy("__grp").orderBy(F.col(url_col).asc())
         out = (
-            cand.withColumn("__rn", F.row_number().over(w))
+            tmp.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-    out = out.unionByName(passthrough)
-    return out.drop("host", "domain", "path", "url_canonical")
+    return out.drop("host", "domain", "path", "url_canonical", "__grp")
