@@ -326,6 +326,177 @@ def sample_audio_windows(
     )
 
 
+def _mp4_box_walk(c: str, start_expr: str, end_expr: str, hops: int) -> F.Column:
+    """Bounded ISO-BMFF (MP4/MOV) box walk as one JVM ``aggregate``
+    (the RIFF/JPEG technique): boxes are [u32 size][4cc type][payload],
+    ``size==1`` reads a 64-bit largesize at +8, ``size==0`` means
+    to-end-of-enclosure. Walks the sibling chain in
+    [``start_expr``, ``end_expr``), recording the offset+end of the
+    first ``mvhd`` and counting ``trak`` boxes — one walk serves both
+    the top level (finding ``moov``) and ``moov``'s children, because
+    at top level traks simply count 0. Corrupt sizes abort to -1;
+    everything stays a per-row projection (no Python, no shuffle)."""
+    b = f"`{c}`"
+    u32 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 4)), 16, 10) as bigint)"
+    u64 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 8)), 16, 10) as bigint)"
+    typ = lambda off: f"cast(substring({b}, cast(({off}) + 4 as int), 4) as string)"
+    sz = u32("acc.off")
+    nxt = (
+        f"CASE WHEN {sz} = 0 THEN cast(({end_expr}) as bigint) "
+        f"WHEN {sz} = 1 THEN acc.off + {u64('acc.off + 8')} "
+        f"WHEN {sz} < 8 THEN cast(-1 as bigint) "
+        f"ELSE acc.off + {sz} END"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(1, {hops}),
+          named_struct('off', cast(({start_expr}) as bigint),
+                       'hit', cast(0 as bigint),
+                       'hit_end', cast(0 as bigint),
+                       'traks', cast(0 as bigint)),
+          (acc, i) -> CASE
+            WHEN acc.off <= 0 OR acc.off + 8 > cast(({end_expr}) as bigint) THEN acc
+            WHEN {typ('acc.off')} = 'mvhd' AND acc.hit = 0
+              THEN named_struct('off', {nxt}, 'hit', acc.off,
+                                'hit_end', {nxt}, 'traks', acc.traks)
+            WHEN {typ('acc.off')} = 'trak'
+              THEN named_struct('off', {nxt}, 'hit', acc.hit,
+                                'hit_end', acc.hit_end, 'traks', acc.traks + 1)
+            ELSE named_struct('off', {nxt}, 'hit', acc.hit,
+                              'hit_end', acc.hit_end, 'traks', acc.traks)
+          END,
+          acc -> acc
+        )
+        """
+    )
+
+
+def _mp4_moov_bounds(c: str, hops: int = 16) -> F.Column:
+    """(moov_off, moov_end) of the first top-level ``moov`` box, or
+    (0, 0) — moov legitimately sits before OR after a multi-GB
+    ``mdat`` (faststart vs capture order), so the walk hops over
+    either."""
+    b = f"`{c}`"
+    u32 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 4)), 16, 10) as bigint)"
+    u64 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 8)), 16, 10) as bigint)"
+    typ = lambda off: f"cast(substring({b}, cast(({off}) + 4 as int), 4) as string)"
+    sz = u32("acc.off")
+    this_end = (
+        f"CASE WHEN {sz} = 0 THEN cast(length({b}) + 1 as bigint) "
+        f"WHEN {sz} = 1 THEN acc.off + {u64('acc.off + 8')} "
+        f"ELSE acc.off + {sz} END"
+    )
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(1, {hops}),
+          named_struct('off', cast(1 as bigint),
+                       'moov', cast(0 as bigint), 'moov_end', cast(0 as bigint)),
+          (acc, i) -> CASE
+            WHEN acc.moov > 0 OR acc.off <= 0
+                 OR acc.off + 8 > length({b}) + 1 THEN acc
+            WHEN {typ('acc.off')} = 'moov'
+              THEN named_struct('off', acc.off, 'moov', acc.off,
+                                'moov_end', {this_end})
+            WHEN {sz} = 0 THEN named_struct('off', cast(-1 as bigint),
+                                            'moov', acc.moov, 'moov_end', acc.moov_end)
+            WHEN {sz} = 1 THEN named_struct('off', acc.off + {u64('acc.off + 8')},
+                                            'moov', acc.moov, 'moov_end', acc.moov_end)
+            WHEN {sz} < 8 THEN named_struct('off', cast(-1 as bigint),
+                                            'moov', acc.moov, 'moov_end', acc.moov_end)
+            ELSE named_struct('off', acc.off + {sz},
+                              'moov', acc.moov, 'moov_end', acc.moov_end)
+          END,
+          acc -> named_struct('moov', acc.moov, 'moov_end', acc.moov_end)
+        )
+        """
+    )
+
+
+def with_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Video metadata from container HEADERS — the video leg of the
+    image/audio/video metadata triple (:func:`with_image_dims` /
+    :func:`with_audio_meta`): no decode, no Python, no shuffle, so a
+    100 TB media table is filterable (``WHERE video_duration_ms
+    BETWEEN …``) before any frame ever reaches a decoder, and
+    :func:`sample_frames` gets its duration from the same projection.
+
+    Parses ISO-BMFF (MP4/MOV/3GP…): major brand from ``ftyp``, then a
+    bounded box walk to ``moov`` (before or after ``mdat``) and over
+    its children for ``mvhd`` (v0 and v1 layouts) — yielding
+    ``video_brand``, ``video_timescale``, ``video_duration_ms`` and
+    ``video_tracks``. Non-BMFF bytes are format-detected only (webm/
+    avi) or ``unknown``; truncated/corrupt boxes yield NULL fields,
+    never an error."""
+    c = content_col
+    b = f"`{c}`"
+    ftyp = F.expr(f"cast(substring({b}, 5, 4) as string)") == "ftyp"
+    magic4 = F.hex(F.expr(f"substring({b}, 1, 4)"))
+    riff_avi = (magic4 == "52494646") & (
+        F.expr(f"cast(substring({b}, 9, 4) as string)") == "AVI "
+    )
+    first_type = F.expr(f"cast(substring({b}, 5, 4) as string)")
+    bmff = ftyp | first_type.isin("moov", "mdat", "free", "skip", "wide")
+    fmt = (
+        F.when(ftyp, F.lit("mp4"))
+        .when(bmff, F.lit("mp4"))  # headerless BMFF (no ftyp)
+        .when(magic4 == "1A45DFA3", F.lit("webm"))  # EBML
+        .when(riff_avi, F.lit("avi"))
+        .otherwise(F.lit("unknown"))
+    )
+    out = df.withColumn("video_format", fmt).withColumn(
+        "video_brand",
+        F.when(ftyp, F.expr(f"cast(substring({b}, 9, 4) as string)")),
+    )
+    out = out.withColumn(
+        "__moov",
+        F.when(F.col("video_format") == "mp4", _mp4_moov_bounds(c)),
+    )
+    has_moov = F.col("__moov.moov") > 0
+    out = out.withColumn(
+        "__scan",
+        F.when(
+            has_moov,
+            _mp4_box_walk(c, "__moov.moov + 8", "__moov.moov_end", 24),
+        ),
+    )
+    mvhd_ok = F.col("__scan.hit") > 0
+    ver = F.when(mvhd_ok, _be_uint_at(c, "__scan.hit + 8", 1))
+    timescale = F.when(
+        mvhd_ok,
+        F.when(ver == 1, _be_uint_at(c, "__scan.hit + 28", 4)).otherwise(
+            _be_uint_at(c, "__scan.hit + 20", 4)
+        ),
+    )
+    duration = F.when(
+        mvhd_ok,
+        F.when(ver == 1, _be_uint_at(c, "__scan.hit + 32", 8)).otherwise(
+            _be_uint_at(c, "__scan.hit + 24", 4)
+        ),
+    )
+    return (
+        out.withColumn("video_timescale", timescale)
+        .withColumn("video_tracks", F.when(mvhd_ok, F.col("__scan.traks")))
+        .withColumn(
+            "video_duration_ms",
+            F.when(
+                mvhd_ok & (timescale > 0),
+                F.round(duration * 1000.0 / timescale).cast("long"),
+            ),
+        )
+        .drop("__moov", "__scan")
+    )
+
+
+def _be_uint_at(c: str, off_expr: str, n: int) -> F.Column:
+    """Big-endian unsigned int of ``n`` bytes at a column-computed
+    1-based offset expression."""
+    return F.expr(
+        f"cast(conv(hex(substring(`{c}`, cast(({off_expr}) as int), {n})), 16, 10) as bigint)"
+    )
+
+
 def _fake_decode(content: bytes, out_hw: tuple[int, int]) -> np.ndarray:
     """Deterministic stand-in decoder: pixels derived from a sha256
     keystream of the bytes. Same shape/dtype contract as a real

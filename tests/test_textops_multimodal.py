@@ -328,3 +328,92 @@ def test_sample_audio_windows(spark):
     # overlapping windows via hop
     hop = sample_audio_windows(media, window_ms=30_000, hop_ms=20_000).collect()
     assert len([r for r in hop if r["media_id"] == 2]) == 2  # 0 and 20k starts
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mvhd(version: int, timescale: int, duration: int) -> bytes:
+    import struct
+
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + struct.pack(">IIII", 1, 2, timescale, duration)
+    else:
+        body = bytes([1, 0, 0, 0]) + struct.pack(">QQIQ", 1, 2, timescale, duration)
+    # trailing rate/volume/matrix fields are irrelevant to the parse
+    return _box(b"mvhd", body + b"\x00" * 80)
+
+
+def _mp4(version: int, timescale: int, duration: int, n_trak: int,
+         moov_first: bool = True, brand: bytes = b"isom") -> bytes:
+    ftyp = _box(b"ftyp", brand + b"\x00\x00\x02\x00" + b"isomiso2")
+    traks = b"".join(_box(b"trak", b"\x00" * 16) for _ in range(n_trak))
+    moov = _box(b"moov", _mvhd(version, timescale, duration) + traks)
+    mdat = _box(b"mdat", b"\xab" * 500)
+    return ftyp + (moov + mdat if moov_first else mdat + moov)
+
+
+def test_video_meta_from_mp4_headers(spark):
+    """with_video_meta extracts brand/timescale/duration/tracks from
+    ISO-BMFF headers via the bounded JVM box walk — mvhd v0 and v1,
+    moov before AND after a big mdat; garbage/truncated bytes and
+    non-BMFF containers yield NULL fields, never an error."""
+    from binancedatapipeline_spark.multimodal import with_video_meta
+
+    rows = [
+        (1, bytearray(_mp4(0, 600, 1800, 2))),           # 3000 ms, 2 tracks
+        (2, bytearray(_mp4(1, 90000, 90000 * 7, 1))),    # v1, 7000 ms
+        (3, bytearray(_mp4(0, 1000, 2500, 3, moov_first=False))),  # faststart off
+        (4, bytearray(b"\x1aE\xdf\xa3" + b"\x00" * 40)),  # webm magic
+        (5, bytearray(b"not a video at all")),
+        (6, bytearray(_mp4(0, 600, 1800, 1)[:20])),       # truncated mid-ftyp
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in with_video_meta(df).collect()}
+
+    assert got[1]["video_format"] == "mp4" and got[1]["video_brand"] == "isom"
+    assert got[1]["video_timescale"] == 600
+    assert got[1]["video_duration_ms"] == 3000
+    assert got[1]["video_tracks"] == 2
+    assert got[2]["video_duration_ms"] == 7000 and got[2]["video_tracks"] == 1
+    assert got[3]["video_duration_ms"] == 2500 and got[3]["video_tracks"] == 3
+    assert got[4]["video_format"] == "webm" and got[4]["video_duration_ms"] is None
+    assert got[5]["video_format"] == "unknown"
+    for k in (5, 6, 7):
+        assert got[k]["video_duration_ms"] is None
+        assert got[k]["video_tracks"] is None
+
+
+def test_video_meta_is_python_free(spark):
+    """The box walk must stay a pure JVM projection — no BatchEvalPython /
+    ArrowEvalPython, no Exchange (the with_image_dims plan contract)."""
+    from binancedatapipeline_spark.multimodal import with_video_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4(0, 600, 600, 1)))], "media_id long, content binary"
+    )
+    plan = with_video_meta(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert "Exchange" not in plan
+
+
+def test_video_meta_feeds_frame_sampling(spark):
+    from binancedatapipeline_spark.multimodal import sample_frames, with_video_meta
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_mp4(0, 1000, 10_000, 1)))], "media_id long, content binary"
+    )
+    meta = with_video_meta(df)
+    # sample one frame per second of header-derived duration
+    frames = sample_frames(
+        meta.select(
+            "media_id",
+            (F.col("video_duration_ms") / 1000).cast("int").alias("n_frames"),
+        ),
+        every_n=1,
+    )
+    assert frames.count() == 10
