@@ -157,3 +157,98 @@ def test_concurrent_writer_blocked_while_transaction_holds_lease(
     # released after commit
     other.upsert(k_spec, kl.limit(5).withColumn("close", F.lit(2.0)))
     assert wh.read(k_spec).filter(F.col("close") == 2.0).count() == 5
+
+
+def test_txn_crash_point_sweep_all_or_nothing(spark, tmp_path, fixture_dir):
+    """Exhaustive crash-point sweep over the TRANSACTION commit
+    sequence (the single-table sweep's discipline, lifted to groups):
+    kill the writer at every boundary — the _txlog record write, every
+    member file move, every manifest write — recover, and assert the
+    pair of tables is EITHER fully old or fully new, matching whether
+    the commit record landed. No crash point may yield a mixed state."""
+    k_spec, s_spec = catalog.BN_SPOT_KLINES, catalog.BN_SPOT_SYMBOLS
+    kl = spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+    sym = spark.read.parquet(f"{fixture_dir}/bn_spot_symbols.parquet")
+    batch = kl.filter(
+        F.to_date("timestamp").isin("2024-01-15", "2024-01-16")
+    ).withColumn("close", F.lit(-9.0))
+
+    def outcome(w):
+        k = w.read(k_spec)
+        return (
+            k.count(),
+            k.filter(F.col("close") == -9.0).count(),
+            w.read(s_spec).count(),
+        )
+
+    def run_txn(w):
+        with w.transaction() as tx:
+            tx.upsert(k_spec, batch)
+            tx.overwrite(s_spec, sym.limit(3))
+
+    # the two consistent outcomes
+    ref = Warehouse(spark, str(tmp_path / "ref"))
+    ref.overwrite(k_spec, kl)
+    ref.overwrite(s_spec, sym)
+    OLD = outcome(ref)
+    run_txn(ref)
+    NEW = outcome(ref)
+    assert OLD != NEW and NEW[1] == batch.count()
+
+    orig_rename = type(ref)._rename
+    orig_json = type(ref)._write_json_atomic
+
+    def instrument(w, counter, crash_at):
+        def c_rename(src_p, dst_p):
+            if counter["n"] >= crash_at:
+                raise RuntimeError(f"crash at op {crash_at}")
+            counter["n"] += 1
+            orig_rename(w, src_p, dst_p)
+
+        def c_json(path, payload):
+            base = os.path.basename(path)
+            if base.startswith("_MANIFEST") or "_txlog" in path:
+                if counter["n"] >= crash_at:
+                    raise RuntimeError(f"crash at op {crash_at}")
+                counter["n"] += 1
+            orig_json(w, path, payload)
+
+        w._rename = c_rename
+        w._write_json_atomic = c_json
+
+    # count commit-sequence ops on a clean run
+    probe = Warehouse(spark, str(tmp_path / "probe"))
+    probe.overwrite(k_spec, kl)
+    probe.overwrite(s_spec, sym)
+    counter = {"n": 0}
+    instrument(probe, counter, 10**9)
+    run_txn(probe)
+    del probe.__dict__["_rename"], probe.__dict__["_write_json_atomic"]
+    n_ops = counter["n"]
+    assert n_ops >= 6  # record + per-member moves & manifests
+
+    for crash_at in range(n_ops + 1):
+        w = Warehouse(spark, str(tmp_path / f"sweep{crash_at}"))
+        w.overwrite(k_spec, kl)
+        w.overwrite(s_spec, sym)
+        counter = {"n": 0}
+        instrument(w, counter, crash_at)
+        if crash_at < n_ops:
+            with pytest.raises(RuntimeError, match=f"crash at op {crash_at}"):
+                run_txn(w)
+        else:
+            run_txn(w)
+        del w.__dict__["_rename"], w.__dict__["_write_json_atomic"]
+        committed = bool(os.listdir(w._txlog_dir())) or crash_at >= n_ops
+        w.recover(k_spec.name)
+        w.recover(s_spec.name)
+        got = outcome(w)
+        want = NEW if committed else OLD
+        assert got == want, (
+            f"crash at op {crash_at}: got {got}, want {want} "
+            f"(committed={committed})"
+        )
+        assert _staging_txs(w, k_spec.name) == []
+        assert _staging_txs(w, s_spec.name) == []
+        w.vacuum(k_spec.name)
+        assert os.listdir(w._txlog_dir()) == []
