@@ -38,3 +38,31 @@ def minutes_between(start: Column, end: Column) -> Column:
 def tz_display(col: Column | str, tz: str = "Asia/Shanghai") -> Column:
     """UTC-naive timestamp shifted for display (duckdb:1762)."""
     return F.from_utc_timestamp(F.col(col) if isinstance(col, str) else col, tz)
+
+
+def parse_duration(text: str):
+    """``"60 days"`` / ``"1 day 12 hours"`` → ``datetime.timedelta``,
+    or None when any unit is not timedelta-expressible (months/years
+    have no fixed length — callers needing those fall back to a
+    Spark-side ``interval`` expression). Accepts the unit vocabulary
+    of Spark's day-time intervals, singular or plural."""
+    from datetime import timedelta
+
+    parts = text.split()
+    if len(parts) < 2 or len(parts) % 2:
+        return None
+    kwargs: dict[str, float] = {}
+    for value, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.lower()
+        if not unit.endswith("s"):
+            unit += "s"
+        if unit not in {
+            "weeks", "days", "hours", "minutes", "seconds",
+            "milliseconds", "microseconds",
+        }:
+            return None
+        try:
+            kwargs[unit] = kwargs.get(unit, 0.0) + float(value)
+        except ValueError:
+            return None
+    return timedelta(**kwargs)

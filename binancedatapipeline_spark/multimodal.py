@@ -326,15 +326,17 @@ def sample_audio_windows(
     )
 
 
-def _mp4_box_walk(c: str, start_expr: str, end_expr: str, hops: int) -> F.Column:
+def _mp4_box_walk(
+    c: str, start_expr: str, end_expr: str, hops: int, target: str = "mvhd"
+) -> F.Column:
     """Bounded ISO-BMFF (MP4/MOV) box walk as one JVM ``aggregate``
     (the RIFF/JPEG technique): boxes are [u32 size][4cc type][payload],
     ``size==1`` reads a 64-bit largesize at +8, ``size==0`` means
     to-end-of-enclosure. Walks the sibling chain in
-    [``start_expr``, ``end_expr``), recording the offset+end of the
-    first ``mvhd`` and counting ``trak`` boxes — one walk serves both
-    the top level (finding ``moov``) and ``moov``'s children, because
-    at top level traks simply count 0. Corrupt sizes abort to -1;
+    [``start_expr``, ``end_expr``), recording the offset and end of
+    the first ``target`` box and counting ``trak`` boxes — ONE walker
+    serves both levels (top level: target ``moov``, traks count 0;
+    inside moov: target ``mvhd``). Corrupt sizes abort to -1;
     everything stays a per-row projection (no Python, no shuffle)."""
     b = f"`{c}`"
     u32 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 4)), 16, 10) as bigint)"
@@ -357,7 +359,7 @@ def _mp4_box_walk(c: str, start_expr: str, end_expr: str, hops: int) -> F.Column
                        'traks', cast(0 as bigint)),
           (acc, i) -> CASE
             WHEN acc.off <= 0 OR acc.off + 8 > cast(({end_expr}) as bigint) THEN acc
-            WHEN {typ('acc.off')} = 'mvhd' AND acc.hit = 0
+            WHEN {typ('acc.off')} = '{target}' AND acc.hit = 0
               THEN named_struct('off', {nxt}, 'hit', acc.off,
                                 'hit_end', {nxt}, 'traks', acc.traks)
             WHEN {typ('acc.off')} = 'trak'
@@ -373,44 +375,13 @@ def _mp4_box_walk(c: str, start_expr: str, end_expr: str, hops: int) -> F.Column
 
 
 def _mp4_moov_bounds(c: str, hops: int = 16) -> F.Column:
-    """(moov_off, moov_end) of the first top-level ``moov`` box, or
+    """(moov, moov_end) of the first TOP-LEVEL ``moov`` box, or
     (0, 0) — moov legitimately sits before OR after a multi-GB
     ``mdat`` (faststart vs capture order), so the walk hops over
-    either."""
-    b = f"`{c}`"
-    u32 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 4)), 16, 10) as bigint)"
-    u64 = lambda off: f"cast(conv(hex(substring({b}, cast(({off}) as int), 8)), 16, 10) as bigint)"
-    typ = lambda off: f"cast(substring({b}, cast(({off}) + 4 as int), 4) as string)"
-    sz = u32("acc.off")
-    this_end = (
-        f"CASE WHEN {sz} = 0 THEN cast(length({b}) + 1 as bigint) "
-        f"WHEN {sz} = 1 THEN acc.off + {u64('acc.off + 8')} "
-        f"ELSE acc.off + {sz} END"
-    )
-    return F.expr(
-        f"""
-        aggregate(
-          sequence(1, {hops}),
-          named_struct('off', cast(1 as bigint),
-                       'moov', cast(0 as bigint), 'moov_end', cast(0 as bigint)),
-          (acc, i) -> CASE
-            WHEN acc.moov > 0 OR acc.off <= 0
-                 OR acc.off + 8 > length({b}) + 1 THEN acc
-            WHEN {typ('acc.off')} = 'moov'
-              THEN named_struct('off', acc.off, 'moov', acc.off,
-                                'moov_end', {this_end})
-            WHEN {sz} = 0 THEN named_struct('off', cast(-1 as bigint),
-                                            'moov', acc.moov, 'moov_end', acc.moov_end)
-            WHEN {sz} = 1 THEN named_struct('off', acc.off + {u64('acc.off + 8')},
-                                            'moov', acc.moov, 'moov_end', acc.moov_end)
-            WHEN {sz} < 8 THEN named_struct('off', cast(-1 as bigint),
-                                            'moov', acc.moov, 'moov_end', acc.moov_end)
-            ELSE named_struct('off', acc.off + {sz},
-                              'moov', acc.moov, 'moov_end', acc.moov_end)
-          END,
-          acc -> named_struct('moov', acc.moov, 'moov_end', acc.moov_end)
-        )
-        """
+    either. Same walker as the child scan, targeted at ``moov``."""
+    walk = _mp4_box_walk(c, "1", f"length(`{c}`) + 1", hops, target="moov")
+    return F.struct(
+        walk["hit"].alias("moov"), walk["hit_end"].alias("moov_end")
     )
 
 
@@ -461,7 +432,12 @@ def with_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
             _mp4_box_walk(c, "__moov.moov + 8", "__moov.moov_end", 24),
         ),
     )
-    mvhd_ok = F.col("__scan.hit") > 0
+    # a file truncated INSIDE the mvhd payload must yield NULLs, not a
+    # partial-byte garbage integer: require the declared mvhd box to
+    # lie fully within the bytes we actually have
+    mvhd_ok = (F.col("__scan.hit") > 0) & (
+        F.col("__scan.hit_end") <= F.length(F.col(c)) + 1
+    )
     ver = F.when(mvhd_ok, _be_uint_at(c, "__scan.hit + 8", 1))
     timescale = F.when(
         mvhd_ok,

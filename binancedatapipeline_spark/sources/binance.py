@@ -238,7 +238,13 @@ def _urllib_get_json(url: str, params: dict) -> object:
             return json.loads(resp.read().decode())
     except HTTPError as e:
         if e.code in (418, 429):
-            retry_s = int(e.headers.get("Retry-After") or 60)
+            # Retry-After may be delta-seconds OR an RFC-7231
+            # HTTP-date (CDN/proxy fronting) — a date must degrade to
+            # the default, not escape as ValueError past the retry loop
+            try:
+                retry_s = int(e.headers.get("Retry-After") or 60)
+            except ValueError:
+                retry_s = 60
             raise TransientBanError(
                 int(time.time() * 1000) + retry_s * 1000
             ) from e

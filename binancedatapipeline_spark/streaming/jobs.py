@@ -22,13 +22,13 @@ DataFrame or a watermarked stream.
 from __future__ import annotations
 
 from collections.abc import Callable
-from datetime import timedelta
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from binancedatapipeline_spark.catalog import TableSpec
+from binancedatapipeline_spark.functions.timeutils import parse_duration
 from binancedatapipeline_spark.warehouse import Warehouse
 
 
@@ -201,15 +201,20 @@ def stream_extreme_alerts(
         stored = None
         if detect_lookback is not None:
             # zero-job watermark off the manifest stats, then a
-            # file-pruned window read — never a full table scan
+            # file-pruned window read — never a full table scan.
+            # Month/year lookbacks aren't timedelta-expressible; those
+            # keep round 6's Spark-side interval filter (unpruned but
+            # correct) instead of crashing the stream.
+            delta = parse_duration(detect_lookback)
             horizon = warehouse.latest_timestamp(premium_spec)
-            if horizon is not None:
-                value, unit = detect_lookback.split()
-                delta = timedelta(
-                    **{unit if unit.endswith("s") else unit + "s": int(value)}
-                )
+            if horizon is not None and delta is not None:
                 stored = warehouse.read_between(
                     premium_spec, since=horizon - delta
+                )
+            elif horizon is not None:
+                stored = warehouse.read(premium_spec).filter(
+                    F.col(premium_spec.time_column)
+                    >= F.lit(horizon) - F.expr(f"interval {detect_lookback}")
                 )
         if stored is None:
             stored = warehouse.read(premium_spec)
@@ -233,26 +238,33 @@ def stream_extreme_alerts(
         unsent = ledger.filter(
             ~F.coalesce(F.col("notified"), F.lit(True))
         ).select("symbol", "fundingTime", "fundingRate", "fundingRate_change")
-        to_send = fresh.unionByName(unsent).persist()
+        # the message renders at most max_alert_rows — flip notified
+        # ONLY for rows actually rendered (the same ordered prefix the
+        # formatter shows); a backlog beyond the cap stays False and
+        # drains over the next ticks instead of being silently marked
+        # sent without ever appearing in a message
+        to_send = (
+            fresh.unionByName(unsent)
+            .orderBy(F.col("fundingTime").desc(), "symbol")
+            .persist()
+        )
+        rendered = to_send.limit(max_alert_rows).persist()
         try:
             if to_send.take(1):
-                stamped = to_send.withColumn(
+                stamp = lambda df, flag: df.withColumn(
                     "batch_id", F.lit(batch_id).cast("long")
-                )
-                warehouse.upsert(
-                    alerts_spec, stamped.withColumn("notified", F.lit(False))
-                )
+                ).withColumn("notified", F.lit(flag))
+                warehouse.upsert(alerts_spec, stamp(to_send, False))
                 notify(
                     format_alert(
                         "Extreme funding squeeze detected",
-                        to_send.orderBy(F.col("fundingTime").desc(), "symbol"),
+                        rendered,
                         max_rows=max_alert_rows,
                     )
                 )
-                warehouse.upsert(
-                    alerts_spec, stamped.withColumn("notified", F.lit(True))
-                )
+                warehouse.upsert(alerts_spec, stamp(rendered, True))
         finally:
+            rendered.unpersist()
             to_send.unpersist()
 
     writer = premium_stream.writeStream.foreachBatch(handle).option(

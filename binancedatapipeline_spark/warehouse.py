@@ -331,8 +331,14 @@ class Warehouse:
             beater.join(timeout=5)
             del self._held[name]
             try:
-                os.unlink(lock)
-            except FileNotFoundError:
+                # release only OUR lock: after a steal the path holds
+                # the thief's lease, and a returning zombie must not
+                # unlink a live writer's lock on its way out
+                with open(lock) as f:
+                    holder = json.load(f)
+                if holder.get("fence") == fence:
+                    os.unlink(lock)
+            except (OSError, ValueError):
                 pass
 
     def _check_fence(self, name: str, fence: int | None) -> None:
@@ -945,6 +951,34 @@ class Warehouse:
         self._txn = None
         try:
             if txn.stages:
+                # Pre-record verification: a writer suspended past its
+                # lease TTL (heartbeat thread paused with it) can have
+                # a member stage swept by a thief's recover and/or its
+                # fence superseded. Committing then would publish the
+                # SURVIVING members only — a partially-committed group.
+                # Verify every member's stage+plan still exists and no
+                # table's fence is superseded, IMMEDIATELY before the
+                # commit record; on any failure abort the whole group
+                # (the remaining stages roll back, nothing was ever
+                # visible). The residual window between this check and
+                # the record write is the same microsecond class as the
+                # single-table fence check.
+                try:
+                    for name, stage in txn.stages:
+                        self._check_fence(name, self._held.get(name))
+                        if not os.path.exists(
+                            os.path.join(stage, "_PLAN.json")
+                        ):
+                            raise FencedWriterError(
+                                f"transaction {txn.group} aborted: staged "
+                                f"member for table {name!r} disappeared "
+                                "(lease stolen while suspended); no member "
+                                "was published"
+                            )
+                except FencedWriterError:
+                    for _, s in txn.stages:
+                        shutil.rmtree(s, ignore_errors=True)
+                    raise
                 record = {
                     "group": txn.group,
                     "stages": [

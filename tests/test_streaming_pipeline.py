@@ -671,3 +671,85 @@ def test_alert_tick_reads_history_via_pruned_window(spark, tmp_path):
     pruned = set(WH.read_between(wh, spec, since=last_since).inputFiles())
     full = set(WH.read(wh, spec).inputFiles())
     assert pruned and len(pruned) < len(full)
+
+
+def test_alert_backlog_beyond_max_rows_drains_without_loss(spark, tmp_path):
+    """Review r7: unsent rows beyond max_alert_rows must NOT be flipped
+    to notified=True without ever being rendered — the backlog drains
+    over subsequent ticks, every alert eventually appears in a
+    message."""
+    from datetime import datetime
+
+    from binancedatapipeline_spark.streaming.jobs import stream_extreme_alerts
+
+    spec = catalog.BN_PREMIUM
+    alerts_spec = catalog.BN_EXTREME_ALERTS
+    stage_dir, perp_symbols, schema = _premium_stream_fixture(spark, tmp_path)
+    wh = Warehouse(spark, str(tmp_path / "wh_backlog"))
+    messages: list[str] = []
+
+    def run(ckpt: str, max_rows: int) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 3)
+            .parquet(stage_dir)
+        )
+        q = stream_extreme_alerts(
+            stream, perp_symbols, wh, spec, alerts_spec, ckpt,
+            notify=messages.append, interval=2, threshold_delta=-0.006,
+            threshold_diff=1440, available_now=True, max_alert_rows=max_rows,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "b1"), 10)  # normal pass: 1 real alert, sent
+    assert len(messages) == 1
+
+    # plant a 3-row unsent backlog (a crash's leftovers)
+    backlog = spark.createDataFrame(
+        [
+            (f"FAKE{i}USDT", datetime(2024, 3, 1, i), -0.02, -0.03, 0, False)
+            for i in (1, 2, 3)
+        ],
+        "symbol string, fundingTime timestamp, fundingRate double, "
+        "fundingRate_change double, batch_id long, notified boolean",
+    )
+    wh.upsert(alerts_spec, backlog)
+
+    run(str(tmp_path / "b2"), 2)  # cap 2: renders 2, leaves 1 unsent
+    assert len(messages) == 2
+    ledger = wh.read(alerts_spec).collect()
+    assert sum(1 for r in ledger if not r["notified"]) == 1
+
+    run(str(tmp_path / "b3"), 2)  # next tick drains the remainder
+    assert len(messages) == 3
+    assert all(r["notified"] for r in wh.read(alerts_spec).collect())
+    # every FAKE symbol appeared in some rendered message
+    rendered = "".join(messages)
+    for i in (1, 2, 3):
+        assert f"FAKE{i}USDT" in rendered
+
+
+def test_alert_lookback_accepts_month_interval(spark, tmp_path):
+    """Review r7: month-style lookbacks (not timedelta-expressible)
+    must fall back to the Spark-side interval filter instead of
+    crashing the stream."""
+    from binancedatapipeline_spark.streaming.jobs import stream_extreme_alerts
+
+    spec = catalog.BN_PREMIUM
+    alerts_spec = catalog.BN_EXTREME_ALERTS
+    stage_dir, perp_symbols, schema = _premium_stream_fixture(spark, tmp_path)
+    wh = Warehouse(spark, str(tmp_path / "wh_month"))
+    messages: list[str] = []
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 3)
+        .parquet(stage_dir)
+    )
+    q = stream_extreme_alerts(
+        stream, perp_symbols, wh, spec, alerts_spec,
+        str(tmp_path / "m1"), notify=messages.append, interval=2,
+        threshold_delta=-0.006, threshold_diff=1440,
+        detect_lookback="1 month", available_now=True,
+    )
+    q.awaitTermination(180)
+    assert len(messages) == 1 and "AAAUSDT" in messages[0]

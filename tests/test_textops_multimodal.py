@@ -371,6 +371,9 @@ def test_video_meta_from_mp4_headers(spark):
         (5, bytearray(b"not a video at all")),
         (6, bytearray(_mp4(0, 600, 1800, 1)[:20])),       # truncated mid-ftyp
         (7, None),
+        # truncated INSIDE the mvhd payload: declared box extends past
+        # EOF — must yield NULLs, never a partial-byte garbage integer
+        (8, bytearray(_mp4(0, 600, 1800, 1)[:24 + 8 + 12])),
     ]
     df = spark.createDataFrame(rows, "media_id long, content binary")
     got = {r["media_id"]: r for r in with_video_meta(df).collect()}
@@ -383,9 +386,10 @@ def test_video_meta_from_mp4_headers(spark):
     assert got[3]["video_duration_ms"] == 2500 and got[3]["video_tracks"] == 3
     assert got[4]["video_format"] == "webm" and got[4]["video_duration_ms"] is None
     assert got[5]["video_format"] == "unknown"
-    for k in (5, 6, 7):
+    for k in (5, 6, 7, 8):
         assert got[k]["video_duration_ms"] is None
         assert got[k]["video_tracks"] is None
+    assert got[8]["video_timescale"] is None  # not a partial-byte read
 
 
 def test_video_meta_is_python_free(spark):

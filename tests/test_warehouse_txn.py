@@ -252,3 +252,38 @@ def test_txn_crash_point_sweep_all_or_nothing(spark, tmp_path, fixture_dir):
         assert _staging_txs(w, s_spec.name) == []
         w.vacuum(k_spec.name)
         assert os.listdir(w._txlog_dir()) == []
+
+
+def test_lease_steal_during_live_txn_aborts_whole_group(
+    spark, tmp_path, fixture_dir
+):
+    """A writer suspended past its TTL whose member stage is swept by
+    a thief must NOT commit the surviving members (partial group) —
+    the pre-record verification aborts the whole transaction with
+    FencedWriterError and nothing becomes visible."""
+    from binancedatapipeline_spark.warehouse import FencedWriterError
+
+    k_spec, s_spec = catalog.BN_SPOT_KLINES, catalog.BN_SPOT_SYMBOLS
+    kl = spark.read.parquet(f"{fixture_dir}/bn_spot_klines.parquet")
+    sym = spark.read.parquet(f"{fixture_dir}/bn_spot_symbols.parquet")
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root, lease_ttl=900)
+    thief = Warehouse(spark, root, lease_ttl=0.0)
+    wh.overwrite(k_spec, kl)
+    wh.overwrite(s_spec, sym)
+
+    with pytest.raises(FencedWriterError, match="aborted|superseded"):
+        with wh.transaction() as tx:
+            tx.upsert(k_spec, kl.limit(60).withColumn("close", F.lit(-9.0)))
+            tx.overwrite(s_spec, sym.limit(3))
+            # the suspended-writer scenario: a thief steals K's lease,
+            # its recover sweeps the uncommitted group stage, and it
+            # commits its own mutation
+            thief.upsert(k_spec, kl.limit(5).withColumn("close", F.lit(5.0)))
+
+    out_k = wh.read(k_spec)
+    assert out_k.filter(F.col("close") == -9.0).count() == 0  # member aborted
+    assert out_k.filter(F.col("close") == 5.0).count() == 5  # thief's commit
+    assert wh.read(s_spec).count() == sym.count()  # other member NOT published
+    assert os.listdir(wh._txlog_dir()) == []  # no record ever written
+    assert _staging_txs(wh, s_spec.name) == []
