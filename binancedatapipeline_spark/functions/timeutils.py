@@ -65,4 +65,9 @@ def parse_duration(text: str):
             kwargs[unit] = kwargs.get(unit, 0.0) + float(value)
         except ValueError:
             return None
-    return timedelta(**kwargs)
+    try:
+        return timedelta(**kwargs)
+    except (OverflowError, ValueError):
+        # beyond timedelta's range, or NaN — not expressible, same as
+        # an unknown unit; callers fall back rather than crash
+        return None

@@ -327,7 +327,12 @@ def sample_audio_windows(
 
 
 def _mp4_box_walk(
-    c: str, start_expr: str, end_expr: str, hops: int, target: str = "mvhd"
+    c: str,
+    start_expr: str,
+    end_expr: str,
+    hops: int,
+    target: str = "mvhd",
+    stop_at_hit: bool = False,
 ) -> F.Column:
     """Bounded ISO-BMFF (MP4/MOV) box walk as one JVM ``aggregate``
     (the RIFF/JPEG technique): boxes are [u32 size][4cc type][payload],
@@ -359,6 +364,7 @@ def _mp4_box_walk(
                        'traks', cast(0 as bigint)),
           (acc, i) -> CASE
             WHEN acc.off <= 0 OR acc.off + 8 > cast(({end_expr}) as bigint) THEN acc
+            {"WHEN acc.hit > 0 THEN acc" if stop_at_hit else ""}
             WHEN {typ('acc.off')} = '{target}' AND acc.hit = 0
               THEN named_struct('off', {nxt}, 'hit', acc.off,
                                 'hit_end', {nxt}, 'traks', acc.traks)
@@ -378,8 +384,12 @@ def _mp4_moov_bounds(c: str, hops: int = 16) -> F.Column:
     """(moov, moov_end) of the first TOP-LEVEL ``moov`` box, or
     (0, 0) — moov legitimately sits before OR after a multi-GB
     ``mdat`` (faststart vs capture order), so the walk hops over
-    either. Same walker as the child scan, targeted at ``moov``."""
-    walk = _mp4_box_walk(c, "1", f"length(`{c}`) + 1", hops, target="moov")
+    either. Same walker as the child scan, targeted at ``moov`` —
+    with the short-circuit on (traks aren't counted at top level, so
+    hopping past the hit would be pure wasted per-row CPU)."""
+    walk = _mp4_box_walk(
+        c, "1", f"length(`{c}`) + 1", hops, target="moov", stop_at_hit=True
+    )
     return F.struct(
         walk["hit"].alias("moov"), walk["hit_end"].alias("moov_end")
     )
@@ -434,9 +444,13 @@ def with_video_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
     # a file truncated INSIDE the mvhd payload must yield NULLs, not a
     # partial-byte garbage integer: require the declared mvhd box to
-    # lie fully within the bytes we actually have
-    mvhd_ok = (F.col("__scan.hit") > 0) & (
-        F.col("__scan.hit_end") <= F.length(F.col(c)) + 1
+    # lie fully within the bytes we actually have. hit_end > hit also
+    # rejects the walker's -1 corrupt-size sentinel (an mvhd declaring
+    # size 2-7), which would otherwise pass the length bound.
+    mvhd_ok = (
+        (F.col("__scan.hit") > 0)
+        & (F.col("__scan.hit_end") > F.col("__scan.hit"))
+        & (F.col("__scan.hit_end") <= F.length(F.col(c)) + 1)
     )
     ver = F.when(mvhd_ok, _be_uint_at(c, "__scan.hit + 8", 1))
     timescale = F.when(

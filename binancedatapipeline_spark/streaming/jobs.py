@@ -255,10 +255,13 @@ def stream_extreme_alerts(
                     "batch_id", F.lit(batch_id).cast("long")
                 ).withColumn("notified", F.lit(flag))
                 warehouse.upsert(alerts_spec, stamp(to_send, False))
+                # the message frame carries one row beyond the cap so
+                # format_alert's truncation marker fires when a backlog
+                # was cut — the flip set stays exactly the rows SHOWN
                 notify(
                     format_alert(
                         "Extreme funding squeeze detected",
-                        rendered,
+                        to_send.limit(max_alert_rows + 1),
                         max_rows=max_alert_rows,
                     )
                 )

@@ -79,7 +79,7 @@ import shutil
 import threading
 import uuid
 from contextlib import ExitStack, contextmanager
-from datetime import date, datetime, timedelta
+from datetime import date, datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -330,16 +330,38 @@ class Warehouse:
             stop.set()
             beater.join(timeout=5)
             del self._held[name]
+            # Release only OUR lock. A plain read-then-unlink is
+            # check-then-act on the contended path (a steal landing in
+            # between makes the zombie delete the THIEF's live lock) —
+            # so claim the path with one atomic rename to a private
+            # tombstone first, inspect that, and put a stolen lock
+            # back if it wasn't ours. The restore window (thief's lock
+            # briefly absent) is microseconds and backstopped by
+            # commit-time fencing.
+            tomb = lock + f".rel-{uuid.uuid4().hex[:8]}"
             try:
-                # release only OUR lock: after a steal the path holds
-                # the thief's lease, and a returning zombie must not
-                # unlink a live writer's lock on its way out
-                with open(lock) as f:
-                    holder = json.load(f)
-                if holder.get("fence") == fence:
-                    os.unlink(lock)
-            except (OSError, ValueError):
+                os.rename(lock, tomb)
+            except FileNotFoundError:
                 pass
+            else:
+                ours = False
+                try:
+                    with open(tomb) as f:
+                        ours = json.load(f).get("fence") == fence
+                except (OSError, ValueError):
+                    pass
+                if not ours:
+                    try:
+                        # no-clobber restore: hard-link fails EEXIST if
+                        # someone re-created the lock meanwhile — never
+                        # overwrite a newer writer's lease
+                        os.link(tomb, lock)
+                    except OSError:
+                        pass
+                try:
+                    os.unlink(tomb)
+                except FileNotFoundError:
+                    pass
 
     def _check_fence(self, name: str, fence: int | None) -> None:
         """Commit-time fencing: refuse to commit below the fence of
@@ -656,11 +678,17 @@ class Warehouse:
     def incremental_start(self, spec: TableSpec, now: datetime) -> datetime | None:
         """start = watermark − lookback (the reference's late-data
         re-fetch buffer, duckdb:1612-1629); None → full backfill."""
+        from binancedatapipeline_spark.functions.timeutils import parse_duration
+
         latest = self.latest_timestamp(spec)
         if latest is None:
             return None
-        value, unit = spec.lookback.split()
-        delta = timedelta(**{unit if unit.endswith("s") else unit + "s": int(value)})
+        delta = parse_duration(spec.lookback)
+        if delta is None:
+            raise ValueError(
+                f"table {spec.name!r} lookback {spec.lookback!r} is not a "
+                "fixed-length duration (weeks/days/hours/minutes/seconds)"
+            )
         return latest - delta
 
     # ----------------------------------------------- transaction plumbing
