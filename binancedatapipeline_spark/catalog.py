@@ -70,6 +70,12 @@ class TableSpec:
     # update cadence ('1m' | '1h' | '8h' | 'daily'), reference's
     # update_frequency (duckdb:1278); drives the lookback default
     update_frequency: str | None = None
+    # extra columns whose per-file min/max bounds are recorded in the
+    # warehouse manifest (beyond time_column) so value-bounded reads
+    # can file-prune on them — e.g. the alert ledger's ``notified``
+    # flag: after a healthy tick every file's bounds are True/True and
+    # the unsent re-send scan lists ZERO files
+    stats_columns: tuple[str, ...] = ()
 
     @property
     def columns(self) -> list[str]:
@@ -349,6 +355,10 @@ BN_EXTREME_ALERTS = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="fundingTime",
+        # per-file notified bounds → the alert loop's unsent re-send
+        # scan file-prunes to only files that can hold an undelivered
+        # row (none, after a healthy tick)
+        stats_columns=("notified",),
     )
 )
 

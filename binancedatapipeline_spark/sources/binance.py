@@ -55,7 +55,13 @@ KLINE_WIRE_SCHEMA = T.StructType(
 
 class TokenBucket:
     """Per-task rate limiter standing in for the reference's
-    @limits(calls, period) decorators (duckdb:34-36, 464-470)."""
+    @limits(calls, period) decorators (duckdb:34-36, 464-470).
+
+    ``acquire(weight)`` charges a request's WEIGHT, not a flat 1 —
+    Binance budgets weight per minute (a spot kline page costs 2 of
+    5500, ch:24-29), so a capacity sized in weight units with per-call
+    weights matches the account limit on mixed workloads where
+    1-per-call would overrun it."""
 
     def __init__(self, calls: int, period_s: float):
         self.capacity = calls
@@ -63,15 +69,15 @@ class TokenBucket:
         self.tokens = float(calls)
         self.last = time.monotonic()
 
-    def acquire(self) -> None:
+    def acquire(self, weight: float = 1.0) -> None:
         now = time.monotonic()
         self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.capacity / self.period)
         self.last = now
-        if self.tokens < 1:
-            wait = (1 - self.tokens) * self.period / self.capacity
+        if self.tokens < weight:
+            wait = (weight - self.tokens) * self.period / self.capacity
             time.sleep(wait)
-            self.tokens = 1.0
-        self.tokens -= 1
+            self.tokens = float(weight)
+        self.tokens -= weight
 
 
 class SyntheticBinanceApi:
@@ -217,12 +223,13 @@ class SyntheticBinanceApi:
         return out
 
 
-def _urllib_get_json(url: str, params: dict) -> object:
+def _urllib_get_json(url: str, params: dict, headers: dict | None = None) -> object:
     """Default HTTP transport: stdlib GET returning parsed JSON (no
     requests dependency — the notifier's ``_urllib_post`` pattern).
     418/429 responses raise :class:`TransientBanError` carrying the
     advertised retry horizon, so :func:`call_with_ban_retry` handles
-    real bans exactly like synthetic ones."""
+    real bans exactly like synthetic ones. ``headers`` carries the
+    API-key header for MARKET_DATA-security endpoints."""
     import json
     from urllib.error import HTTPError
     from urllib.parse import urlencode
@@ -231,7 +238,7 @@ def _urllib_get_json(url: str, params: dict) -> object:
     query = urlencode({k: v for k, v in params.items() if v is not None})
     req = Request(
         url + (f"?{query}" if query else ""),
-        headers={"User-Agent": "binancedatapipeline-spark"},
+        headers={"User-Agent": "binancedatapipeline-spark", **(headers or {})},
     )
     try:
         with urlopen(req, timeout=15) as resp:
@@ -266,37 +273,94 @@ class HttpBinanceApi:
     :class:`TokenBucket` enforces the weight budget — one instance
     per Spark task (the fetchers construct via ``api_factory`` inside
     ``mapInPandas``), so cluster-wide pressure = tasks × bucket rate,
-    which is the knob to size against the account limit."""
+    which is the knob to size against the account limit.
+
+    Rate limiting is WEIGHT-AWARE, mirroring the reference's budget
+    constants (ch:24-36): each market gets a weight bucket sized to
+    its documented per-minute ceiling (spot 5500, futures 2300,
+    options 2300) and a kline page is charged its documented weight
+    (spot/futures 2, options 1) rather than a flat 1 — so a mixed
+    klines+funding workload paces to the ACCOUNT limit, which a
+    1-per-call budget would overrun 2×. Funding and mark-price calls
+    run under their own buckets (1000/5 min and 1000/min — the
+    reference's FR_/MR_ constants), matching their separately-budgeted
+    endpoints. ``page_limit`` is clamped to the market's documented
+    kline page cap, where the stated kline weight holds.
+
+    ``api_key`` (optional) is sent as ``X-MBX-APIKEY`` — required by
+    the MARKET_DATA-security :meth:`historical_trades` endpoint; the
+    key-free market-data endpoints never send it. Calling
+    ``historical_trades`` through the default transport WITHOUT a key
+    raises immediately rather than 401ing in production. (A custom
+    injected ``get`` is trusted to handle auth itself; it receives the
+    header as a third positional argument only when ``api_key`` is
+    set.)"""
 
     BASES = {
         "spot": "https://api.binance.com/api/v3",
         "perp": "https://fapi.binance.com/fapi/v1",
         "options": "https://eapi.binance.com/eapi/v1",
     }
+    # per-minute weight ceilings and kline page weights/caps —
+    # reference constants ch:24-29 (SPOT/FUTURES/OPTIONS_WEIGHT_LIMIT,
+    # *_KLINE_WEIGHT and their stated page limits)
+    WEIGHT_BUDGETS = {"spot": (5500, 60.0), "perp": (2300, 60.0), "options": (2300, 60.0)}
+    KLINE_WEIGHT = {"spot": 2, "perp": 2, "options": 1}
+    KLINE_PAGE_CAP = {"spot": 1000, "perp": 499, "options": 1500}
+    FR_BUDGET = (1000, 300.0)  # fundingRate: own budget (ch:32-33)
+    MR_BUDGET = (1000, 60.0)  # mark price: own budget (ch:35-36)
 
     def __init__(
         self,
         market: str = "spot",
         page_limit: int = 500,
-        get: Callable[[str, dict], object] | None = None,
-        rate_limit: tuple[int, float] | None = (1200, 60.0),
+        get: Callable[..., object] | None = None,
+        rate_limit: "tuple[int, float] | str | None" = "auto",
+        api_key: str | None = None,
     ):
         if market not in self.BASES:
             raise ValueError(f"market must be one of {sorted(self.BASES)}")
         self.market = market
-        self.page_limit = page_limit
+        self.page_limit = min(page_limit, self.KLINE_PAGE_CAP[market])
         self.get = get or _urllib_get_json
-        self.bucket = TokenBucket(*rate_limit) if rate_limit else None
+        self._custom_get = get is not None
+        self.api_key = api_key
+        if rate_limit == "auto":
+            self.bucket = TokenBucket(*self.WEIGHT_BUDGETS[market])
+            self.fr_bucket = TokenBucket(*self.FR_BUDGET)
+            self.mr_bucket = TokenBucket(*self.MR_BUDGET)
+        else:
+            self.bucket = TokenBucket(*rate_limit) if rate_limit else None
+            self.fr_bucket = self.mr_bucket = self.bucket
 
-    def _call(self, base: str, path: str, **params) -> object:
-        if self.bucket is not None:
-            self.bucket.acquire()
+    def _call(
+        self,
+        base: str,
+        path: str,
+        weight: float = 1.0,
+        bucket: TokenBucket | None = None,
+        signed: bool = False,
+        **params,
+    ) -> object:
+        bucket = bucket if bucket is not None else self.bucket
+        if bucket is not None:
+            bucket.acquire(weight)
         url = self.BASES[base] + path
+        if signed and self.api_key is None and not self._custom_get:
+            raise ValueError(
+                f"{path} is a MARKET_DATA-security endpoint (requires "
+                "X-MBX-APIKEY); construct HttpBinanceApi(api_key=...) or "
+                "inject a key-carrying `get` transport"
+            )
+        if self.api_key is not None:
+            headers = {"X-MBX-APIKEY": self.api_key} if signed else None
+            return call_with_ban_retry(lambda: self.get(url, params, headers))
         return call_with_ban_retry(lambda: self.get(url, params))
 
     def klines(self, symbol: str, interval: str, start_ms: int, end_ms: int) -> list[list]:
         return self._call(
-            self.market, "/klines", symbol=symbol, interval=interval,
+            self.market, "/klines", weight=self.KLINE_WEIGHT[self.market],
+            symbol=symbol, interval=interval,
             startTime=start_ms, endTime=end_ms, limit=self.page_limit,
         )
 
@@ -305,22 +369,26 @@ class HttpBinanceApi:
         # (Binance's documented backward-pagination behavior); clamp
         # to the window client-side to honor the contract's lower bound
         page = self._call(
-            self.market, "/klines", symbol=symbol, interval=interval,
+            self.market, "/klines", weight=self.KLINE_WEIGHT[self.market],
+            symbol=symbol, interval=interval,
             endTime=end_ms, limit=self.page_limit,
         )
         return [row for row in page if row[0] >= start_ms]
 
     def funding(self, symbol: str, start_ms: int, end_ms: int) -> list[dict]:
         return self._call(
-            "perp", "/fundingRate", symbol=symbol,
-            startTime=start_ms, endTime=end_ms, limit=self.page_limit,
+            "perp", "/fundingRate", bucket=self.fr_bucket,
+            symbol=symbol, startTime=start_ms, endTime=end_ms,
+            limit=self.page_limit,
         )
 
     def depth(self, symbol: str, limit: int = 100) -> dict:
         return self._call("options", "/depth", symbol=symbol, limit=limit)
 
     def mark_price(self, symbol: str) -> list[dict]:
-        return self._call("options", "/mark", symbol=symbol)
+        return self._call(
+            "options", "/mark", bucket=self.mr_bucket, symbol=symbol
+        )
 
     def open_interest(self, underlying: str, expiration: str) -> list[dict]:
         return self._call(
@@ -331,7 +399,7 @@ class HttpBinanceApi:
     def historical_trades(self, symbol: str, limit: int = 100,
                           from_id: int | None = None) -> list[dict]:
         return self._call(
-            "options", "/historicalTrades",
+            "options", "/historicalTrades", signed=True,
             symbol=symbol, limit=min(limit, 500), fromId=from_id,
         )
 

@@ -155,36 +155,45 @@ def stream_extreme_alerts(
 
     Per micro-batch (foreachBatch):
 
-    1. PK-upsert the batch's premium rows into ``premium_spec``
-       (T4 — replay-idempotent, crash-atomic via the warehouse WAP
-       protocol);
-    2. run the batch detector :func:`plans.extreme.extreme_cases`
-       over the STORED premium history (the lag-``interval`` window
-       needs history a stream-state formulation can't hold;
-       ``detect_lookback`` bounds the scan to the recent horizon —
-       manifest+partition pruning makes this the only part of the
-       table read at 100 TB);
-    3. anti-join detections against the alert LEDGER
-       (``alerts_spec``, PK (symbol, fundingTime)): only
-       never-alerted events survive;
-    4. record the new events in the ledger FIRST (``notified=False``),
-       then format + send one alert, then flip the rows to
+    1. run the batch detector :func:`plans.extreme.extreme_cases`
+       over the post-upsert VIEW of the premium table — the committed
+       lookback window with the batch's PKs replaced by the batch rows
+       (the lag-``interval`` window needs history a stream-state
+       formulation can't hold; ``detect_lookback`` bounds the scan to
+       the recent horizon);
+    2. anti-join detections against the same lookback WINDOW of the
+       alert LEDGER (``alerts_spec``, PK (symbol, fundingTime)) —
+       sufficient because every event's fundingTime lies inside the
+       window — so only never-alerted events survive;
+    3. commit the premium upsert and the new ledger rows
+       (``notified=False``) as ONE :meth:`Warehouse.transaction` —
+       atomic cross-table durability: no crash leaves the premium
+       rows visible without their ledger rows or vice versa (T4 —
+       replay-idempotent on top);
+    4. then format + send one alert, then flip the rendered rows to
        ``notified=True``. Ledger-before-notify makes replay produce
        exactly ONE alert per event in the normal path (the test
        contract); rows still ``notified=False`` at the next tick —
        the crash window between ledger write and send — are picked up
-       and re-sent, so delivery is EFFECTIVELY-once: no double-send
-       without a crash, no alert dropped forever by one. (The
-       reference double-sends in its reverse-ordered window and drops
-       nothing; this trades at most one crash-duplicate for the same
-       no-loss guarantee.)
+       and re-sent (the backlog drain runs on EVERY tick, including
+       empty batches, so an availableNow restart with no new data
+       still delivers a stranded alert), so delivery is
+       EFFECTIVELY-once: no double-send without a crash, no alert
+       dropped forever by one. (The reference double-sends in its
+       reverse-ordered window and drops nothing; this trades at most
+       one crash-duplicate for the same no-loss guarantee.)
 
-    Scale: the detection tick never scans the premium table. The
-    horizon comes from :meth:`Warehouse.latest_timestamp` (a zero-job
-    manifest-stats read) and the history from
-    :meth:`Warehouse.read_between` (driver-side file pruning off the
-    manifest's per-file time bounds) — at 100 TB the tick reads the
-    lookback window's handful of files, not the table listing.
+    Scale: the detection tick never scans the premium table OR the
+    alert ledger in full. The horizon comes from
+    :meth:`Warehouse.latest_timestamp` (a zero-job manifest-stats
+    read) ∪ the in-flight batch; the premium history AND the ledger
+    anti-join side come from :meth:`Warehouse.read_between`
+    (driver-side file pruning off the manifest's per-file time
+    bounds); the unsent re-send scan file-prunes on the manifest's
+    per-file ``notified`` bounds (zero files after a healthy tick) —
+    at 100 TB, with an ever-growing ledger, the tick reads the
+    window's handful of files, not the table listing, and broadcasts
+    only the window's alert PKs.
 
     ``notify`` is the injected transport (a
     :class:`~binancedatapipeline_spark.notifications.TelegramNotifier`
@@ -194,81 +203,152 @@ def stream_extreme_alerts(
     from binancedatapipeline_spark.notifications import format_alert
     from binancedatapipeline_spark.plans.extreme import extreme_cases
 
+    tcol = premium_spec.time_column
+    pk = list(premium_spec.primary_keys)
+    out_cols = ["symbol", "fundingTime", "fundingRate", "fundingRate_change"]
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
-            return
-        warehouse.upsert(premium_spec, batch_df)
-        stored = None
-        if detect_lookback is not None:
-            # zero-job watermark off the manifest stats, then a
-            # file-pruned window read — never a full table scan.
-            # Month/year lookbacks aren't timedelta-expressible; those
-            # keep round 6's Spark-side interval filter (unpruned but
-            # correct) instead of crashing the stream.
-            delta = parse_duration(detect_lookback)
-            horizon = warehouse.latest_timestamp(premium_spec)
-            if horizon is not None and delta is not None:
-                stored = warehouse.read_between(
-                    premium_spec, since=horizon - delta
-                )
-            elif horizon is not None:
-                stored = warehouse.read(premium_spec).filter(
-                    F.col(premium_spec.time_column)
-                    >= F.lit(horizon) - F.expr(f"interval {detect_lookback}")
-                )
-        if stored is None:
-            stored = warehouse.read(premium_spec)
-        events = extreme_cases(
-            stored,
-            perp_symbols,
-            interval=interval,
-            threshold_delta=threshold_delta,
-            threshold_diff=threshold_diff,
-            top_n=max_alert_rows,
-        ).select("symbol", "fundingTime", "fundingRate", "fundingRate_change")
-        ledger = warehouse.read(alerts_spec)
-        fresh = events.join(
-            F.broadcast(ledger.select("symbol", "fundingTime")),
-            on=["symbol", "fundingTime"],
-            how="left_anti",
-        )
-        # crash-window repair: rows recorded last tick whose notify
-        # never happened (still False; NULL = legacy row, counts as
-        # sent) are re-sent now
-        unsent = ledger.filter(
-            ~F.coalesce(F.col("notified"), F.lit(True))
-        ).select("symbol", "fundingTime", "fundingRate", "fundingRate_change")
-        # the message renders at most max_alert_rows — flip notified
-        # ONLY for rows actually rendered (the same ordered prefix the
-        # formatter shows); a backlog beyond the cap stays False and
-        # drains over the next ticks instead of being silently marked
-        # sent without ever appearing in a message
-        to_send = (
-            fresh.unionByName(unsent)
-            .orderBy(F.col("fundingTime").desc(), "symbol")
-            .persist()
-        )
-        rendered = to_send.limit(max_alert_rows).persist()
+        # Detection runs over (committed window ∖ batch PKs) ∪ batch —
+        # the exact post-upsert view — so the premium upsert and the
+        # ledger write can land as ONE atomic cross-table transaction
+        # below (a crash anywhere leaves no tick where the premium
+        # rows are visible without their alerts, or vice versa).
+        has_batch = bool(batch_df.take(1))
+        if has_batch:
+            batch_df = premium_spec.align(
+                batch_df.dropDuplicates(pk)
+            ).persist()
+        events = None
+        window_since = None
         try:
-            if to_send.take(1):
+            if has_batch:
+                # horizon: zero-job manifest watermark ∪ the in-flight
+                # batch (the batch is not committed yet — one small agg
+                # over the persisted micro-batch)
+                horizon = warehouse.latest_timestamp(premium_spec)
+                bmax = batch_df.agg(F.max(tcol)).first()[0]
+                if bmax is not None:
+                    horizon = bmax if horizon is None else max(horizon, bmax)
+                stored = None
+                if detect_lookback is not None and horizon is not None:
+                    # file-pruned window read — never a full table scan.
+                    # Month/year lookbacks aren't timedelta-expressible;
+                    # those keep round 6's Spark-side interval filter
+                    # (unpruned but correct) instead of crashing.
+                    delta = parse_duration(detect_lookback)
+                    if delta is not None:
+                        window_since = horizon - delta
+                        stored = warehouse.read_between(
+                            premium_spec, since=window_since
+                        )
+                    else:
+                        stored = warehouse.read(premium_spec).filter(
+                            F.col(tcol)
+                            >= F.lit(horizon)
+                            - F.expr(f"interval {detect_lookback}")
+                        )
+                if stored is None:
+                    stored = warehouse.read(premium_spec)
+                # replay-safe post-upsert view: committed rows whose PK
+                # reappears in the batch are REPLACED by the batch row
+                # (a replayed batch would otherwise double its rows and
+                # shift every lag-window offset)
+                effective = stored.join(
+                    F.broadcast(batch_df.select(*pk)), on=pk, how="left_anti"
+                ).unionByName(batch_df.select(*stored.columns))
+                if window_since is not None:
+                    effective = effective.filter(
+                        F.col(tcol) >= F.lit(window_since)
+                    )
+                events = extreme_cases(
+                    effective,
+                    perp_symbols,
+                    interval=interval,
+                    threshold_delta=threshold_delta,
+                    threshold_diff=threshold_diff,
+                    top_n=max_alert_rows,
+                ).select(*out_cols)
+            # BOUNDED ledger reads (the ledger grows forever; the tick
+            # must not). Anti-join side: every event's fundingTime is a
+            # premium timestamp ≥ window_since, so ledger rows older
+            # than the window can never match — a file-pruned window
+            # read is exactly sufficient, and what gets broadcast is
+            # the window's PKs, not the full history.
+            if events is not None:
+                if window_since is not None:
+                    ledger_win = warehouse.read_between(
+                        alerts_spec, since=window_since
+                    )
+                else:
+                    ledger_win = warehouse.read(alerts_spec)
+                fresh = events.join(
+                    F.broadcast(ledger_win.select("symbol", "fundingTime")),
+                    on=["symbol", "fundingTime"],
+                    how="left_anti",
+                )
+            else:
+                fresh = alerts_spec.empty(
+                    warehouse.spark
+                ).select(*out_cols)
+            # crash-window repair, run EVERY tick (even an empty batch
+            # must drain a backlog stranded by a crash — with
+            # availableNow triggers new data may never arrive to flush
+            # it): rows recorded whose notify never happened (still
+            # False; NULL = legacy row, counts as sent) are re-sent.
+            # The scan file-prunes on the manifest's per-file
+            # ``notified`` bounds — after a healthy tick every file is
+            # True/True and this lists ZERO files, so age never grows
+            # the scan (a row stranded longer than the lookback is
+            # still found: pruning is by flag value, not time).
+            unsent = warehouse.read_between(
+                alerts_spec, column="notified", since=False, until=False
+            ).select(*out_cols)
+            # the message renders at most max_alert_rows — flip
+            # notified ONLY for rows actually rendered (the same
+            # ordered prefix the formatter shows); a backlog beyond the
+            # cap stays False and drains over the next ticks instead of
+            # being silently marked sent without ever appearing
+            to_send = (
+                fresh.unionByName(unsent)
+                .orderBy(F.col("fundingTime").desc(), "symbol")
+                .persist()
+            )
+            rendered = to_send.limit(max_alert_rows).persist()
+            try:
+                send_any = bool(to_send.take(1))
                 stamp = lambda df, flag: df.withColumn(
                     "batch_id", F.lit(batch_id).cast("long")
                 ).withColumn("notified", F.lit(flag))
-                warehouse.upsert(alerts_spec, stamp(to_send, False))
-                # the message frame carries one row beyond the cap so
-                # format_alert's truncation marker fires when a backlog
-                # was cut — the flip set stays exactly the rows SHOWN
-                notify(
-                    format_alert(
-                        "Extreme funding squeeze detected",
-                        to_send.limit(max_alert_rows + 1),
-                        max_rows=max_alert_rows,
+                if has_batch or send_any:
+                    # ONE atomic unit: premium rows + their ledger rows
+                    # (notified=False) — the pairing wh.transaction()
+                    # was built for. Crash before the group record ⇒
+                    # neither is visible (replay re-derives both);
+                    # crash after ⇒ recover() rolls both forward.
+                    with warehouse.transaction() as tx:
+                        if has_batch:
+                            tx.upsert(premium_spec, batch_df)
+                        if send_any:
+                            tx.upsert(alerts_spec, stamp(to_send, False))
+                if send_any:
+                    # the message frame carries one row beyond the cap
+                    # so format_alert's truncation marker fires when a
+                    # backlog was cut — the flip set stays exactly the
+                    # rows SHOWN
+                    notify(
+                        format_alert(
+                            "Extreme funding squeeze detected",
+                            to_send.limit(max_alert_rows + 1),
+                            max_rows=max_alert_rows,
+                        )
                     )
-                )
-                warehouse.upsert(alerts_spec, stamp(rendered, True))
+                    warehouse.upsert(alerts_spec, stamp(rendered, True))
+            finally:
+                rendered.unpersist()
+                to_send.unpersist()
         finally:
-            rendered.unpersist()
-            to_send.unpersist()
+            if has_batch:
+                batch_df.unpersist()
 
     writer = premium_stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

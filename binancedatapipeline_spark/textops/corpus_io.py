@@ -140,10 +140,11 @@ def read_wet_stream(
 
 
 # Curated subset of the (public) Mozilla Public Suffix List: the
-# multi-label suffixes a crawl corpus actually hits at volume. Plain
-# rules only (no wildcard/exception rules); pass a fuller table via
-# ``psl=`` for exotic ccTLD schemes. Single-label TLDs need no entry —
-# "not in the list" already means "suffix = last label".
+# multi-label suffixes a crawl corpus actually hits at volume. Pass a
+# fuller table via ``psl=`` (see :func:`parse_psl_text` for building
+# one from the raw list file) for exotic ccTLD schemes. Single-label
+# TLDs need no entry — "not in the list" already means "suffix = last
+# label".
 _PSL_MULTI_LABEL = (
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
     "ac.uk", "gov.uk", "nhs.uk",
@@ -177,14 +178,55 @@ _PSL_MULTI_LABEL = (
     "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
 )
 
+# Wildcard rules ("*.ck": EVERY 2-label suffix under .ck is a public
+# suffix) and their exceptions ("!www.ck": www.ck is registrable
+# despite the wildcard) — the canonical examples from the published
+# list. Stored as the part after "*." / "!".
+_PSL_WILDCARD = ("ck", "bd", "er")
+_PSL_EXCEPTION = ("www.ck",)
+
 
 def psl_table(spark: SparkSession) -> DataFrame:
-    """The bundled public-suffix dim as a DataFrame: ``suffix`` plus
-    its label count. Tiny (hundreds of rows even for the full PSL) —
-    always the broadcast side of the domain join. Swap in the complete
-    Mozilla list by building the same shape from its file."""
-    rows = [(s, s.count(".") + 1) for s in _PSL_MULTI_LABEL]
-    return spark.createDataFrame(rows, "suffix string, labels int")
+    """The bundled public-suffix dim as a DataFrame: ``suffix``, its
+    label count, and the rule ``kind`` (``rule`` | ``wildcard`` |
+    ``exception`` — wildcard/exception rows store the part after the
+    ``*.``/``!`` marker). Tiny (thousands of rows even for the full
+    PSL) — always the broadcast side of the domain join. Swap in the
+    complete Mozilla list via :func:`parse_psl_text`."""
+    rows = (
+        [(s, s.count(".") + 1, "rule") for s in _PSL_MULTI_LABEL]
+        + [(s, s.count(".") + 1, "wildcard") for s in _PSL_WILDCARD]
+        + [(s, s.count(".") + 1, "exception") for s in _PSL_EXCEPTION]
+    )
+    return spark.createDataFrame(rows, "suffix string, labels int, kind string")
+
+
+def parse_psl_text(spark: SparkSession, text: str) -> DataFrame:
+    """Build the :func:`psl_table` shape from the RAW Mozilla list
+    file (https://publicsuffix.org/list/public_suffix_list.dat): skip
+    blank/comment lines, classify ``!``-prefixed lines as exception
+    rules and ``*.``-prefixed lines as wildcard rules, everything else
+    plain — the full-list swap-in path. Per the published format,
+    anything after the first whitespace on a line is ignored and a
+    rule's wildcard appears only as the leading label. Unicode entries
+    are kept verbatim (hosts compare lowercased; punycode hosts need
+    the list's punycode twin entries, which the published file
+    carries)."""
+    rows = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("//"):
+            continue
+        line = line.split()[0].lower()
+        if line.startswith("!"):
+            kind, s = "exception", line[1:]
+        elif line.startswith("*."):
+            kind, s = "wildcard", line[2:]
+        else:
+            kind, s = "rule", line
+        if s:
+            rows.append((s, s.count(".") + 1, kind))
+    return spark.createDataFrame(rows, "suffix string, labels int, kind string")
 
 
 def with_url_parts(
@@ -205,12 +247,19 @@ def with_url_parts(
     * ``"heuristic"`` (default, zero-dependency): last two host labels.
       Wrong for multi-label public suffixes ("example.co.uk" →
       "co.uk"), which under-caps UK/AU/JP sites in per-domain caps.
-    * ``"psl"``: public-suffix-list lookup via two broadcast left
-      joins (2- and 3-label suffix candidates against the ``psl``
-      dim, default :func:`psl_table`); the registrable domain is one
-      label + the longest matching suffix, falling back to the
-      two-label rule for unlisted TLDs. No shuffle of ``df`` — both
-      joins broadcast the tiny suffix side."""
+    * ``"psl"``: public-suffix-list lookup via one broadcast left
+      join per rule shape in the ``psl`` dim (default
+      :func:`psl_table`); the registrable domain follows the
+      publicsuffix.org algorithm — EXCEPTION rules win outright (the
+      domain is the exception's own labels), else the longest
+      effective suffix (a wildcard ``*.ck`` rule's effective suffix is
+      its stored part plus the matched label), else the two-label
+      fallback for unlisted TLDs. A host with no labels left of its
+      public suffix (the host IS a public suffix) gets a NULL domain.
+      No shuffle of ``df`` — every join broadcasts the tiny suffix
+      side; the only driver work is a distinct over the dim's
+      (labels, kind) pairs (≤ a dozen values for the full Mozilla
+      list) to shape the join plan."""
     u = F.col(url_col)
     # try_parse_url: an invalid URL must yield NULL parts (and pass
     # through canonicalization untouched), not kill the scan — crawl
@@ -259,25 +308,44 @@ def with_url_parts(
 
     if psl is None:
         psl = psl_table(df.sparkSession)
-    # longest-match PSL rule via two broadcast left joins (suffix dim
-    # is tiny — no shuffle of the corpus side); registrable domain =
-    # matched suffix + one label, NULL when the host IS the suffix
-    p2 = F.broadcast(psl.filter(F.col("labels") == 2).select(F.col("suffix").alias("__psl2")))
-    p3 = F.broadcast(psl.filter(F.col("labels") == 3).select(F.col("suffix").alias("__psl3")))
-    out = (
-        out.withColumn("__s2", last_labels(2))
-        .withColumn("__s3", last_labels(3))
-        .join(p3, F.col("__s3") == F.col("__psl3"), "left")
-        .join(p2, F.col("__s2") == F.col("__psl2"), "left")
-        .withColumn(
-            "domain",
-            F.when(F.col("__psl3").isNotNull(), last_labels(4))
-            .when(F.col("__psl2").isNotNull(), last_labels(3))
-            .otherwise(F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)),
-        )
-        .drop("__s2", "__s3", "__psl2", "__psl3")
+    if "kind" not in psl.columns:  # legacy plain-rule-only dim shape
+        psl = psl.withColumn("kind", F.lit("rule"))
+    # The dim's distinct (labels, kind) pairs decide the join plan — a
+    # bounded driver-side collect over the TINY suffix dim (≤ a dozen
+    # shapes even for the full Mozilla list), never the corpus.
+    shapes = sorted(
+        (int(r["labels"]), r["kind"])
+        for r in psl.select("labels", "kind").distinct().collect()
+        if r["kind"] in ("rule", "wildcard", "exception") and r["labels"]
     )
-    return out
+    joined = out
+    flags: list[tuple[int, str, str]] = []
+    for k, kind in shapes:
+        flag = f"__psl_{kind}_{k}"
+        side = F.broadcast(
+            psl.filter((F.col("labels") == k) & (F.col("kind") == kind))
+            .select(F.col("suffix").alias(flag))
+            .distinct()
+        )
+        joined = joined.join(side, last_labels(k) == F.col(flag), "left")
+        flags.append((k, kind, flag))
+
+    # publicsuffix.org precedence: exception rules beat everything
+    # (the registrable domain IS the exception's own labels); among
+    # the rest the LONGEST effective suffix wins — a wildcard rule's
+    # effective suffix is its stored part + the matched label (k+1)
+    def _eff(k: int, kind: str) -> int:
+        return k + 1 if kind == "wildcard" else k
+
+    ordered = sorted(flags, key=lambda t: (t[1] != "exception", -_eff(t[0], t[1])))
+    domain = None
+    for k, kind, flag in ordered:
+        hit = F.col(flag).isNotNull()
+        dom = last_labels(k) if kind == "exception" else last_labels(_eff(k, kind) + 1)
+        domain = F.when(hit, dom) if domain is None else domain.when(hit, dom)
+    fallback = F.regexp_extract(F.col("host"), r"([^.]+\.[^.]+)$", 1)
+    domain = fallback if domain is None else domain.otherwise(fallback)
+    return joined.withColumn("domain", domain).drop(*[f for _, _, f in flags])
 
 
 def dedup_by_url(
@@ -304,6 +372,12 @@ def dedup_by_url(
 
     tmp = with_url_parts(df, url_col)
     no_url = F.col("url_canonical").isNull() | (F.col("url_canonical") == "")
+    # monotonically_increasing_id() is NONDETERMINISTIC across task
+    # retries (partition re-assignment changes the ids). Harmless here
+    # because the id's VALUE never matters — each URL-less row only
+    # needs a key no other row shares, and any assignment gives that —
+    # but do not copy this pattern anywhere the key is joined against,
+    # persisted, or compared across computations of the same input.
     grp = F.when(
         no_url,
         F.concat(

@@ -51,7 +51,10 @@ class QualityClassifier:
 
     def save(self, path: str) -> None:
         self.model.write().overwrite().save(f"{path}/lr")
-        spark = SparkSession.getActiveSession()
+        # getActiveSession() can be None off the driver thread; fall
+        # back to the builder's singleton rather than letting an
+        # opaque AttributeError escape from createDataFrame
+        spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
         meta = spark.createDataFrame(
             [(int(self.num_features), int(self.n_max), self.text_col)],
             "num_features long, n_max int, text_col string",

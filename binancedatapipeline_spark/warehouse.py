@@ -319,8 +319,19 @@ class Warehouse:
         def _beat() -> None:
             while not stop.wait(max(self.lease_ttl / 3.0, 0.05)):
                 try:
+                    # verify the lock is still OURS before refreshing:
+                    # a zombie writer resuming after a steal would
+                    # otherwise keep the THIEF's lease eternally fresh
+                    # (if the thief then crashed, no writer could ever
+                    # age it out). The read-then-utime window can touch
+                    # a just-stolen lock at most once — a fresh lock's
+                    # mtime is ~now anyway — after which the fence
+                    # mismatch stops the beater for good.
+                    with open(lock) as f:
+                        if json.load(f).get("fence") != fence:
+                            return  # stolen: not ours to refresh
                     os.utime(lock)
-                except OSError:
+                except (OSError, ValueError):
                     return  # lock gone: released or stolen; stop quietly
         beater = threading.Thread(target=_beat, daemon=True)
         beater.start()
@@ -495,7 +506,8 @@ class Warehouse:
             writer.parquet(data)
             moves, staged = self._staged_moves(spec.name, stage)
             self._commit(spec.name, stage, staged, moves, None, fence,
-                         stats_column=spec.time_column)
+                         stats_column=spec.time_column,
+                         extra_stats=spec.stats_columns)
             return n
 
     def snapshot(self, *specs: TableSpec) -> dict:
@@ -566,7 +578,9 @@ class Warehouse:
             .select(*spec.columns)
         )
 
-    def read_between(self, spec: TableSpec, since=None, until=None) -> DataFrame:
+    def read_between(
+        self, spec: TableSpec, since=None, until=None, column: str | None = None
+    ) -> DataFrame:
         """Snapshot read restricted to ``since <= time_column <=
         until`` (either bound optional), with FILE-LEVEL pruning off
         the manifest's recorded min/max bounds: files whose recorded
@@ -582,8 +596,17 @@ class Warehouse:
         partition pruning cannot do (the partition column is the
         derived ``ds`` date; a filter on the raw timestamp doesn't
         fold to it) — this is the Iceberg/Delta data-skipping idea
-        expressed on the plain-parquet manifest."""
-        col = spec.time_column
+        expressed on the plain-parquet manifest.
+
+        ``column`` bounds a NON-time column instead, pruning off the
+        manifest's ``stats_extra`` bounds (recorded for the spec's
+        ``stats_columns``). The alert loop's unsent re-send scan is
+        the motivating case: ``read_between(alerts, column="notified",
+        since=False, until=False)`` lists only files whose recorded
+        bounds admit an undelivered row — after a healthy tick, zero
+        files. A column with no recorded bounds degrades to the
+        unpruned snapshot + exact row filter."""
+        col = column if column is not None else spec.time_column
         if col is None:
             raise ValueError(f"table {spec.name!r} has no time column")
         # a plain date bound cannot compare against the datetime file
@@ -594,10 +617,21 @@ class Warehouse:
         if isinstance(until, date) and not isinstance(until, datetime):
             until = datetime.combine(until, datetime.max.time())
         self.recover(spec.name, rollback_uncommitted=False)
+        if not self.exists(spec.name):
+            # a table not yet created is an EMPTY window, not a reason
+            # to route through the unpruned-snapshot fallback (the
+            # alert loop's first ticks window-read tables its own
+            # transaction is about to create)
+            return spec.empty(self.spark)
         manifest = self._load_manifest(spec.name)
+        stats = None
+        if manifest is not None:
+            if manifest.get("stats_column") == col:
+                stats = manifest.get("stats", {})
+            elif col in manifest.get("stats_extra", {}):
+                stats = manifest["stats_extra"][col]
         df = None
-        if manifest is not None and manifest.get("stats_column") == col:
-            stats = manifest.get("stats", {})
+        if stats is not None:
             base = self.path(spec.name)
             keep = []
             for rels in manifest["files"].values():
@@ -754,6 +788,7 @@ class Warehouse:
         replaced_ds: set[str] | None,
         fence: int | None,
         stats_column: str | None = None,
+        extra_stats: tuple[str, ...] = (),
     ) -> None:
         """Build the next manifest, commit the plan, publish.
 
@@ -766,7 +801,12 @@ class Warehouse:
         min/max bounds into the manifest: new files from their staged
         footers, retained files carried forward from the previous
         manifest — so the stats map stays complete across
-        partition-scoped upserts without re-reading anything."""
+        partition-scoped upserts without re-reading anything.
+
+        ``extra_stats`` (the spec's ``stats_columns``) records the
+        same per-file bounds for additional columns under
+        ``stats_extra`` — value-bounded reads
+        (:meth:`read_between` with ``column=``) prune on them."""
         self._check_fence(name, fence)
         prev = self._current_manifest(name) if self.exists(name) else None
         if replaced_ds is None:
@@ -783,18 +823,30 @@ class Warehouse:
             "fence": fence if fence is not None else (prev or {}).get("fence", 0),
             "files": files,
         }
-        if stats_column is not None:
+        if stats_column is not None or extra_stats:
             live = {rel for rels in files.values() for rel in rels}
-            carried = (
-                (prev or {}).get("stats", {})
-                if (prev or {}).get("stats_column") == stats_column
-                else {}
-            )
-            stats = {rel: s for rel, s in carried.items() if rel in live}
-            staged_stats = self._staged_file_stats(stage, moves, stats_column)
-            stats.update({r: s for r, s in staged_stats.items() if r in live})
-            manifest["stats_column"] = stats_column
-            manifest["stats"] = stats
+
+            def _bounds(column: str, carried: dict) -> dict:
+                stats = {rel: s for rel, s in carried.items() if rel in live}
+                staged_stats = self._staged_file_stats(stage, moves, column)
+                stats.update(
+                    {r: s for r, s in staged_stats.items() if r in live}
+                )
+                return stats
+
+            if stats_column is not None:
+                carried = (
+                    (prev or {}).get("stats", {})
+                    if (prev or {}).get("stats_column") == stats_column
+                    else {}
+                )
+                manifest["stats_column"] = stats_column
+                manifest["stats"] = _bounds(stats_column, carried)
+            if extra_stats:
+                prev_extra = (prev or {}).get("stats_extra", {})
+                manifest["stats_extra"] = {
+                    c: _bounds(c, prev_extra.get(c, {})) for c in extra_stats
+                }
         plan = {"moves": moves, "manifest": manifest, "prev_manifest": prev}
         if self._txn is not None:
             # cross-table transaction: the plan is staged but NOT yet
@@ -1197,7 +1249,8 @@ class Warehouse:
             writer.parquet(data)
             moves, staged = self._staged_moves(spec.name, stage)
             self._commit(spec.name, stage, staged, moves, None, fence,
-                         stats_column=spec.time_column)
+                         stats_column=spec.time_column,
+                         extra_stats=spec.stats_columns)
 
     def write_bucketed(
         self,
@@ -1277,7 +1330,8 @@ class Warehouse:
             self._with_ds(spec, merged).write.parquet(os.path.join(stage, "data"))
             moves, staged = self._staged_moves(spec.name, stage)
             self._commit(spec.name, stage, staged, moves, None, fence,
-                         stats_column=spec.time_column)
+                         stats_column=spec.time_column,
+                         extra_stats=spec.stats_columns)
             return
 
         updates_ds = self._with_ds(spec, updates)
@@ -1324,7 +1378,8 @@ class Warehouse:
         moves, staged = self._staged_moves(spec.name, stage)
         replaced = {_ds_key(ds) for ds in touched} | set(staged)
         self._commit(spec.name, stage, staged, moves, replaced, fence,
-                     stats_column=spec.time_column)
+                     stats_column=spec.time_column,
+                         extra_stats=spec.stats_columns)
 
     # ------------------------------------------------------ maintenance
 
@@ -1409,7 +1464,8 @@ class Warehouse:
                 merged.write.parquet(os.path.join(stage, "data"))
                 moves, staged = self._staged_moves(spec.name, stage)
                 self._commit(spec.name, stage, staged, moves, None, fence,
-                         stats_column=spec.time_column)
+                         stats_column=spec.time_column,
+                         extra_stats=spec.stats_columns)
                 return {"partitions_compacted": 1, "files_before": n_files,
                         "files_after": target}
 
@@ -1440,6 +1496,7 @@ class Warehouse:
             self._commit(
                 spec.name, stage, staged, moves, set(fragmented) | set(staged),
                 fence, stats_column=spec.time_column,
+                extra_stats=spec.stats_columns,
             )
             after = self.partition_files(spec.name)
             files_after = sum(after.get(ds, (0, 0))[0] for ds in fragmented)

@@ -230,13 +230,76 @@ def test_psl_domain_mode(spark):
     # a 3-label suffix via a user-supplied PSL table (longest wins
     # over the also-present 2-label edu.au rule)
     psl = psl_table(spark).unionByName(
-        spark.createDataFrame([("act.edu.au", 3)], "suffix string, labels int")
+        spark.createDataFrame(
+            [("act.edu.au", 3, "rule")], "suffix string, labels int, kind string"
+        )
     )
     df2 = spark.createDataFrame(
         [(1, "https://www.school.act.edu.au/x")], "doc_id long, url string"
     )
     (row,) = with_url_parts(df2, domain_mode="psl", psl=psl).collect()
     assert row["domain"] == "school.act.edu.au"
+
+
+def test_psl_wildcard_and_exception_rules(spark):
+    """Verdict r7 #5: full publicsuffix.org rule semantics — wildcard
+    rules (*.ck: every 2-label suffix under .ck is public) and their
+    exceptions (!www.ck: registrable despite the wildcard) — so the
+    full-Mozilla-list swap-in works on the real list."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        parse_psl_text,
+        with_url_parts,
+    )
+
+    rows = [
+        (1, "https://www.foo.bar.ck/a"),  # *.ck → suffix bar.ck → foo.bar.ck
+        (2, "https://foo.bar.ck/a"),      # same suffix, host = domain
+        (3, "https://bar.ck/"),           # host IS a wildcard suffix → NULL
+        (4, "https://www.ck/x"),          # exception: www.ck registrable
+        (5, "https://foo.www.ck/x"),      # under the exception → www.ck
+        (6, "https://sub.example.co.uk/a"),  # plain rules still work
+        (7, "https://example.weirdtld/x"),   # unlisted → two-label rule
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["domain"] for r in with_url_parts(df, domain_mode="psl").collect()}
+    assert got[1] == "foo.bar.ck"
+    assert got[2] == "foo.bar.ck"
+    assert got[3] is None
+    assert got[4] == "www.ck"
+    assert got[5] == "www.ck"
+    assert got[6] == "example.co.uk"
+    assert got[7] == "example.weirdtld"
+
+    # the raw-file parser: comments/blank lines skipped, markers
+    # classified, whitespace-suffixed junk ignored — and the parsed
+    # table drives the same join plan
+    raw = """
+// ===BEGIN ICANN DOMAINS===
+com
+co.uk
+
+*.ck
+!www.ck
+*.nested.example  // trailing comment text
+"""
+    psl = parse_psl_text(spark, raw)
+    kinds = {(r["suffix"], r["labels"], r["kind"]) for r in psl.collect()}
+    assert ("com", 1, "rule") in kinds
+    assert ("co.uk", 2, "rule") in kinds
+    assert ("ck", 1, "wildcard") in kinds
+    assert ("www.ck", 2, "exception") in kinds
+    assert ("nested.example", 2, "wildcard") in kinds
+    got2 = {
+        r["doc_id"]: r["domain"]
+        for r in with_url_parts(df, domain_mode="psl", psl=psl).collect()
+    }
+    assert got2[1] == "foo.bar.ck" and got2[4] == "www.ck"
+    # 3-label suffix via the parsed wildcard (*.nested.example)
+    df3 = spark.createDataFrame(
+        [(1, "https://a.b.deep.nested.example/x")], "doc_id long, url string"
+    )
+    (row3,) = with_url_parts(df3, domain_mode="psl", psl=psl).collect()
+    assert row3["domain"] == "b.deep.nested.example"
 
 
 def test_url_parts_and_canonicalization(spark):

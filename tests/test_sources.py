@@ -287,7 +287,9 @@ def test_http_api_transport_contract_matches_synthetic(spark):
     assert urls[1] == "https://fapi.binance.com/fapi/v1/fundingRate"
     assert urls[2] == "https://eapi.binance.com/eapi/v1/mark"
     assert canned.calls[0][1]["startTime"] == start
-    assert canned.calls[0][1]["limit"] == 500
+    # page_limit clamps to the market's documented kline cap (futures
+    # 499 — the page size at which the stated weight-2 holds, ch:27)
+    assert canned.calls[0][1]["limit"] == 499
 
     # spot market routes klines to the spot host
     spot = HttpBinanceApi(market="spot", get=canned, rate_limit=None)

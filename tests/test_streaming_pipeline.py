@@ -633,13 +633,13 @@ def test_alert_tick_reads_history_via_pruned_window(spark, tmp_path):
     alerts_spec = catalog.BN_EXTREME_ALERTS
     stage_dir, perp_symbols, schema = _premium_stream_fixture(spark, tmp_path)
 
-    window_calls: list[tuple[str, object]] = []
+    window_calls: list[tuple[str, object, object]] = []
     full_reads: list[str] = []
 
     class SpyWarehouse(WH):
-        def read_between(self, spec, since=None, until=None):
-            window_calls.append((spec.name, since))
-            return super().read_between(spec, since, until)
+        def read_between(self, spec, since=None, until=None, column=None):
+            window_calls.append((spec.name, since, column))
+            return super().read_between(spec, since, until, column)
 
         def read(self, spec):
             full_reads.append(spec.name)
@@ -661,16 +661,32 @@ def test_alert_tick_reads_history_via_pruned_window(spark, tmp_path):
 
     # every detection tick went through the pruned window read, with
     # since = horizon − lookback …
-    assert [n for n, _ in window_calls] == [spec.name] * 3
-    assert all(s is not None for _, s in window_calls)
-    # … and the premium table was never read unpruned during ticks
+    prem_calls = [c for c in window_calls if c[0] == spec.name]
+    assert len(prem_calls) == 3
+    assert all(s is not None and col is None for _, s, col in prem_calls)
+    # … the ledger anti-join side is the SAME bounded window (r7
+    # verdict #1: the ledger grows forever; the tick must not) …
+    led_calls = [c for c in window_calls if c[0] == alerts_spec.name and c[2] is None]
+    assert len(led_calls) == 3
+    assert all(s is not None for _, s, _ in led_calls)
+    # … the unsent re-send scan prunes by the notified flag bounds …
+    flag_calls = [c for c in window_calls if c[2] == "notified"]
+    assert len(flag_calls) == 3
+    # … and NEITHER table was ever read unpruned during ticks
     assert spec.name not in full_reads
+    assert alerts_spec.name not in full_reads
     # the pruning is real: the 2-day window over the 4-day table lists
     # strictly fewer files than the full table
-    last_since = window_calls[-1][1]
+    last_since = prem_calls[-1][1]
     pruned = set(WH.read_between(wh, spec, since=last_since).inputFiles())
     full = set(WH.read(wh, spec).inputFiles())
     assert pruned and len(pruned) < len(full)
+    # after a healthy run every ledger file's notified bounds are
+    # True/True — the flag-pruned unsent scan lists ZERO files while
+    # the row filter keeps it exact (zero unsent rows either way)
+    unsent = WH.read_between(wh, alerts_spec, since=False, until=False, column="notified")
+    assert wh.read(alerts_spec).count() > 0  # the run did alert
+    assert unsent.inputFiles() == [] and unsent.count() == 0
 
 
 def test_alert_backlog_beyond_max_rows_drains_without_loss(spark, tmp_path):
