@@ -43,11 +43,20 @@ from binancedatapipeline_spark.textops.dedup import (  # noqa: E402
     ngram_jaccard_pairs,
     simhash,
 )
+from binancedatapipeline_spark.textops.dsir import (  # noqa: E402
+    fit_log_ratio,
+    score_importance,
+)
 from binancedatapipeline_spark.textops.corpus_io import dedup_by_url  # noqa: E402
 from binancedatapipeline_spark.textops.decontam import contamination_hits  # noqa: E402
 from binancedatapipeline_spark.textops.packing import pack_sequences  # noqa: E402
 from binancedatapipeline_spark.textops.sampling import stable_split  # noqa: E402
-from binancedatapipeline_spark.similarity import cosine_topk  # noqa: E402
+from binancedatapipeline_spark.similarity import (  # noqa: E402
+    cosine_topk,
+    sq_encode,
+    sq_topk,
+    train_sq_params,
+)
 from binancedatapipeline_spark.operators.spread import spread  # noqa: E402
 
 
@@ -676,8 +685,33 @@ def q_doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retired from the registry in round 8 (rotation for dsir_scores);
+    stays DuckDB-diff-tested in tests/test_retired_queries.py."""
     d = _t(spark, sf_dir, "documents")
     return with_rolling_fingerprint(d, k=8).select("doc_id", "rolling_fp")
+
+
+def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (textops/dsir.py — hashed-n-gram bucket
+    distributions fit on a target slice vs the whole corpus, per-doc
+    log importance weight; the data-selection family's statistical
+    core). Rotated into the registry in round 8 for doc_rolling_fp
+    (whose rolling-hash machinery stays oracle-gated through
+    doc_duplicate_spans' window hashing and diff-tested verbatim in
+    tests/test_retired_queries.py). Uses the engine-portable md5
+    bucket hash so the DuckDB oracle computes bit-identical buckets;
+    the xxhash64 production path is the default elsewhere. The fit is
+    the ONE-PASS subset form (dsir.fit_log_ratio: both distributions
+    as conditional counts of one corpus explode, ≤ m-row bounded
+    collect) — three corpus passes end to end instead of the naive
+    six."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    buckets = 512
+    lr, default = fit_log_ratio(
+        d, F.col("doc_id") % 50 == 0, buckets=buckets, bucket_hash="md5"
+    )
+    out = score_importance(d, lr, default, buckets=buckets, bucket_hash="md5")
+    return out.select("doc_id", F.round("dsir_logw", 6).alias("dsir_logw"))
 
 
 def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -758,6 +792,26 @@ def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     out = cosine_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", _r6("cosine").alias("cosine"), "rank")
+
+
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over the SQ8-compressed corpus (similarity.py:
+    train_sq_params/sq_encode/sq_topk — fit per-dim 8-bit quantization
+    on the corpus, encode to 1 byte/dim, decode-on-the-fly into the
+    exact cosine plan). Rotated into the registry in round 8 for
+    approx_distinct (whose HLL++ sketch contract stays diff-tested
+    verbatim in tests/test_retired_queries.py), oracle-gating the
+    vector-compression family: the quantization grid, clamped rounding
+    and reconstruction arithmetic are all engine-portable doubles, so
+    DuckDB reproduces the scores bit-closely (round 6)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    params = train_sq_params(emb)  # dim-sized driver collect (64 rows)
+    enc = sq_encode(emb, params).select("vec_id", "sq_code")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = sq_topk(enc, queries, params, k=10)
     return out.select("query_id", "vec_id", _r6("cosine").alias("cosine"), "rank")
 
 
@@ -846,7 +900,10 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     SPARK_GRAFT_SKETCH_ONLY=1 (set by bench.py) drops the exact
     countDistinct so the bench times what a 100 TB run would actually
     execute — the sketch alone; the oracle/correctness path (driver
-    harness, no env var) always keeps the full checkable contract."""
+    harness, no env var) always keeps the full checkable contract.
+
+    Retired from the registry in round 8 (rotation for sq8_topk);
+    stays DuckDB-diff-tested in tests/test_retired_queries.py."""
     ev = _t(spark, sf_dir, "events")
     if os.environ.get("SPARK_GRAFT_SKETCH_ONLY", "0") == "1":
         return ev.groupBy("event_type").agg(
@@ -1126,9 +1183,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (including the round-7 NULL-URL passthrough fix); and semi_join
     # (EXISTS — the same BroadcastHashJoin build/probe machinery as
     # the still-registered anti_join, one join-type flag apart) for
-    # doc_duplicate_spans, gating the L53 span-dedup family. Both
-    # retired queries stay DuckDB-diff-tested verbatim in
-    # tests/test_retired_queries.py.
+    # doc_duplicate_spans, gating the L53 span-dedup family. Round 8
+    # swapped doc_rolling_fp (rolling-hash fingerprint — the identical
+    # windowed-hash machinery stays oracle-gated through
+    # doc_duplicate_spans) for dsir_scores, gating the DSIR
+    # data-selection family's bucket-distribution statistics; and
+    # approx_distinct (HLL++ sketch — whose exact-vs-sketch contract
+    # keeps full diff-test coverage, and whose multi-distinct
+    # machinery stays oracle-gated through count_distinct) for
+    # sq8_topk, gating the vector-compression family's quantization
+    # grid end to end. All retired queries stay DuckDB-diff-tested
+    # verbatim in tests/test_retired_queries.py.
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -1160,7 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_guess": q_doc_lang_guess,
-        "doc_rolling_fp": q_doc_rolling_fp,
+        "dsir_scores": q_dsir_scores,
         "doc_simhash": q_doc_simhash,
         "doc_minhash_sig": q_doc_minhash_sig,
         "doc_lsh_pairs": q_doc_lsh_pairs,
@@ -1173,7 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "rank_windows": q_rank_windows,
         "grouping_sets": q_grouping_sets,
-        "approx_distinct": q_approx_distinct,
+        "sq8_topk": q_sq8_topk,
         "pivot": q_pivot,
         "percentiles": q_percentiles,
         "window_range_frame": q_window_range_frame,
@@ -1529,15 +1594,37 @@ best AS (
 )
 SELECT doc_id, lang, {best} AS lang_guess FROM best
 """,
-        "doc_rolling_fp": """
-WITH n AS (
-  SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS nt
-  FROM documents
+        "dsir_scores": f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, g FROM tok, UNNEST(toks) AS u(g) WHERE g <> ''
+  UNION ALL
+  SELECT doc_id, g FROM tok, UNNEST(
+    list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                   i -> array_to_string(toks[i:i+1], ' '))
+  ) AS u(g) WHERE g <> ''
+),
+bucketed AS (
+  SELECT doc_id, {_H56.format(expr='g')} % 512 AS bucket FROM grams
+),
+tdist AS (SELECT bucket, count(*) AS t_n FROM bucketed WHERE doc_id % 50 = 0 GROUP BY 1),
+rdist AS (SELECT bucket, count(*) AS r_n FROM bucketed GROUP BY 1),
+tot AS (SELECT (SELECT coalesce(sum(t_n), 0) FROM tdist) AS t_total,
+               (SELECT coalesce(sum(r_n), 0) FROM rdist) AS r_total),
+ratio AS (
+  -- every scored bucket is in rdist (the raw fit corpus IS the scored
+  -- corpus), so the smoothed default for absent-from-both never fires
+  SELECT r.bucket,
+         ln((coalesce(t.t_n, 0) + 0.5) / (tot.t_total + 0.5 * 512))
+       - ln((r.r_n + 0.5) / (tot.r_total + 0.5 * 512)) AS log_ratio
+  FROM rdist r LEFT JOIN tdist t USING (bucket) CROSS JOIN tot
+),
+scored AS (
+  SELECT b.doc_id, sum(ratio.log_ratio) AS s
+  FROM bucketed b JOIN ratio USING (bucket) GROUP BY 1
 )
-SELECT doc_id,
-       list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
-                i -> ('0x' || substr(md5(nt[i:i+7]), 1, 14))::BIGINT)) AS rolling_fp
-FROM n
+SELECT d.doc_id, round(coalesce(scored.s, 0.0), 6) AS dsir_logw
+FROM documents d LEFT JOIN scored USING (doc_id)
 """,
         "doc_simhash": f"""
 WITH tok AS (
@@ -1707,12 +1794,37 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
 """,
-        "approx_distinct": """
-SELECT event_type,
-       count(DISTINCT user_id) AS n_users_exact,
-       count(*) AS n_events,
-       TRUE AS approx_within_5pct
-FROM events GROUP BY event_type
+        "sq8_topk": """
+WITH pos AS (SELECT unnest(range(1, 65)) AS i),
+exploded AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x FROM embeddings CROSS JOIN pos
+),
+params AS (
+  SELECT i, min(x) AS lo, (max(x) - min(x)) / 255.0 AS sc
+  FROM exploded GROUP BY i
+),
+recon AS (
+  SELECT e.vec_id,
+         list(CASE WHEN p.sc = 0.0 THEN p.lo
+              ELSE p.lo + least(255, greatest(0, round((e.x - p.lo) / p.sc))) * p.sc
+              END ORDER BY e.i) AS rv
+  FROM exploded e JOIN params p USING (i)
+  GROUP BY e.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(rv, qv)
+           / (sqrt(list_dot_product(rv, rv)) * sqrt(list_dot_product(qv, qv))) AS cosine
+  FROM recon CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)::INTEGER AS rank
+FROM scored
+QUALIFY rank <= 10
 """,
         "pivot": """
 SELECT l_returnflag,

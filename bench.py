@@ -3,10 +3,14 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "queries_median": {...},
+     "queries_isolated": {...}, "sf": 0.1}
 
 Each query is forced end-to-end with the noop writer (full execution,
-no driver-side collect overhead).
+no driver-side collect overhead). Three per-query records: best and
+median of the interleaved round-robin passes (noise rejection /
+noise visibility), plus the isolated back-to-back warm probe (the
+plan's intrinsic cost, free of inter-query JVM state churn).
 """
 
 from __future__ import annotations
@@ -78,8 +82,27 @@ def main() -> None:
         med = runs[mid] if len(runs) % 2 else (runs[mid - 1] + runs[mid]) / 2
         medians[name] = round(med, 4)
 
+    # Isolated warm probes (round-7 verdict ask #9, first-class now):
+    # in-bench samples run ~2x their isolated-warm cost because the
+    # 50-query round-robin churns JVM/GC/code-cache state between
+    # consecutive samples of the same query. Probe each query
+    # back-to-back (its own state still hot from the pass above) and
+    # keep the min — this is the number plan-work should be judged
+    # against; best<<isolated in the same file flags co-tenant noise
+    # without prose. Disable with SPARK_GRAFT_BENCH_ISOLATED=0.
+    isolated: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
+        for name, fn in queries.items():
+            spark.catalog.clearCache()
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            isolated[name] = round(min(runs), 4)
+
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
+    out = {
         "metric": "total_query_sec",
         "value": total,
         "unit": "sec",
@@ -87,7 +110,11 @@ def main() -> None:
         "queries_median": medians,
         "value_median": round(sum(medians.values()), 4),
         "sf": sf,
-    }))
+    }
+    if isolated:
+        out["queries_isolated"] = isolated
+        out["value_isolated"] = round(sum(isolated.values()), 4)
+    print(json.dumps(out))
     spark.stop()
 
 

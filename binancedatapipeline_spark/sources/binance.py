@@ -321,7 +321,11 @@ class HttpBinanceApi:
         if market not in self.BASES:
             raise ValueError(f"market must be one of {sorted(self.BASES)}")
         self.market = market
-        self.page_limit = min(page_limit, self.KLINE_PAGE_CAP[market])
+        self.page_limit = page_limit
+        # the kline weight constants hold only up to the documented
+        # page caps — clamp the KLINE page size alone (funding etc.
+        # keep the caller's page_limit; their caps differ)
+        self.kline_limit = min(page_limit, self.KLINE_PAGE_CAP[market])
         self.get = get or _urllib_get_json
         self._custom_get = get is not None
         self.api_key = api_key
@@ -352,8 +356,12 @@ class HttpBinanceApi:
                 "X-MBX-APIKEY); construct HttpBinanceApi(api_key=...) or "
                 "inject a key-carrying `get` transport"
             )
-        if self.api_key is not None:
-            headers = {"X-MBX-APIKEY": self.api_key} if signed else None
+        if signed and self.api_key is not None:
+            # the third positional argument travels ONLY on signed
+            # calls — unsigned endpoints keep the two-arg transport
+            # contract so existing custom `get` callables work
+            # unchanged alongside a configured key
+            headers = {"X-MBX-APIKEY": self.api_key}
             return call_with_ban_retry(lambda: self.get(url, params, headers))
         return call_with_ban_retry(lambda: self.get(url, params))
 
@@ -361,7 +369,7 @@ class HttpBinanceApi:
         return self._call(
             self.market, "/klines", weight=self.KLINE_WEIGHT[self.market],
             symbol=symbol, interval=interval,
-            startTime=start_ms, endTime=end_ms, limit=self.page_limit,
+            startTime=start_ms, endTime=end_ms, limit=self.kline_limit,
         )
 
     def klines_tail(self, symbol: str, interval: str, start_ms: int, end_ms: int) -> list[list]:
@@ -371,7 +379,7 @@ class HttpBinanceApi:
         page = self._call(
             self.market, "/klines", weight=self.KLINE_WEIGHT[self.market],
             symbol=symbol, interval=interval,
-            endTime=end_ms, limit=self.page_limit,
+            endTime=end_ms, limit=self.kline_limit,
         )
         return [row for row in page if row[0] >= start_ms]
 

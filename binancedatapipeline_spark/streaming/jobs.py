@@ -230,6 +230,7 @@ def stream_extreme_alerts(
                 if bmax is not None:
                     horizon = bmax if horizon is None else max(horizon, bmax)
                 stored = None
+                window_pred = None
                 if detect_lookback is not None and horizon is not None:
                     # file-pruned window read — never a full table scan.
                     # Month/year lookbacks aren't timedelta-expressible;
@@ -238,15 +239,17 @@ def stream_extreme_alerts(
                     delta = parse_duration(detect_lookback)
                     if delta is not None:
                         window_since = horizon - delta
+                        window_pred = F.col(tcol) >= F.lit(window_since)
                         stored = warehouse.read_between(
                             premium_spec, since=window_since
                         )
                     else:
-                        stored = warehouse.read(premium_spec).filter(
+                        window_pred = (
                             F.col(tcol)
                             >= F.lit(horizon)
                             - F.expr(f"interval {detect_lookback}")
                         )
+                        stored = warehouse.read(premium_spec).filter(window_pred)
                 if stored is None:
                     stored = warehouse.read(premium_spec)
                 # replay-safe post-upsert view: committed rows whose PK
@@ -256,10 +259,13 @@ def stream_extreme_alerts(
                 effective = stored.join(
                     F.broadcast(batch_df.select(*pk)), on=pk, how="left_anti"
                 ).unionByName(batch_df.select(*stored.columns))
-                if window_since is not None:
-                    effective = effective.filter(
-                        F.col(tcol) >= F.lit(window_since)
-                    )
+                if window_pred is not None:
+                    # re-filter AFTER the union: a replayed/late batch
+                    # can carry rows older than the window, and letting
+                    # them into the lag windows would shift offsets —
+                    # this bound applies in BOTH the timedelta and the
+                    # month/year-interval branches
+                    effective = effective.filter(window_pred)
                 events = extreme_cases(
                     effective,
                     perp_symbols,

@@ -52,8 +52,15 @@ def hashed_ngram_buckets(
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
     n_max: int = 2,
+    bucket_hash: str = "xxhash",
 ) -> DataFrame:
-    """Add ``__buckets``: the document's hashed n-gram bucket array."""
+    """Add ``__buckets``: the document's hashed n-gram bucket array.
+
+    ``bucket_hash``: ``"xxhash"`` (default) uses the JVM's seeded
+    xxhash64 — the fast production path; ``"md5"`` uses the repo's
+    engine-portable 56-bit md5 hash (the :func:`sampling.hash_bucket`
+    / MinHash family scheme), bit-identical in any SQL engine — the
+    mode the DuckDB-differential oracle gates."""
     toks = tokens_col(F.col(text_col))
     tmp = spread(df).withColumn("__toks", toks)
     grams = None
@@ -63,9 +70,18 @@ def hashed_ngram_buckets(
     # an empty text tokenizes to [""] — drop the empty gram rather
     # than let it pollute one bucket of both distributions
     grams = F.filter(grams, lambda g: g != "")
-    hashed = F.transform(
-        grams, lambda g: F.pmod(F.xxhash64(g, F.lit(HASH_SEED)), F.lit(buckets))
-    )
+    if bucket_hash == "md5":
+        from binancedatapipeline_spark.textops.dedup import _hash56
+
+        hashed = F.transform(
+            grams, lambda g: F.pmod(_hash56(g), F.lit(buckets))
+        )
+    elif bucket_hash == "xxhash":
+        hashed = F.transform(
+            grams, lambda g: F.pmod(F.xxhash64(g, F.lit(HASH_SEED)), F.lit(buckets))
+        )
+    else:
+        raise ValueError(f"bucket_hash must be 'xxhash' or 'md5', got {bucket_hash!r}")
     return tmp.withColumn("__buckets", hashed).drop("__toks")
 
 
@@ -74,11 +90,12 @@ def bucket_distribution(
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
     n_max: int = 2,
+    bucket_hash: str = "xxhash",
 ) -> DataFrame:
     """(bucket, n): the corpus's hashed-n-gram counts — the fit
     relation, ≤ ``buckets`` rows no matter the corpus size."""
     return (
-        hashed_ngram_buckets(df, text_col, buckets, n_max)
+        hashed_ngram_buckets(df, text_col, buckets, n_max, bucket_hash)
         .select(F.explode("__buckets").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -117,6 +134,58 @@ def importance_log_ratio(
     return joined, default
 
 
+def fit_log_ratio(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+    smoothing: float = 0.5,
+    bucket_hash: str = "xxhash",
+) -> tuple[DataFrame, float]:
+    """One-pass fit when the TARGET is a predicate-defined subset of
+    the raw corpus (the common DSIR deployment: "docs that look like
+    the benchmark/domain slice" vs "everything"): ONE corpus explode
+    computes both distributions as conditional counts of the same
+    groupBy, the ≤ m-row result is collected once (bounded by
+    ``buckets``, like the SQ trainer's dim-sized collect), and the
+    log-ratio table is rebuilt as a literal relation — so downstream
+    scoring never re-derives the fit from the corpus. Next to the
+    two-relation :func:`importance_log_ratio` (which stays for
+    separate-corpus targets) this cuts the corpus passes of a full
+    fit+score from six to three. Same smoothing grids, same default;
+    returns the same (table, default) contract."""
+    b = hashed_ngram_buckets(df, text_col, buckets, n_max, bucket_hash).select(
+        F.explode("__buckets").alias("bucket"),
+        target_pred.alias("__t"),
+    )
+    rows = (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_n"),
+            F.count_if(F.col("__t")).alias("t_n"),
+        )
+        .collect()
+    )
+    t_total = sum(r["t_n"] for r in rows)
+    r_total = sum(r["r_n"] for r in rows)
+    t_denom = t_total + smoothing * buckets
+    r_denom = r_total + smoothing * buckets
+    lr = [
+        (
+            r["bucket"],
+            math.log((r["t_n"] + smoothing) / t_denom)
+            - math.log((r["r_n"] + smoothing) / r_denom),
+        )
+        for r in rows
+    ]
+    table = df.sparkSession.createDataFrame(
+        lr, "bucket bigint, log_ratio double"
+    )
+    default = math.log(smoothing / t_denom) - math.log(smoothing / r_denom)
+    return table, default
+
+
 def score_importance(
     df: DataFrame,
     log_ratio: DataFrame,
@@ -126,12 +195,15 @@ def score_importance(
     buckets: int = DEFAULT_BUCKETS,
     n_max: int = 2,
     output_col: str = "dsir_logw",
+    bucket_hash: str = "xxhash",
 ) -> DataFrame:
     """Per-document importance log-weight: explode the bucket array,
     broadcast-join the m-row ratio table, re-aggregate on the doc id.
     Documents whose text produces no n-grams score 0 (neutral)."""
     per_bucket = (
-        hashed_ngram_buckets(df.select(id_col, text_col), text_col, buckets, n_max)
+        hashed_ngram_buckets(
+            df.select(id_col, text_col), text_col, buckets, n_max, bucket_hash
+        )
         .select(id_col, F.explode("__buckets").alias("bucket"))
         .join(F.broadcast(log_ratio), "bucket", "left")
         .groupBy(id_col)

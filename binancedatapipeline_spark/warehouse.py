@@ -183,25 +183,28 @@ class Warehouse:
     # ------------------------------------------------- file statistics
 
     def _staged_file_stats(
-        self, stage: str, moves: list, column: str
-    ) -> dict[str, dict]:
-        """Per-file min/max of ``column`` for every staged data file,
-        keyed by its FINAL (post-move) relative path — recorded into
-        the manifest so the watermark and time-bounded reads can prune
-        files driver-side, before Spark lists anything.
+        self, stage: str, moves: list, columns: tuple[str, ...]
+    ) -> dict[str, dict[str, dict]]:
+        """Per-column, per-file min/max for every staged data file —
+        ``{column: {final_rel_path: {"min":…, "max":…}}}`` — recorded
+        into the manifest so the watermark and value-bounded reads can
+        prune files driver-side, before Spark lists anything. ALL
+        requested columns are extracted in ONE footer pass per file
+        (a ledger commit records time + flag bounds; re-opening the
+        metadata per column would scale footer IO with column count).
 
         Read from the parquet footers (metadata only — no data pages;
         the files were just written by this driver, so the footer read
         is a few KB of warm page cache each). A file whose every row
         group carries stats gets ``{"min":…, "max":…}`` (None/None for
         a file with no non-null values); a file with ANY stat-less row
-        group gets NO entry, which readers treat as unprunable.
-        (On an object store at 100 TB you would collect the same
-        bounds from the write tasks instead; the manifest format is
-        the contract, not the footer walk.)"""
+        group gets NO entry for that column, which readers treat as
+        unprunable. (On an object store at 100 TB you would collect
+        the same bounds from the write tasks instead; the manifest
+        format is the contract, not the footer walk.)"""
         import pyarrow.parquet as pq
 
-        out: dict[str, dict] = {}
+        out: dict[str, dict[str, dict]] = {c: {} for c in columns}
         for src_rel, dst_rel in moves:
             src = os.path.join(stage, src_rel)
             if not src.endswith(".parquet") or not os.path.isfile(src):
@@ -211,30 +214,35 @@ class Warehouse:
             except Exception:
                 continue
             if md.num_row_groups == 0:
-                out[dst_rel] = {"min": None, "max": None}
+                for c in columns:
+                    out[c][dst_rel] = {"min": None, "max": None}
                 continue
-            idx = None
-            for c in range(md.num_columns):
-                if md.row_group(0).column(c).path_in_schema == column:
-                    idx = c
-                    break
-            if idx is None:
-                continue  # column absent → unprunable
-            mn = mx = None
-            ok = True
-            for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(idx)
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    if col.num_values == 0:
-                        continue  # all-null row group: no bounds needed
-                    ok = False
-                    break
-                lo, hi = _stat_to_naive(st.min), _stat_to_naive(st.max)
-                mn = lo if mn is None or lo < mn else mn
-                mx = hi if mx is None or hi > mx else mx
-            if ok:
-                out[dst_rel] = {"min": _stat_to_json(mn), "max": _stat_to_json(mx)}
+            idx: dict[str, int] = {}
+            for i in range(md.num_columns):
+                name = md.row_group(0).column(i).path_in_schema
+                if name in out:
+                    idx[name] = i
+            for column in columns:
+                if column not in idx:
+                    continue  # column absent → unprunable
+                mn = mx = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    col = md.row_group(rg).column(idx[column])
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        if col.num_values == 0:
+                            continue  # all-null row group: no bounds needed
+                        ok = False
+                        break
+                    lo, hi = _stat_to_naive(st.min), _stat_to_naive(st.max)
+                    mn = lo if mn is None or lo < mn else mn
+                    mx = hi if mx is None or hi > mx else mx
+                if ok:
+                    out[column][dst_rel] = {
+                        "min": _stat_to_json(mn),
+                        "max": _stat_to_json(mx),
+                    }
         return out
 
     # ------------------------------------------------------------- lease
@@ -825,12 +833,22 @@ class Warehouse:
         }
         if stats_column is not None or extra_stats:
             live = {rel for rels in files.values() for rel in rels}
+            wanted = tuple(
+                dict.fromkeys(
+                    ([stats_column] if stats_column is not None else [])
+                    + list(extra_stats)
+                )
+            )
+            staged_all = self._staged_file_stats(stage, moves, wanted)
 
             def _bounds(column: str, carried: dict) -> dict:
                 stats = {rel: s for rel, s in carried.items() if rel in live}
-                staged_stats = self._staged_file_stats(stage, moves, column)
                 stats.update(
-                    {r: s for r, s in staged_stats.items() if r in live}
+                    {
+                        r: s
+                        for r, s in staged_all.get(column, {}).items()
+                        if r in live
+                    }
                 )
                 return stats
 

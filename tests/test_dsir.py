@@ -142,3 +142,62 @@ def test_identical_target_and_raw_zero_weights(spark, corpora):
     scored = dsir.score_importance(raw, ratio, default, buckets=512)
     vals = [r["dsir_logw"] for r in scored.select("dsir_logw").collect()]
     assert all(abs(v) < 1e-12 for v in vals)
+
+
+def test_md5_bucket_hash_mode_matches_xxhash_semantics(spark, corpora):
+    """bucket_hash='md5' (the engine-portable mode the dsir_scores
+    DuckDB oracle gates) must behave identically to the xxhash
+    production path in everything but the bucket ids: same total gram
+    mass, bounded support, and the identical-corpora zero-weight
+    invariant."""
+    raw, target = corpora
+    for mode in ("md5", "xxhash"):
+        t = dsir.bucket_distribution(raw, buckets=256, bucket_hash=mode)
+        rows = t.collect()
+        assert len(rows) <= 256
+        assert all(0 <= r["bucket"] < 256 for r in rows)
+    m_total = (
+        dsir.bucket_distribution(raw, buckets=256, bucket_hash="md5")
+        .agg(F.sum("n")).first()[0]
+    )
+    x_total = (
+        dsir.bucket_distribution(raw, buckets=256, bucket_hash="xxhash")
+        .agg(F.sum("n")).first()[0]
+    )
+    assert m_total == x_total  # same grams, different bucketing only
+
+    t = dsir.bucket_distribution(raw, buckets=256, bucket_hash="md5")
+    ratio, default = dsir.importance_log_ratio(t, t, buckets=256)
+    scored = dsir.score_importance(
+        raw, ratio, default, buckets=256, bucket_hash="md5"
+    )
+    assert all(
+        abs(r["dsir_logw"]) < 1e-12
+        for r in scored.select("dsir_logw").collect()
+    )
+
+    with pytest.raises(ValueError, match="bucket_hash"):
+        dsir.hashed_ngram_buckets(raw, bucket_hash="sha1").collect()
+
+
+def test_fit_log_ratio_one_pass_matches_two_relation_fit(spark, corpora):
+    """fit_log_ratio (one corpus explode, conditional counts, bounded
+    collect) must produce the same table and default as the general
+    two-relation importance_log_ratio when the target is a subset
+    predicate — and the scores built on either must agree."""
+    raw, _ = corpora
+    pred = F.col("doc_id").startswith("fin")
+    t = dsir.bucket_distribution(raw.filter(pred), buckets=256)
+    r = dsir.bucket_distribution(raw, buckets=256)
+    lr2, d2 = dsir.importance_log_ratio(t, r, buckets=256)
+    lr1, d1 = dsir.fit_log_ratio(raw, pred, buckets=256)
+    assert abs(d1 - d2) < 1e-12
+    a = {r_["bucket"]: r_["log_ratio"] for r_ in lr1.collect()}
+    b = {r_["bucket"]: r_["log_ratio"] for r_ in lr2.collect()}
+    assert set(a) == set(b)
+    assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
+    s1 = dsir.score_importance(raw, lr1, d1, buckets=256)
+    s2 = dsir.score_importance(raw, lr2, d2, buckets=256)
+    v1 = {r_["doc_id"]: r_["dsir_logw"] for r_ in s1.collect()}
+    v2 = {r_["doc_id"]: r_["dsir_logw"] for r_ in s2.collect()}
+    assert all(abs(v1[k] - v2[k]) < 1e-9 for k in v1)

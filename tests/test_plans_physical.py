@@ -74,7 +74,10 @@ def test_decontaminate_broadcasts_benchmark(spark):
 def test_no_cartesian_products_anywhere(spark):
     """No query may plan a cartesian/nested-loop join except the
     explicitly-blocked similarity scans (which bound one side)."""
-    allowed = {"emb_cosine_topk"}  # query-vector broadcast cross join by design
+    # query-vector broadcast cross joins by design: the bounded (3-row)
+    # query set is the broadcast side in both the float and the
+    # SQ8-decoded scan
+    allowed = {"emb_cosine_topk", "sq8_topk"}
     for name, fn in entry_mod.queries().items():
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().sparkPlan().toString()

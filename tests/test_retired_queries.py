@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("supplier", "lineitem", "documents"):
+    for t in ("supplier", "lineitem", "documents", "events"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     yield c
     c.close()
@@ -50,6 +50,49 @@ def test_retired_semi_join_matches_duckdb(spark, con):
                 "WHERE EXISTS (SELECT 1 FROM lineitem l WHERE "
                 "l.l_suppkey = s.s_suppkey AND "
                 "l.l_shipdate >= TIMESTAMP '2001-01-01')"
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_retired_doc_rolling_fp_matches_duckdb(spark, con):
+    # retired in round 8 (rotation for dsir_scores); oracle SQL kept
+    # verbatim from the round-7 registry
+    got = _rows(entry_mod.q_doc_rolling_fp(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       list_min(list_transform(range(1, greatest(length(nt) - 7, 1) + 1),
+                i -> ('0x' || substr(md5(nt[i:i+7]), 1, 14))::BIGINT)) AS rolling_fp
+FROM n
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_retired_approx_distinct_matches_duckdb(spark, con):
+    # retired in round 8 (rotation for sq8_topk); oracle SQL kept
+    # verbatim from the round-7 registry. The full checkable contract
+    # runs (no SPARK_GRAFT_SKETCH_ONLY): exact counts hash-verified,
+    # sketch-within-5% boolean asserted TRUE
+    got = _rows(entry_mod.q_approx_distinct(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT event_type, count(DISTINCT user_id) AS n_users_exact, "
+                "count(*) AS n_events, TRUE AS approx_within_5pct "
+                "FROM events GROUP BY event_type"
             ).fetchall(),
         )
     )

@@ -16,13 +16,15 @@ def test_approx_distinct_sketch_only_gate(spark, monkeypatch):
     """SPARK_GRAFT_SKETCH_ONLY=1 (the bench path) must drop the exact
     countDistinct double-work; without it the full oracle-checkable
     contract stands."""
+    # approx_distinct left the registry in round 8 (sq8_topk rotation)
+    # but the gate contract lives on the retired query function
     monkeypatch.delenv("SPARK_GRAFT_SKETCH_ONLY", raising=False)
-    full = entry_mod.queries()["approx_distinct"](spark, SF)
+    full = entry_mod.q_approx_distinct(spark, SF)
     assert "n_users_exact" in full.columns
     assert "approx_within_5pct" in full.columns
 
     monkeypatch.setenv("SPARK_GRAFT_SKETCH_ONLY", "1")
-    sketch = entry_mod.queries()["approx_distinct"](spark, SF)
+    sketch = entry_mod.q_approx_distinct(spark, SF)
     assert sketch.columns == ["event_type", "n_users_approx", "n_events"]
     plan = sketch._jdf.queryExecution().optimizedPlan().toString()
     assert "count(distinct" not in plan.lower(), plan

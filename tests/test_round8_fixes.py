@@ -312,10 +312,16 @@ def test_http_api_weight_budgets_and_buckets():
     api.mark_price("AAA-240101-50000-C")
     assert 998.5 < api.mr_bucket.tokens < 999.5
 
-    # per-market page caps where the stated kline weight holds
-    assert HttpBinanceApi(market="perp", get=canned, page_limit=500).page_limit == 499
-    assert HttpBinanceApi(market="spot", get=canned, page_limit=5000).page_limit == 1000
-    assert HttpBinanceApi(market="options", get=canned, page_limit=1500).page_limit == 1500
+    # per-market KLINE page caps where the stated kline weight holds —
+    # funding etc. keep the caller's page size (their caps differ)
+    perp = HttpBinanceApi(market="perp", get=canned, page_limit=1000)
+    assert perp.kline_limit == 499 and perp.page_limit == 1000
+    perp.klines("A", "1h", 0, 1)
+    assert calls[-1][1]["limit"] == 499
+    perp.funding("A", 0, 1)
+    assert calls[-1][1]["limit"] == 1000
+    assert HttpBinanceApi(market="spot", get=canned, page_limit=5000).kline_limit == 1000
+    assert HttpBinanceApi(market="options", get=canned, page_limit=1500).kline_limit == 1500
 
 
 def test_http_api_mixed_workload_paces_to_weight_budget():
@@ -356,8 +362,21 @@ def test_historical_trades_requires_api_key():
     )
     api2.historical_trades("AAA-240101-50000-C")
     assert seen[-1][1] == {"X-MBX-APIKEY": "k123"}
-    api2.klines("AAA-240101-50000-C", "1h", 0, 1)
-    assert seen[-1][1] is None
+
+    # a configured key must NOT force the third argument onto
+    # unsigned calls — a two-arg custom transport keeps working for
+    # every key-free endpoint
+    two_arg_calls = []
+
+    def two_arg(url, params):
+        two_arg_calls.append(url)
+        return []
+
+    api2b = HttpBinanceApi(
+        market="options", get=two_arg, rate_limit=None, api_key="k123"
+    )
+    api2b.klines("AAA-240101-50000-C", "1h", 0, 1)
+    assert len(two_arg_calls) == 1
 
     # a custom transport is trusted to handle auth itself (no raise)
     api3 = HttpBinanceApi(
@@ -389,3 +408,61 @@ def test_heartbeat_stops_refreshing_a_stolen_lock(spark, tmp_path):
         # the beater saw the foreign fence and stopped: mtime not
         # refreshed, so the thief's stale lease stays stealable
         assert os.path.getmtime(lock) < time.time() - 90
+
+
+def test_month_lookback_bounds_replayed_batch_rows(spark, tmp_path):
+    """Review r8: in the month/year-lookback branch (not
+    timedelta-expressible, so the premium read uses the interval
+    filter), batch rows older than the window must ALSO be excluded
+    from detection — a replayed/late batch carrying ancient rows must
+    not push them into the lag windows and alert on them."""
+    import pandas as pd
+
+    spec, alerts_spec = catalog.BN_PREMIUM, catalog.BN_EXTREME_ALERTS
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    old = pd.date_range("2024-01-01", periods=3, freq="h").astype("datetime64[us]")
+    new = pd.date_range("2024-06-01", periods=3, freq="h").astype("datetime64[us]")
+    ts = old.append(new)
+    # a squeeze planted entirely in the OLD rows (outside the window)
+    wma = [0.001, 0.001, -0.02] + [0.001, 0.001, 0.001]
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["AAAUSDT"] * 6,
+            "exchange": ["binance"] * 6,
+            "timestamp": ts,
+            "close_time": ts,
+            "premium": wma,
+            "wma120_premium": wma,
+        }
+    )
+    stage_dir = str(tmp_path / "prem_in")
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(stage_dir)
+    perp_symbols = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "symbol": ["AAAUSDT"],
+                "onboard_date": pd.to_datetime(["2019-01-01"]).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+    )
+    from binancedatapipeline_spark.streaming.jobs import stream_extreme_alerts
+
+    messages: list[str] = []
+    stream = (
+        spark.readStream.schema(spark.createDataFrame(pdf).schema)
+        .parquet(stage_dir)
+    )
+    q = stream_extreme_alerts(
+        stream, perp_symbols, wh, spec, alerts_spec,
+        str(tmp_path / "ckpt"), notify=messages.append, interval=2,
+        threshold_delta=-0.006, threshold_diff=1440,
+        detect_lookback="2 months", available_now=True,
+    )
+    q.awaitTermination(180)
+    # the old-row squeeze lies outside horizon − 2 months: no alert
+    assert messages == []
+    assert wh.read(alerts_spec).count() == 0
+    assert wh.read(spec).count() == 6  # the upsert itself keeps all rows
