@@ -258,6 +258,12 @@ BN_SPOT_KLINES = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("symbol",),
     )
 )
 
@@ -276,6 +282,12 @@ BN_SPOT_KLINES_1M = _register(
         lookback=lookback_for("1m"),
         update_frequency="1m",
         partition_date_source="timestamp",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("symbol",),
     )
 )
 
@@ -290,6 +302,12 @@ BN_PERP_KLINES = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("symbol",),
     )
 )
 
@@ -304,6 +322,12 @@ BN_OPTION_KLINES = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("symbol",),
     )
 )
 
@@ -327,6 +351,12 @@ BN_PREMIUM = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("symbol",),
     )
 )
 
@@ -382,6 +412,12 @@ BN_FUNDING_RATES = _register(
         lookback=lookback_for("8h"),
         update_frequency="8h",
         partition_date_source="fundingTime",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("symbol",),
     )
 )
 
@@ -405,5 +441,11 @@ BN_MARGIN_INTEREST_RATES = _register(
         lookback=lookback_for("8h"),
         update_frequency="8h",
         partition_date_source="timestamp",
+        # per-file bounds of the leading PK: after maintain()'s
+        # (ds, PK) range-compaction each file covers a narrow key
+        # range, so a read_between(column=...) single-key scan prunes
+        # to ~1 file per partition — the ClickHouse ORDER BY primary
+        # index, recreated on the plain-parquet manifest
+        stats_columns=("asset",),
     )
 )

@@ -1235,3 +1235,111 @@ def compact_corpus_hist(warehouse: Warehouse, sketch_spec: TableSpec) -> None:
     _compact_counting_state(
         warehouse, sketch_spec, read_corpus_hist(warehouse, sketch_spec)
     )
+
+
+# ----------------------------------------------------- incremental DSIR
+
+
+def _dsir_cells(
+    batch_df: DataFrame,
+    text_col: str,
+    target_pred,
+    buckets: int,
+    n_max: int,
+    bucket_hash: str,
+) -> DataFrame:
+    from binancedatapipeline_spark.textops.dsir import hashed_ngram_buckets
+
+    b = hashed_ngram_buckets(
+        batch_df, text_col, buckets, n_max, bucket_hash
+    ).select(
+        F.explode("__buckets").alias("bucket"),
+        target_pred.alias("__t"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("r_n"),
+            F.count_if(F.col("__t")).alias("t_n"),
+        )
+        .withColumn("buckets", F.lit(buckets))
+        .withColumn("n_max", F.lit(n_max))
+    )
+
+
+def stream_dsir_fit(
+    stream: DataFrame,
+    warehouse: Warehouse,
+    dist_spec: TableSpec,
+    checkpoint_dir: str,
+    target_pred,
+    text_col: str = "text",
+    buckets: int = 8192,
+    n_max: int = 2,
+    bucket_hash: str = "xxhash",
+    available_now: bool = True,
+    trigger_interval: str = "1 hour",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Maintain the DSIR fit AT INGEST: per micro-batch, the batch's
+    hashed-n-gram conditional counts — ``r_n`` over every document,
+    ``t_n`` over those matching ``target_pred`` (the target-domain
+    predicate, e.g. a quality/source flag) — land as batch-keyed rows
+    under the counting-state discipline (:func:`_stream_counting_state`:
+    replay REPLACES, new checkpoint rebuilds, geometry guarded on
+    (buckets, n_max)). The distributions a batch contributes are pure
+    additive counts, so the corpus-wide fit is an exact fold of the
+    per-batch cells, always current — no refit pass over 100 TB when
+    the mixture shifts. Read the live ratio table with
+    :func:`dsir_log_ratio_from_state`; compact a stopped stream with
+    :func:`compact_dsir_distribution`.
+
+    ``dist_spec`` MUST be keyed ``(batch_ds, batch_id, bucket)`` and
+    carry ``r_n``/``t_n``/``buckets``/``n_max`` + ``stream_id``."""
+    if not {"batch_id", "bucket"} <= set(dist_spec.primary_keys):
+        raise ValueError("dist_spec PK must contain (batch_id, bucket)")
+    return _stream_counting_state(
+        stream, warehouse, dist_spec, checkpoint_dir,
+        lambda b: _dsir_cells(b, text_col, target_pred, buckets, n_max, bucket_hash),
+        ("buckets", "n_max"), (buckets, n_max),
+        "stream_dsir_fit: stored fit geometry",
+        available_now, trigger_interval, on_batch,
+    )
+
+
+def read_dsir_distribution(warehouse: Warehouse, dist_spec: TableSpec) -> DataFrame:
+    """The corpus-wide conditional counts: per-batch cells folded —
+    ``(bucket, r_n, t_n, buckets, n_max)``, ≤ ``buckets`` rows."""
+    return (
+        warehouse.read(dist_spec)
+        .groupBy("bucket", "buckets", "n_max")
+        .agg(F.sum("r_n").alias("r_n"), F.sum("t_n").alias("t_n"))
+    )
+
+
+def dsir_log_ratio_from_state(
+    warehouse: Warehouse,
+    dist_spec: TableSpec,
+    smoothing: float = 0.5,
+):
+    """(log-ratio table, default) from the streamed fit state — the
+    same contract :func:`textops.dsir.importance_log_ratio` returns,
+    ready for ``score_importance``/``dsir_select`` over any corpus or
+    the next micro-batch. Bounded driver work: the fold is ≤
+    ``buckets`` rows."""
+    from binancedatapipeline_spark.textops.dsir import ratio_from_counts
+
+    rows = read_dsir_distribution(warehouse, dist_spec).collect()
+    if not rows:
+        raise ValueError("no DSIR fit state stored yet")
+    buckets = rows[0]["buckets"]
+    return ratio_from_counts(warehouse.spark, rows, buckets, smoothing)
+
+
+def compact_dsir_distribution(warehouse: Warehouse, dist_spec: TableSpec) -> None:
+    """Collapse the per-batch fit cells into one folded batch — the
+    shared atomic-replacement protocol (:func:`_compact_counting_state`;
+    read its STOPPED-STREAM-ONLY contract)."""
+    _compact_counting_state(
+        warehouse, dist_spec, read_dsir_distribution(warehouse, dist_spec)
+    )

@@ -167,6 +167,20 @@ def fit_log_ratio(
         )
         .collect()
     )
+    return ratio_from_counts(df.sparkSession, rows, buckets, smoothing)
+
+
+def ratio_from_counts(
+    spark,
+    rows,
+    buckets: int = DEFAULT_BUCKETS,
+    smoothing: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """(log-ratio table, default) from collected conditional counts —
+    rows with ``bucket``/``r_n``/``t_n`` fields (≤ ``buckets`` of
+    them, so driver-side math is bounded). The shared back half of
+    :func:`fit_log_ratio` and the streaming state reader
+    (streaming.jobs.dsir_log_ratio_from_state)."""
     t_total = sum(r["t_n"] for r in rows)
     r_total = sum(r["r_n"] for r in rows)
     t_denom = t_total + smoothing * buckets
@@ -179,9 +193,7 @@ def fit_log_ratio(
         )
         for r in rows
     ]
-    table = df.sparkSession.createDataFrame(
-        lr, "bucket bigint, log_ratio double"
-    )
+    table = spark.createDataFrame(lr, "bucket bigint, log_ratio double")
     default = math.log(smoothing / t_denom) - math.log(smoothing / r_denom)
     return table, default
 

@@ -466,3 +466,46 @@ def test_month_lookback_bounds_replayed_batch_rows(spark, tmp_path):
     assert messages == []
     assert wh.read(alerts_spec).count() == 0
     assert wh.read(spec).count() == 6  # the upsert itself keeps all rows
+
+
+def test_symbol_bounds_prune_file_listing(spark, tmp_path):
+    """Round 8: fact specs record per-file bounds of their leading PK
+    (symbol/asset) in the manifest — after a range-clustered layout
+    (maintain()'s (ds, PK) repartitionByRange, here produced directly)
+    a single-symbol read lists only the files whose recorded range
+    covers that symbol, recreating the ClickHouse ORDER BY primary
+    index on the plain-parquet manifest."""
+    import pandas as pd
+
+    spec = catalog.BN_PREMIUM
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ts = pd.date_range("2024-03-01", periods=48, freq="h").astype("datetime64[us]")
+    rows = []
+    for i, sym in enumerate(["AAA", "BBB", "CCC", "DDD"]):
+        for t in ts:
+            rows.append((sym + "USDT", "binance", t, t, 0.001 * i, 0.001 * i))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=[
+            "symbol", "exchange", "timestamp", "close_time",
+            "premium", "wma120_premium",
+        ])
+    ).repartitionByRange(4, "symbol")
+    wh.overwrite(spec, df)
+
+    manifest = wh._load_manifest(spec.name)
+    assert "symbol" in manifest.get("stats_extra", {})
+
+    full = set(wh.read(spec).inputFiles())
+    one = wh.read_between(spec, column="symbol", since="BBBUSDT", until="BBBUSDT")
+    pruned = set(one.inputFiles())
+    assert pruned and pruned < full
+    assert one.count() == 48
+    assert {r["symbol"] for r in one.select("symbol").distinct().collect()} == {"BBBUSDT"}
+    # compaction keeps the bounds complete (a 1-file partition simply
+    # stops pruning; the row filter keeps the read exact either way)
+    wh.maintain(spec, max_files_per_partition=1)
+    m2 = wh._load_manifest(spec.name)
+    rels = [r for rs in m2["files"].values() for r in rs]
+    assert rels and all(r in m2["stats_extra"]["symbol"] for r in rels)
+    one2 = wh.read_between(spec, column="symbol", since="BBBUSDT", until="BBBUSDT")
+    assert one2.count() == 48
