@@ -897,10 +897,11 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, making the boolean stable). The oracle emits the
     exact count and literal TRUE.
 
-    SPARK_GRAFT_SKETCH_ONLY=1 (set by bench.py) drops the exact
-    countDistinct so the bench times what a 100 TB run would actually
-    execute — the sketch alone; the oracle/correctness path (driver
-    harness, no env var) always keeps the full checkable contract.
+    SPARK_GRAFT_SKETCH_ONLY=1 (opt-in, e.g. a production caller or
+    tests/test_round4_fixes.py) drops the exact countDistinct so a
+    timed run executes what a 100 TB run would — the sketch alone;
+    the oracle/correctness path (driver harness, no env var) always
+    keeps the full checkable contract.
 
     Retired from the registry in round 8 (rotation for sq8_topk);
     stays DuckDB-diff-tested in tests/test_retired_queries.py."""

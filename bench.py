@@ -27,11 +27,6 @@ from binancedatapipeline_spark.session import get_session
 
 
 def main() -> None:
-    # Time the sketch path of approx_distinct, not the exact+sketch
-    # double work the oracle contract needs — the bench measures what
-    # a production run would execute (correctness runs, which never go
-    # through bench.py, keep the full checkable schema).
-    os.environ.setdefault("SPARK_GRAFT_SKETCH_ONLY", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))

@@ -74,7 +74,12 @@ class TableSpec:
     # warehouse manifest (beyond time_column) so value-bounded reads
     # can file-prune on them — e.g. the alert ledger's ``notified``
     # flag: after a healthy tick every file's bounds are True/True and
-    # the unsent re-send scan lists ZERO files
+    # the unsent re-send scan lists ZERO files. Fact tables list their
+    # leading PK (symbol) here: after maintain()'s (ds, PK)
+    # range-compaction each file covers a narrow key range, so a
+    # read_between(column=...) single-key scan prunes to ~1 file per
+    # partition — the ClickHouse ORDER BY primary index, recreated on
+    # the plain-parquet manifest.
     stats_columns: tuple[str, ...] = ()
 
     @property
@@ -258,11 +263,7 @@ BN_SPOT_KLINES = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
-        # per-file bounds of the leading PK: after maintain()'s
-        # (ds, PK) range-compaction each file covers a narrow key
-        # range, so a read_between(column=...) single-key scan prunes
-        # to ~1 file per partition — the ClickHouse ORDER BY primary
-        # index, recreated on the plain-parquet manifest
+        # leading-PK file bounds (mechanism: see TableSpec.stats_columns)
         stats_columns=("symbol",),
     )
 )
@@ -282,11 +283,7 @@ BN_SPOT_KLINES_1M = _register(
         lookback=lookback_for("1m"),
         update_frequency="1m",
         partition_date_source="timestamp",
-        # per-file bounds of the leading PK: after maintain()'s
-        # (ds, PK) range-compaction each file covers a narrow key
-        # range, so a read_between(column=...) single-key scan prunes
-        # to ~1 file per partition — the ClickHouse ORDER BY primary
-        # index, recreated on the plain-parquet manifest
+        # leading-PK file bounds (mechanism: see TableSpec.stats_columns)
         stats_columns=("symbol",),
     )
 )
@@ -302,11 +299,7 @@ BN_PERP_KLINES = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
-        # per-file bounds of the leading PK: after maintain()'s
-        # (ds, PK) range-compaction each file covers a narrow key
-        # range, so a read_between(column=...) single-key scan prunes
-        # to ~1 file per partition — the ClickHouse ORDER BY primary
-        # index, recreated on the plain-parquet manifest
+        # leading-PK file bounds (mechanism: see TableSpec.stats_columns)
         stats_columns=("symbol",),
     )
 )
@@ -322,11 +315,7 @@ BN_OPTION_KLINES = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
-        # per-file bounds of the leading PK: after maintain()'s
-        # (ds, PK) range-compaction each file covers a narrow key
-        # range, so a read_between(column=...) single-key scan prunes
-        # to ~1 file per partition — the ClickHouse ORDER BY primary
-        # index, recreated on the plain-parquet manifest
+        # leading-PK file bounds (mechanism: see TableSpec.stats_columns)
         stats_columns=("symbol",),
     )
 )
@@ -351,11 +340,7 @@ BN_PREMIUM = _register(
         lookback=lookback_for("1h"),
         update_frequency="1h",
         partition_date_source="timestamp",
-        # per-file bounds of the leading PK: after maintain()'s
-        # (ds, PK) range-compaction each file covers a narrow key
-        # range, so a read_between(column=...) single-key scan prunes
-        # to ~1 file per partition — the ClickHouse ORDER BY primary
-        # index, recreated on the plain-parquet manifest
+        # leading-PK file bounds (mechanism: see TableSpec.stats_columns)
         stats_columns=("symbol",),
     )
 )
@@ -412,11 +397,7 @@ BN_FUNDING_RATES = _register(
         lookback=lookback_for("8h"),
         update_frequency="8h",
         partition_date_source="fundingTime",
-        # per-file bounds of the leading PK: after maintain()'s
-        # (ds, PK) range-compaction each file covers a narrow key
-        # range, so a read_between(column=...) single-key scan prunes
-        # to ~1 file per partition — the ClickHouse ORDER BY primary
-        # index, recreated on the plain-parquet manifest
+        # leading-PK file bounds (mechanism: see TableSpec.stats_columns)
         stats_columns=("symbol",),
     )
 )

@@ -293,8 +293,10 @@ class HttpBinanceApi:
     ``historical_trades`` through the default transport WITHOUT a key
     raises immediately rather than 401ing in production. (A custom
     injected ``get`` is trusted to handle auth itself; it receives the
-    header as a third positional argument only when ``api_key`` is
-    set.)"""
+    header dict as a third positional argument ONLY on signed calls
+    with ``api_key`` set — unsigned endpoints always call it with the
+    two-argument ``(url, params)`` shape, so existing transports work
+    unchanged alongside a configured key.)"""
 
     BASES = {
         "spot": "https://api.binance.com/api/v3",
@@ -307,6 +309,7 @@ class HttpBinanceApi:
     WEIGHT_BUDGETS = {"spot": (5500, 60.0), "perp": (2300, 60.0), "options": (2300, 60.0)}
     KLINE_WEIGHT = {"spot": 2, "perp": 2, "options": 1}
     KLINE_PAGE_CAP = {"spot": 1000, "perp": 499, "options": 1500}
+    FUNDING_PAGE_CAP = 1000  # /fundingRate documented max limit
     FR_BUDGET = (1000, 300.0)  # fundingRate: own budget (ch:32-33)
     MR_BUDGET = (1000, 60.0)  # mark price: own budget (ch:35-36)
 
@@ -387,7 +390,7 @@ class HttpBinanceApi:
         return self._call(
             "perp", "/fundingRate", bucket=self.fr_bucket,
             symbol=symbol, startTime=start_ms, endTime=end_ms,
-            limit=self.page_limit,
+            limit=min(self.page_limit, self.FUNDING_PAGE_CAP),
         )
 
     def depth(self, symbol: str, limit: int = 100) -> dict:

@@ -1248,19 +1248,11 @@ def _dsir_cells(
     n_max: int,
     bucket_hash: str,
 ) -> DataFrame:
-    from binancedatapipeline_spark.textops.dsir import hashed_ngram_buckets
+    from binancedatapipeline_spark.textops.dsir import conditional_bucket_counts
 
-    b = hashed_ngram_buckets(
-        batch_df, text_col, buckets, n_max, bucket_hash
-    ).select(
-        F.explode("__buckets").alias("bucket"),
-        target_pred.alias("__t"),
-    )
     return (
-        b.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("r_n"),
-            F.count_if(F.col("__t")).alias("t_n"),
+        conditional_bucket_counts(
+            batch_df, target_pred, text_col, buckets, n_max, bucket_hash
         )
         .withColumn("buckets", F.lit(buckets))
         .withColumn("n_max", F.lit(n_max))

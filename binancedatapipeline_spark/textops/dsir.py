@@ -155,19 +155,38 @@ def fit_log_ratio(
     separate-corpus targets) this cuts the corpus passes of a full
     fit+score from six to three. Same smoothing grids, same default;
     returns the same (table, default) contract."""
-    b = hashed_ngram_buckets(df, text_col, buckets, n_max, bucket_hash).select(
-        F.explode("__buckets").alias("bucket"),
-        target_pred.alias("__t"),
-    )
-    rows = (
-        b.groupBy("bucket")
+    rows = conditional_bucket_counts(
+        df, target_pred, text_col, buckets, n_max, bucket_hash
+    ).collect()
+    return ratio_from_counts(df.sparkSession, rows, buckets, smoothing)
+
+
+def conditional_bucket_counts(
+    df: DataFrame,
+    target_pred,
+    text_col: str = "text",
+    buckets: int = DEFAULT_BUCKETS,
+    n_max: int = 2,
+    bucket_hash: str = "xxhash",
+) -> DataFrame:
+    """``(bucket, r_n, t_n)``: both fit distributions as conditional
+    counts of ONE corpus explode — ``r_n`` over every document's
+    grams, ``t_n`` over those where ``target_pred`` holds. The single
+    implementation behind :func:`fit_log_ratio` AND the streamed fit
+    (streaming.jobs.stream_dsir_fit) — the streamed fold equals the
+    one-shot fit bit-exactly because they are the same expressions."""
+    return (
+        hashed_ngram_buckets(df, text_col, buckets, n_max, bucket_hash)
+        .select(
+            F.explode("__buckets").alias("bucket"),
+            target_pred.alias("__t"),
+        )
+        .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("r_n"),
             F.count_if(F.col("__t")).alias("t_n"),
         )
-        .collect()
     )
-    return ratio_from_counts(df.sparkSession, rows, buckets, smoothing)
 
 
 def ratio_from_counts(

@@ -313,9 +313,9 @@ def test_http_api_weight_budgets_and_buckets():
     assert 998.5 < api.mr_bucket.tokens < 999.5
 
     # per-market KLINE page caps where the stated kline weight holds —
-    # funding etc. keep the caller's page size (their caps differ)
-    perp = HttpBinanceApi(market="perp", get=canned, page_limit=1000)
-    assert perp.kline_limit == 499 and perp.page_limit == 1000
+    # funding clamps to its own documented /fundingRate max (1000)
+    perp = HttpBinanceApi(market="perp", get=canned, page_limit=1500)
+    assert perp.kline_limit == 499 and perp.page_limit == 1500
     perp.klines("A", "1h", 0, 1)
     assert calls[-1][1]["limit"] == 499
     perp.funding("A", 0, 1)

@@ -114,7 +114,12 @@ def main() -> None:
             notify=msgs.append, interval=2, detect_lookback="7 days",
             available_now=True,
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                f"step {step}: tick exceeded the 600s budget — the "
+                "growth-curve row would be truncated/raced, aborting"
+            )
         tick_s = time.perf_counter() - t0
 
         # evidence: what the bounded reads actually list vs the tables
