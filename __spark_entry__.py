@@ -703,8 +703,11 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the xxhash64 production path is the default elsewhere. The fit is
     the ONE-PASS subset form (dsir.fit_log_ratio: both distributions
     as conditional counts of one corpus explode, ≤ m-row bounded
-    collect) — three corpus passes end to end instead of the naive
-    six."""
+    collect) and scoring is the literal-array form (the m-row fit
+    rides in as one array literal; each doc scored in its own
+    projection — no join, no doc_id re-shuffle): two corpus passes
+    and one m-bucket shuffle end to end instead of the naive six
+    passes."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     buckets = 512
     lr, default = fit_log_ratio(

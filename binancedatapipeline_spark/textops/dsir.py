@@ -217,6 +217,13 @@ def ratio_from_counts(
     return table, default
 
 
+# score_importance ships the ratio table as one array literal up to
+# this m; larger fits fall back to the broadcast-join form (a 64k
+# double array literal is ~512 KB in the plan — fine; unbounded m is
+# the caller saying the table may not fit a literal)
+MAX_LITERAL_BUCKETS = 65_536
+
+
 def score_importance(
     df: DataFrame,
     log_ratio: DataFrame,
@@ -227,10 +234,58 @@ def score_importance(
     n_max: int = 2,
     output_col: str = "dsir_logw",
     bucket_hash: str = "xxhash",
+    method: str = "auto",
 ) -> DataFrame:
-    """Per-document importance log-weight: explode the bucket array,
-    broadcast-join the m-row ratio table, re-aggregate on the doc id.
-    Documents whose text produces no n-grams score 0 (neutral)."""
+    """Per-document importance log-weight. Documents whose text
+    produces no n-grams score 0 (neutral).
+
+    ``method="literal"`` (the ``"auto"`` pick whenever ``buckets`` ≤
+    ``MAX_LITERAL_BUCKETS``): the fit is at most m rows by
+    construction, so collect it once (bounded), index it into a
+    dense m-length array literal, and score every document inside its
+    own projection — ``aggregate(__buckets, 0.0, acc + arr[b])``. No
+    explode, no join, no doc-id re-aggregation: scoring is
+    embarrassingly parallel, and the fit's m-bucket shuffle is the
+    only exchange in the whole fit+score pipeline. This is the 100 TB
+    shape — the join form re-shuffled the entire corpus on ``id_col``
+    to fold per-bucket rows back into documents.
+
+    ``method="join"``: explode the bucket array, broadcast-join the
+    m-row ratio table, re-aggregate on the doc id, join back — kept
+    for fits too wide to ship as a literal."""
+    if method not in ("auto", "literal", "join"):
+        raise ValueError(f"method must be 'auto', 'literal' or 'join', got {method!r}")
+    if method == "literal" or (method == "auto" and buckets <= MAX_LITERAL_BUCKETS):
+        vals = [float(default_log_ratio)] * buckets
+        for r in log_ratio.collect():  # bounded: ≤ buckets rows
+            b = int(r["bucket"])
+            if not 0 <= b < buckets:
+                # a negative index would silently wrap in the Python
+                # list — fail loud on a table/buckets mismatch instead
+                raise ValueError(
+                    f"log_ratio bucket {b} outside [0, {buckets}) — "
+                    "was the table fit with a different `buckets`?"
+                )
+            vals[b] = float(r["log_ratio"])
+        arr = F.lit(vals)
+        return (
+            hashed_ngram_buckets(df, text_col, buckets, n_max, bucket_hash)
+            .withColumn(
+                output_col,
+                F.coalesce(
+                    F.aggregate(
+                        F.col("__buckets"),
+                        F.lit(0.0),
+                        # bucket ∈ [0, m) by pmod, so the 1-based index
+                        # is always in range (ANSI element_at is strict)
+                        lambda acc, b: acc
+                        + F.element_at(arr, (b + F.lit(1)).cast("int")),
+                    ),
+                    F.lit(0.0),
+                ),
+            )
+            .drop("__buckets")
+        )
     per_bucket = (
         hashed_ngram_buckets(
             df.select(id_col, text_col), text_col, buckets, n_max, bucket_hash

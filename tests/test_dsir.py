@@ -115,7 +115,11 @@ def test_unseen_buckets_and_empty_text_are_defined(spark, corpora):
     assert rows["unseen"] is not None  # smoothed 0/0 constant, not null
 
 
-def test_scoring_plan_broadcasts_ratio_table(spark, corpora):
+def test_scoring_plan_is_pure_projection(spark, corpora):
+    """The auto/literal path must score without ANY join or
+    aggregation exchange — the m-row fit rides in as an array literal
+    and each document is scored inside its own projection (the
+    100 TB shape: no corpus re-shuffle on doc_id)."""
     raw, target = corpora
     t = dsir.bucket_distribution(target, buckets=512)
     r = dsir.bucket_distribution(raw, buckets=512)
@@ -123,8 +127,45 @@ def test_scoring_plan_broadcasts_ratio_table(spark, corpora):
     plan = dsir.score_importance(
         raw, ratio, default, buckets=512
     )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_scoring_join_fallback_broadcasts_ratio_table(spark, corpora):
+    """The explicit join path (fits too wide for a literal) still
+    broadcasts the m-row table — never a shuffle join or cartesian."""
+    raw, target = corpora
+    t = dsir.bucket_distribution(target, buckets=512)
+    r = dsir.bucket_distribution(raw, buckets=512)
+    ratio, default = dsir.importance_log_ratio(t, r, buckets=512)
+    plan = dsir.score_importance(
+        raw, ratio, default, buckets=512, method="join"
+    )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scoring_literal_and_join_paths_agree(spark, corpora):
+    raw, target = corpora
+    t = dsir.bucket_distribution(target, buckets=512)
+    r = dsir.bucket_distribution(raw, buckets=512)
+    ratio, default = dsir.importance_log_ratio(t, r, buckets=512)
+    lit_scores = {
+        row["doc_id"]: row["dsir_logw"]
+        for row in dsir.score_importance(
+            raw, ratio, default, buckets=512, method="literal"
+        ).collect()
+    }
+    join_scores = {
+        row["doc_id"]: row["dsir_logw"]
+        for row in dsir.score_importance(
+            raw, ratio, default, buckets=512, method="join"
+        ).collect()
+    }
+    assert set(lit_scores) == set(join_scores)
+    assert all(
+        abs(lit_scores[k] - join_scores[k]) < 1e-9 for k in lit_scores
+    )
 
 
 def test_k_at_least_n_returns_everything(spark, corpora):
