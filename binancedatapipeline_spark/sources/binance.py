@@ -285,7 +285,9 @@ class HttpBinanceApi:
     run under their own buckets (1000/5 min and 1000/min — the
     reference's FR_/MR_ constants), matching their separately-budgeted
     endpoints. ``page_limit`` is clamped to the market's documented
-    kline page cap, where the stated kline weight holds.
+    kline page cap, where the stated kline weight holds; funding
+    requests are likewise clamped to the documented /fundingRate max
+    of 1000 rows per page.
 
     ``api_key`` (optional) is sent as ``X-MBX-APIKEY`` — required by
     the MARKET_DATA-security :meth:`historical_trades` endpoint; the
@@ -326,8 +328,9 @@ class HttpBinanceApi:
         self.market = market
         self.page_limit = page_limit
         # the kline weight constants hold only up to the documented
-        # page caps — clamp the KLINE page size alone (funding etc.
-        # keep the caller's page_limit; their caps differ)
+        # page caps — precompute the kline clamp here; funding()
+        # clamps separately to FUNDING_PAGE_CAP at the call site
+        # (different endpoint, different documented max)
         self.kline_limit = min(page_limit, self.KLINE_PAGE_CAP[market])
         self.get = get or _urllib_get_json
         self._custom_get = get is not None

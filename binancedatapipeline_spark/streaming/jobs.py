@@ -1314,18 +1314,22 @@ def dsir_log_ratio_from_state(
     dist_spec: TableSpec,
     smoothing: float = 0.5,
 ):
-    """(log-ratio table, default) from the streamed fit state — the
-    same contract :func:`textops.dsir.importance_log_ratio` returns,
-    ready for ``score_importance``/``dsir_select`` over any corpus or
-    the next micro-batch. Bounded driver work: the fold is ≤
-    ``buckets`` rows."""
+    """(log-ratio pairs, default) from the streamed fit state — the
+    same contract :func:`textops.dsir.fit_log_ratio` returns:
+    driver-side ``(bucket, log_ratio)`` pairs that
+    ``score_importance`` consumes directly, building the literal
+    scoring plan for any corpus or the next micro-batch without
+    another cluster round-trip (a per-micro-batch scoring loop pays
+    only this bounded fold, never a createDataFrame→collect bounce).
+    Bounded driver work: the fold is ≤ ``buckets`` rows; use
+    :func:`textops.dsir.ratio_table` for the relation form."""
     from binancedatapipeline_spark.textops.dsir import ratio_from_counts
 
     rows = read_dsir_distribution(warehouse, dist_spec).collect()
     if not rows:
         raise ValueError("no DSIR fit state stored yet")
     buckets = rows[0]["buckets"]
-    return ratio_from_counts(warehouse.spark, rows, buckets, smoothing)
+    return ratio_from_counts(rows, buckets, smoothing)
 
 
 def compact_dsir_distribution(warehouse: Warehouse, dist_spec: TableSpec) -> None:

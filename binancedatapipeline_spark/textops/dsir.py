@@ -142,23 +142,27 @@ def fit_log_ratio(
     n_max: int = 2,
     smoothing: float = 0.5,
     bucket_hash: str = "xxhash",
-) -> tuple[DataFrame, float]:
+) -> tuple[list, float]:
     """One-pass fit when the TARGET is a predicate-defined subset of
     the raw corpus (the common DSIR deployment: "docs that look like
     the benchmark/domain slice" vs "everything"): ONE corpus explode
     computes both distributions as conditional counts of the same
     groupBy, the ≤ m-row result is collected once (bounded by
     ``buckets``, like the SQ trainer's dim-sized collect), and the
-    log-ratio table is rebuilt as a literal relation — so downstream
-    scoring never re-derives the fit from the corpus. Next to the
-    two-relation :func:`importance_log_ratio` (which stays for
-    separate-corpus targets) this cuts the corpus passes of a full
-    fit+score from six to three. Same smoothing grids, same default;
-    returns the same (table, default) contract."""
+    log-ratio comes back as driver-side ``(bucket, log_ratio)`` pairs
+    — :func:`score_importance` consumes the pairs directly and builds
+    its literal scoring plan without touching the cluster again, so
+    downstream scoring never re-derives the fit from the corpus.
+    Next to the two-relation :func:`importance_log_ratio` (which
+    stays for separate-corpus targets, and returns a DataFrame) this
+    cuts the corpus passes of a full fit+score from six to two (one
+    explode for the fit, one projection pass for the score; the
+    join-form score would add a third). Same smoothing grids, same
+    default; returns ``(pairs, default)``."""
     rows = conditional_bucket_counts(
         df, target_pred, text_col, buckets, n_max, bucket_hash
     ).collect()
-    return ratio_from_counts(df.sparkSession, rows, buckets, smoothing)
+    return ratio_from_counts(rows, buckets, smoothing)
 
 
 def conditional_bucket_counts(
@@ -190,31 +194,57 @@ def conditional_bucket_counts(
 
 
 def ratio_from_counts(
-    spark,
     rows,
     buckets: int = DEFAULT_BUCKETS,
     smoothing: float = 0.5,
-) -> tuple[DataFrame, float]:
-    """(log-ratio table, default) from collected conditional counts —
+) -> tuple[list, float]:
+    """(log-ratio pairs, default) from collected conditional counts —
     rows with ``bucket``/``r_n``/``t_n`` fields (≤ ``buckets`` of
-    them, so driver-side math is bounded). The shared back half of
+    them, so driver-side math is bounded). The pairs stay on the
+    driver: :func:`score_importance` accepts them as-is and ships
+    them into the scoring projection as one array literal — no
+    createDataFrame→collect round-trip through the JVM for data the
+    driver already holds. The shared back half of
     :func:`fit_log_ratio` and the streaming state reader
-    (streaming.jobs.dsir_log_ratio_from_state)."""
+    (streaming.jobs.dsir_log_ratio_from_state); use
+    :func:`ratio_table` when the relation form is needed."""
     t_total = sum(r["t_n"] for r in rows)
     r_total = sum(r["r_n"] for r in rows)
     t_denom = t_total + smoothing * buckets
     r_denom = r_total + smoothing * buckets
     lr = [
         (
-            r["bucket"],
+            int(r["bucket"]),
             math.log((r["t_n"] + smoothing) / t_denom)
             - math.log((r["r_n"] + smoothing) / r_denom),
         )
         for r in rows
     ]
-    table = spark.createDataFrame(lr, "bucket bigint, log_ratio double")
     default = math.log(smoothing / t_denom) - math.log(smoothing / r_denom)
-    return table, default
+    return lr, default
+
+
+def ratio_table(spark, pairs) -> DataFrame:
+    """The relation form of driver-side ``(bucket, log_ratio)`` pairs
+    — for callers that need the fit as a DataFrame (e.g. persisting
+    it, or the explicit ``method="join"`` scoring path)."""
+    return spark.createDataFrame(
+        [(int(b), float(v)) for b, v in _ratio_pairs(pairs)],
+        "bucket bigint, log_ratio double",
+    )
+
+
+def _ratio_pairs(log_ratio) -> list:
+    """Normalize a driver-side fit — Rows, dicts, or 2-tuples — to
+    ``[(bucket, log_ratio)]``."""
+    out = []
+    for r in log_ratio:
+        try:
+            b, v = r["bucket"], r["log_ratio"]
+        except (TypeError, KeyError, IndexError, ValueError):
+            b, v = r
+        out.append((int(b), float(v)))
+    return out
 
 
 # score_importance ships the ratio table as one array literal up to
@@ -226,7 +256,7 @@ MAX_LITERAL_BUCKETS = 65_536
 
 def score_importance(
     df: DataFrame,
-    log_ratio: DataFrame,
+    log_ratio,
     default_log_ratio: float,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -239,26 +269,45 @@ def score_importance(
     """Per-document importance log-weight. Documents whose text
     produces no n-grams score 0 (neutral).
 
-    ``method="literal"`` (the ``"auto"`` pick whenever ``buckets`` ≤
-    ``MAX_LITERAL_BUCKETS``): the fit is at most m rows by
-    construction, so collect it once (bounded), index it into a
-    dense m-length array literal, and score every document inside its
-    own projection — ``aggregate(__buckets, 0.0, acc + arr[b])``. No
-    explode, no join, no doc-id re-aggregation: scoring is
-    embarrassingly parallel, and the fit's m-bucket shuffle is the
-    only exchange in the whole fit+score pipeline. This is the 100 TB
-    shape — the join form re-shuffled the entire corpus on ``id_col``
-    to fold per-bucket rows back into documents.
+    ``log_ratio`` is either driver-side ``(bucket, log_ratio)`` pairs
+    (what :func:`fit_log_ratio` / :func:`ratio_from_counts` return —
+    Rows, dicts, or 2-tuples) or a DataFrame (what
+    :func:`importance_log_ratio` returns).
+
+    ``method="literal"``: index the ≤ m-row fit into a dense m-length
+    array literal and score every document inside its own projection
+    — ``aggregate(__buckets, 0.0, acc + arr[b])``. No explode, no
+    join, no doc-id re-aggregation: scoring is embarrassingly
+    parallel, and the fit's m-bucket shuffle is the only exchange in
+    the whole fit+score pipeline. This is the 100 TB shape — the join
+    form re-shuffles the entire corpus on ``id_col`` to fold
+    per-bucket rows back into documents. From pairs this builds the
+    plan with ZERO Spark jobs; from a DataFrame it must ``collect()``
+    the fit HERE, at plan-construction time — explicit opt-in to that
+    eagerness (bounded: ≤ m rows, but it executes whatever corpus
+    passes the fit plan contains).
 
     ``method="join"``: explode the bucket array, broadcast-join the
-    m-row ratio table, re-aggregate on the doc id, join back — kept
-    for fits too wide to ship as a literal."""
+    m-row ratio table, re-aggregate on the doc id, join back — fully
+    lazy, kept for fits too wide to ship as a literal.
+
+    ``method="auto"`` picks literal whenever it costs no cluster work
+    at construction — pairs, or a driver-local relation, with
+    ``buckets`` ≤ ``MAX_LITERAL_BUCKETS`` — and otherwise stays lazy
+    with the join form. Callers who hold a distributed fit and want
+    the literal plan anyway (e.g. the result will be consumed more
+    than once, so one bounded collect beats re-running the fit per
+    action) say ``method="literal"``."""
     if method not in ("auto", "literal", "join"):
         raise ValueError(f"method must be 'auto', 'literal' or 'join', got {method!r}")
-    if method == "literal" or (method == "auto" and buckets <= MAX_LITERAL_BUCKETS):
+    is_df = isinstance(log_ratio, DataFrame)
+    if method == "auto":
+        free_literal = (not is_df) or log_ratio.isLocal()
+        method = "literal" if (free_literal and buckets <= MAX_LITERAL_BUCKETS) else "join"
+    if method == "literal":
+        pairs = _ratio_pairs(log_ratio.collect() if is_df else log_ratio)
         vals = [float(default_log_ratio)] * buckets
-        for r in log_ratio.collect():  # bounded: ≤ buckets rows
-            b = int(r["bucket"])
+        for b, v in pairs:
             if not 0 <= b < buckets:
                 # a negative index would silently wrap in the Python
                 # list — fail loud on a table/buckets mismatch instead
@@ -266,7 +315,7 @@ def score_importance(
                     f"log_ratio bucket {b} outside [0, {buckets}) — "
                     "was the table fit with a different `buckets`?"
                 )
-            vals[b] = float(r["log_ratio"])
+            vals[b] = v
         arr = F.lit(vals)
         return (
             hashed_ngram_buckets(df, text_col, buckets, n_max, bucket_hash)
@@ -286,6 +335,8 @@ def score_importance(
             )
             .drop("__buckets")
         )
+    if not is_df:
+        log_ratio = ratio_table(df.sparkSession, log_ratio)
     per_bucket = (
         hashed_ngram_buckets(
             df.select(id_col, text_col), text_col, buckets, n_max, bucket_hash
@@ -353,8 +404,15 @@ def dsir_select(
     t_dist = bucket_distribution(target, text_col, buckets, n_max)
     r_dist = bucket_distribution(df, text_col, buckets, n_max)
     ratio, default = importance_log_ratio(t_dist, r_dist, buckets, smoothing)
+    # explicit literal: selection consumes the scored relation up to
+    # three times (count, quantile sketch, final filter) — one bounded
+    # ≤ m-row collect of the fit here beats re-running the fit's
+    # corpus aggregations inside every downstream action, and the
+    # whole function executes jobs anyway (it IS a selection, not a
+    # plan builder)
     scored = score_importance(
-        df, ratio, default, id_col, text_col, buckets, n_max
+        df, ratio, default, id_col, text_col, buckets, n_max,
+        method="literal" if buckets <= MAX_LITERAL_BUCKETS else "join",
     ).withColumn("__key", F.col("dsir_logw") + _gumbel_noise(id_col, seed))
     if exact:
         return scored.orderBy(F.col("__key").desc()).limit(k).drop("__key")

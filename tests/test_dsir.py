@@ -116,19 +116,80 @@ def test_unseen_buckets_and_empty_text_are_defined(spark, corpora):
 
 
 def test_scoring_plan_is_pure_projection(spark, corpora):
-    """The auto/literal path must score without ANY join or
-    aggregation exchange — the m-row fit rides in as an array literal
-    and each document is scored inside its own projection (the
-    100 TB shape: no corpus re-shuffle on doc_id)."""
+    """The literal path must score without ANY join or aggregation
+    exchange — the m-row fit rides in as an array literal and each
+    document is scored inside its own projection (the 100 TB shape:
+    no corpus re-shuffle on doc_id). Asserted for both fit shapes:
+    driver pairs under ``auto``, and a distributed table under the
+    explicit ``literal`` opt-in."""
     raw, target = corpora
     t = dsir.bucket_distribution(target, buckets=512)
     r = dsir.bucket_distribution(raw, buckets=512)
     ratio, default = dsir.importance_log_ratio(t, r, buckets=512)
-    plan = dsir.score_importance(
-        raw, ratio, default, buckets=512
-    )._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    pairs = [(r_["bucket"], r_["log_ratio"]) for r_ in ratio.collect()]
+    for fit, method in ((pairs, "auto"), (ratio, "literal")):
+        plan = dsir.score_importance(
+            raw, fit, default, buckets=512, method=method
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_auto_with_distributed_fit_is_lazy_join(spark, corpora):
+    """``auto`` + a distributed ratio table must NOT run the fit at
+    plan-construction time (the lazy-plan-builder contract): no Spark
+    job may fire while building, and the plan is the broadcast-join
+    form. Driver pairs stay the zero-job literal pick."""
+    raw, target = corpora
+    t = dsir.bucket_distribution(target, buckets=512)
+    r = dsir.bucket_distribution(raw, buckets=512)
+    ratio, default = dsir.importance_log_ratio(t, r, buckets=512)
+    sc = spark.sparkContext
+    sc.setJobGroup("dsir-lazy-test", "plan construction must run no jobs")
+    try:
+        scored = dsir.score_importance(raw, ratio, default, buckets=512)
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sc.setJobGroup("", "")
+    assert "BroadcastHashJoin" in plan
+    assert list(sc.statusTracker().getJobIdsForGroup("dsir-lazy-test")) == []
+    # and the lazy join scores agree with the eager literal ones
+    lazy = {r_["doc_id"]: r_["dsir_logw"] for r_ in scored.collect()}
+    lit = {
+        r_["doc_id"]: r_["dsir_logw"]
+        for r_ in dsir.score_importance(
+            raw, ratio, default, buckets=512, method="literal"
+        ).collect()
+    }
+    assert all(abs(lazy[k] - lit[k]) < 1e-9 for k in lazy)
+
+
+def test_pairs_fit_builds_plan_with_zero_jobs(spark, corpora):
+    """fit_log_ratio hands back driver pairs; score_importance must
+    turn them into the literal plan without ANY cluster round-trip —
+    no createDataFrame→collect bounce, no job at construction."""
+    raw, _ = corpora
+    pred = F.col("doc_id").startswith("fin")
+    lr, default = dsir.fit_log_ratio(raw, pred, buckets=256)
+    assert isinstance(lr, list) and all(len(p) == 2 for p in lr)
+    sc = spark.sparkContext
+    sc.setJobGroup("dsir-pairs-test", "pairs scoring plan must run no jobs")
+    try:
+        scored = dsir.score_importance(raw, lr, default, buckets=256)
+        scored._jdf.queryExecution().executedPlan()
+    finally:
+        sc.setJobGroup("", "")
+    assert list(sc.statusTracker().getJobIdsForGroup("dsir-pairs-test")) == []
+    # pairs are accepted as tuples, dicts, and through the join path
+    as_dicts = [{"bucket": b, "log_ratio": v} for b, v in lr]
+    a = {r_["doc_id"]: r_["dsir_logw"] for r_ in scored.collect()}
+    b = {
+        r_["doc_id"]: r_["dsir_logw"]
+        for r_ in dsir.score_importance(
+            raw, as_dicts, default, buckets=256, method="join"
+        ).collect()
+    }
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
 
 
 def test_scoring_join_fallback_broadcasts_ratio_table(spark, corpora):
@@ -231,9 +292,9 @@ def test_fit_log_ratio_one_pass_matches_two_relation_fit(spark, corpora):
     t = dsir.bucket_distribution(raw.filter(pred), buckets=256)
     r = dsir.bucket_distribution(raw, buckets=256)
     lr2, d2 = dsir.importance_log_ratio(t, r, buckets=256)
-    lr1, d1 = dsir.fit_log_ratio(raw, pred, buckets=256)
+    lr1, d1 = dsir.fit_log_ratio(raw, pred, buckets=256)  # driver pairs
     assert abs(d1 - d2) < 1e-12
-    a = {r_["bucket"]: r_["log_ratio"] for r_ in lr1.collect()}
+    a = dict(lr1)
     b = {r_["bucket"]: r_["log_ratio"] for r_ in lr2.collect()}
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)

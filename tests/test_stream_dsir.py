@@ -79,8 +79,8 @@ def test_streamed_fit_equals_batch_fit_and_survives_compaction(spark, tmp_path):
     )
     got_lr, got_default = dsir_log_ratio_from_state(wh, DIST_SPEC)
     assert abs(got_default - batch_default) < 1e-12
-    a = {r["bucket"]: r["log_ratio"] for r in got_lr.collect()}
-    b = {r["bucket"]: r["log_ratio"] for r in batch_lr.collect()}
+    a = dict(got_lr)  # driver pairs, same contract as fit_log_ratio
+    b = dict(batch_lr)
     assert set(a) == set(b)
     assert all(abs(a[k] - b[k]) < 1e-12 for k in a)
 
