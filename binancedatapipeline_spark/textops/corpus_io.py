@@ -62,16 +62,11 @@ def parse_wet_records(rec: DataFrame, min_length: int = 1,
     body = F.regexp_replace("value", rf"(?s)^.*?{_HDR_BODY_SPLIT}", "")
 
     def hdr(name: str) -> F.Column:
-        # nullif: a MISSING header must be NULL downstream, never '' —
-        # '' is a value ('' == '' groups/joins; NULL does not), and the
-        # URL dedup pass must not collapse all URI-less records into
-        # one '' group (round-6 finding)
-        return F.nullif(
-            F.regexp_extract(
-                F.col("__hdr"), rf"(?mi)^{name}:\s*(.*?)\s*$", 1
-            ),
-            F.lit(""),
-        )
+        # nullif (inside _hdr): a MISSING header must be NULL
+        # downstream, never '' — '' is a value ('' == '' groups/joins;
+        # NULL does not), and the URL dedup pass must not collapse all
+        # URI-less records into one '' group (round-6 finding)
+        return _hdr(F.col("__hdr"), name)
 
     return (
         rec.withColumn("__hdr", header)
@@ -137,6 +132,229 @@ def read_wet_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return parse_wet_records(reader.text(path), min_length)
+
+
+# ---------------------------------------------------------------------------
+# Full WARC (response records): the step BEFORE the WET extraction —
+# raw crawl archives where each record carries the HTTP exchange
+# (status line + headers) and the HTML payload. A CCNet/RefinedWeb-
+# style pipeline starts here: parse responses, keep 200/text-html,
+# extract text from the markup, then feed the same downstream the WET
+# reader feeds. Same anchored record split, same JVM-projection
+# discipline (reference app/src has no crawl sources at all; this and
+# the WET reader extend the training-data suite per the brief).
+#
+# Honest limit: this rides the TEXT reader, so it is the fast path
+# for identity-encoded textual payloads (which is what the synthetic
+# and test corpora are). Payloads that are raw gzip/brotli bytes
+# inside the record (Content-Encoding) or non-UTF-8 charsets need a
+# binaryFile + mapInPandas decode kernel — the multimodal module's
+# pattern — not a text scan.
+
+
+def _hdr(block, name: str) -> F.Column:
+    """``Header: value`` lookup inside a CRLF header block — NULL (not
+    ``''``) when absent, so missing headers never collapse into one
+    joinable/groupable empty-string value (the round-6 lesson)."""
+    return F.nullif(
+        F.regexp_extract(block, rf"(?mi)^{name}:\s*(.*?)\s*$", 1),
+        F.lit(""),
+    )
+
+
+def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> DataFrame:
+    """Parse record-split WARC fragments (column ``value``) into one
+    row per ``response`` record: ``(doc_id, url, fetch_time,
+    http_status, content_type, charset, html)``. Request/metadata/
+    warcinfo records are dropped. Every expression is a per-row JVM
+    projection — no Python, no shuffle; batch and streaming share
+    this one implementation like the WET parse does."""
+    rec = rec.filter(
+        F.length(F.regexp_replace("value", r"^\s+|\s+$", "")) > 0
+    )
+    warc_hdr = F.regexp_replace(
+        F.regexp_extract("value", rf"(?s)^(.*?){_HDR_BODY_SPLIT}", 1),
+        r"^WARC/1\.0\r?\n",
+        "",
+    )
+    # everything after the WARC header block = the HTTP exchange
+    rest = F.regexp_replace("value", rf"(?s)^.*?{_HDR_BODY_SPLIT}", "")
+    out = (
+        rec.withColumn("__hdr", warc_hdr)
+        .withColumn("__rest", rest)
+        .filter(F.lower(_hdr(F.col("__hdr"), "WARC-Type")) == "response")
+        .withColumn(
+            # HTTP headers end at the next blank line; a record with
+            # no blank line has headers only, no body (regexp_replace
+            # on a non-matching pattern returns its INPUT — guard it,
+            # or a body-less record's payload would be its headers)
+            "__http",
+            F.when(
+                F.col("__rest").rlike(_HDR_BODY_SPLIT),
+                F.regexp_extract(
+                    F.col("__rest"), rf"(?s)^(.*?){_HDR_BODY_SPLIT}", 1
+                ),
+            ).otherwise(F.col("__rest")),
+        )
+        .withColumn(
+            "__body",
+            F.when(
+                F.col("__rest").rlike(_HDR_BODY_SPLIT),
+                F.regexp_replace(
+                    F.col("__rest"), rf"(?s)^.*?{_HDR_BODY_SPLIT}", ""
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+    http = F.col("__http")
+    return out.select(
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(
+                    _hdr(F.col("__hdr"), "WARC-Record-ID"), r"<?([^<>]+)>?", 1
+                ),
+                F.lit(""),
+            ),
+            F.md5(F.col("__body").cast("binary")),
+        ).alias("doc_id"),
+        _hdr(F.col("__hdr"), "WARC-Target-URI").alias("url"),
+        F.try_to_timestamp(_hdr(F.col("__hdr"), "WARC-Date")).alias("fetch_time"),
+        F.regexp_extract(http, r"^HTTP/\d\.\d\s+(\d{3})", 1)
+        .try_cast("int")
+        .alias("http_status"),
+        F.nullif(
+            F.lower(
+                F.regexp_extract(http, r"(?mi)^content-type:\s*([^;\r\n]+?)\s*(?:;|\r|\n|$)", 1)
+            ),
+            F.lit(""),
+        ).alias("content_type"),
+        F.nullif(
+            F.lower(
+                F.regexp_extract(
+                    http, r"""(?mi)^content-type:[^\r\n]*charset=["']?([\w.-]+)""", 1
+                )
+            ),
+            F.lit(""),
+        ).alias("charset"),
+        F.regexp_replace("__body", r"^\s+|\s+$", "").alias("html"),
+        *([F.col("__http").alias("http_headers")] if keep_http_headers else []),
+    )
+
+
+def read_warc(
+    spark: SparkSession, path: str, keep_http_headers: bool = False
+) -> DataFrame:
+    """Read full WARC file(s) into one row per HTTP ``response``
+    record — the raw-crawl front end (see :func:`warc_documents` for
+    the extracted-text shape downstream operators consume). Gzip is
+    transparent per file, like the WET reader."""
+    rec = spark.read.option("lineSep", _RECORD_SEP).text(path)
+    return parse_warc_responses(rec, keep_http_headers)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming WARC ingest: same record split, same parse
+    expressions as :func:`read_warc` (stream ≡ batch by
+    construction)."""
+    reader = spark.readStream.option("lineSep", _RECORD_SEP)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return parse_warc_responses(reader.text(path))
+
+
+# block-level elements become line breaks so extracted text keeps the
+# page's paragraph/list/heading structure (what line-based curation —
+# clean_lines, frequent_lines — operates on)
+_HTML_BLOCK_TAGS = (
+    "p|div|br|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|blockquote|"
+    "section|article|header|footer|nav|pre|hr|dd|dt|dl|figure|"
+    "figcaption|form|aside|main|title|option|select"
+)
+# named entities a regex pipeline can decode without per-row Python;
+# &amp; must decode LAST or "&amp;lt;" would double-decode to "<"
+_HTML_ENTITIES = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+)
+
+
+def html_to_text(html) -> F.Column:
+    """Markup → plain text as a chain of JVM ``regexp_replace`` —
+    zero Python, zero shuffle, whole-stage-codegen at any scale.
+
+    The heuristic (a deliberate, documented trade against a real DOM
+    parser, which would be a per-row Python kernel ~100× slower):
+    drop comments and script/style/noscript/template subtrees, turn
+    block-level tags into line breaks, strip remaining tags, decode
+    the common named entities, collapse whitespace. Attribute values
+    containing a literal ``>`` tear that one tag (regex, not a
+    parser); numeric entities beyond the quote forms pass through
+    undecoded. For boilerplate-heavy pages, compose with the curation
+    stages built for exactly that (``clean_lines``,
+    ``frequent_lines``, ``gopher_filter``)."""
+    c = F.col(html) if isinstance(html, str) else html
+    c = F.regexp_replace(c, r"\r\n?", "\n")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", " "
+    )
+    c = F.regexp_replace(c, rf"(?i)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*/?>", "\n")
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.regexp_replace(c, r"&amp;", "&")
+    c = F.regexp_replace(c, r"[ \t\f\x0B]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{2,}", "\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def html_title(html) -> F.Column:
+    """The ``<title>`` text (entity-decoded, whitespace-collapsed),
+    NULL when absent — the usual lightweight quality/metadata signal
+    alongside the extracted body."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.nullif(
+        html_to_text(F.regexp_extract(c, r"(?is)<title[^>]*>(.*?)</title\s*>", 1)),
+        F.lit(""),
+    )
+
+
+def warc_documents(
+    spark: SparkSession, path: str, min_length: int = 1
+) -> DataFrame:
+    """Raw WARC → the package's document shape ``(doc_id, url,
+    fetch_time, length, text, title)``: keep HTTP 200 ``text/html``
+    responses, extract text from the markup. Drop-in alternative to
+    :func:`read_wet` when the crawl hasn't been pre-extracted —
+    everything downstream (curation, dedup, DSIR, quality, packing)
+    composes unchanged."""
+    resp = read_warc(spark, path)
+    text = html_to_text(F.col("html"))
+    return (
+        resp.filter(
+            (F.col("http_status") == 200)
+            & F.col("content_type").startswith("text/html")
+        )
+        .select(
+            "doc_id",
+            "url",
+            "fetch_time",
+            F.length(text).alias("length"),
+            text.alias("text"),
+            html_title(F.col("html")).alias("title"),
+        )
+        .filter(F.length("text") >= min_length)
+    )
 
 
 # Curated subset of the (public) Mozilla Public Suffix List: the

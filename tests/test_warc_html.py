@@ -1,0 +1,267 @@
+"""Full-WARC response reader + HTML→text extraction: record/HTTP
+splitting, status/content-type parsing, tag stripping vs a stdlib
+HTMLParser reference, entity decoding, gzip transparency, plan pins,
+downstream composability, stream ≡ batch."""
+
+from __future__ import annotations
+
+import gzip
+from html.parser import HTMLParser
+
+from pyspark.sql import functions as F
+
+_HTML_A = (
+    "<!DOCTYPE html><html><head>\n"
+    "<title>Example &amp; Friends</title>\n"
+    "<style>body { color: red; }</style>\n"
+    "<script>var x = '<p>not text</p>';</script>\n"
+    "</head><body>\n"
+    "<!-- a comment with <b>markup</b> inside -->\n"
+    "<h1>Heading One</h1>\n"
+    "<p>First paragraph with <b>bold</b> &quot;quoted&quot; text.</p>\n"
+    "<ul><li>alpha</li><li>beta &lt;tag&gt;</li></ul>\n"
+    "<div>closing   spaces&nbsp;here</div>\n"
+    "</body></html>"
+)
+
+_HTML_B = "<html><body><p>tiny page</p></body></html>"
+
+
+def _warc_record(rtype: str, uri: str, rid: str, http: str, body: str) -> str:
+    return (
+        "WARC/1.0\r\n"
+        f"WARC-Type: {rtype}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        "WARC-Date: 2024-03-01T12:30:00Z\r\n"
+        f"WARC-Record-ID: <{rid}>\r\n"
+        f"Content-Length: {len(http) + len(body)}\r\n"
+        "\r\n"
+        f"{http}"
+        f"{body}\r\n\r\n"
+    )
+
+
+def _warc_bytes() -> bytes:
+    recs = [
+        (
+            "WARC/1.0\r\n"
+            "WARC-Type: warcinfo\r\n"
+            "WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            "Content-Length: 10\r\n"
+            "\r\n"
+            "software: test\r\n\r\n"
+        ),
+        # the request record paired with a response — must be dropped
+        _warc_record(
+            "request",
+            "https://example.com/a",
+            "urn:uuid:req-1",
+            "GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+            "",
+        ),
+        _warc_record(
+            "response",
+            "https://example.com/a",
+            "urn:uuid:resp-a",
+            "HTTP/1.1 200 OK\r\n"
+            "Content-Type: text/html; charset=UTF-8\r\n"
+            "Server: test\r\n"
+            "\r\n",
+            _HTML_A,
+        ),
+        _warc_record(
+            "response",
+            "https://example.org/missing",
+            "urn:uuid:resp-404",
+            "HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n",
+            "<html><body>not found</body></html>",
+        ),
+        _warc_record(
+            "response",
+            "https://example.net/data.json",
+            "urn:uuid:resp-json",
+            'HTTP/1.1 200 OK\r\nContent-Type: application/json\r\n\r\n',
+            '{"k": 1}',
+        ),
+        _warc_record(
+            "response",
+            "https://example.com/b",
+            "urn:uuid:resp-b",
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+            _HTML_B,
+        ),
+        # truncated FINAL record: status line only, no blank line, no
+        # record terminator (a cut-off file) — the payload must come
+        # out empty, NOT as a copy of the HTTP headers
+        (
+            "WARC/1.0\r\n"
+            "WARC-Type: response\r\n"
+            "WARC-Target-URI: https://example.net/empty\r\n"
+            "WARC-Date: 2024-03-01T12:33:00Z\r\n"
+            "WARC-Record-ID: <urn:uuid:resp-empty>\r\n"
+            "Content-Length: 17\r\n"
+            "\r\n"
+            "HTTP/1.1 204 No Content"
+        ),
+    ]
+    return "".join(recs).encode()
+
+
+class _RefExtractor(HTMLParser):
+    """Stdlib reference: collect text outside script/style, the
+    differential oracle for the regex extractor's WORD content."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.skip = 0
+        self.parts = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag in ("script", "style", "noscript", "template"):
+            self.skip += 1
+
+    def handle_endtag(self, tag):
+        if tag in ("script", "style", "noscript", "template"):
+            self.skip = max(0, self.skip - 1)
+
+    def handle_data(self, data):
+        if not self.skip:
+            self.parts.append(data)
+
+
+def _ref_words(html: str) -> list[str]:
+    p = _RefExtractor()
+    p.feed(html)
+    return " ".join(p.parts).replace("\xa0", " ").split()
+
+
+def test_read_warc_plain_and_gzip(spark, tmp_path):
+    from binancedatapipeline_spark.textops.corpus_io import read_warc
+
+    raw = _warc_bytes()
+    (tmp_path / "a.warc").write_bytes(raw)
+    with gzip.open(tmp_path / "b.warc.gz", "wb") as f:
+        f.write(raw)
+
+    for fname in ("a.warc", "b.warc.gz"):
+        rows = {
+            r["doc_id"]: r
+            for r in read_warc(spark, str(tmp_path / fname)).collect()
+        }
+        # responses only: warcinfo and the request record are gone
+        assert set(rows) == {
+            "urn:uuid:resp-a",
+            "urn:uuid:resp-404",
+            "urn:uuid:resp-json",
+            "urn:uuid:resp-empty",
+            "urn:uuid:resp-b",
+        }
+        a = rows["urn:uuid:resp-a"]
+        assert a["url"] == "https://example.com/a"
+        assert a["http_status"] == 200
+        assert a["content_type"] == "text/html"
+        assert a["charset"] == "utf-8"
+        assert a["html"].startswith("<!DOCTYPE html>")
+        assert str(a["fetch_time"]).startswith("2024-03-01 12:30")
+        assert rows["urn:uuid:resp-404"]["http_status"] == 404
+        assert rows["urn:uuid:resp-json"]["content_type"] == "application/json"
+        assert rows["urn:uuid:resp-json"]["charset"] is None
+        empty = rows["urn:uuid:resp-empty"]
+        assert empty["http_status"] == 204
+        assert empty["html"] == ""  # headers-only: payload is NOT the headers
+
+
+def test_warc_documents_extracts_html_text(spark, tmp_path):
+    from binancedatapipeline_spark.textops.corpus_io import warc_documents
+
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    rows = {
+        r["doc_id"]: r
+        for r in warc_documents(spark, str(tmp_path / "a.warc")).collect()
+    }
+    # only the 200 text/html responses survive
+    assert set(rows) == {"urn:uuid:resp-a", "urn:uuid:resp-b"}
+    a = rows["urn:uuid:resp-a"]
+    assert a["title"] == "Example & Friends"
+    text = a["text"]
+    # script/style/comment content is gone; entities decoded;
+    # block structure became line breaks
+    assert "color: red" not in text and "not text" not in text
+    assert "markup" not in text  # comment content dropped
+    assert 'with bold "quoted" text.' in text
+    assert "beta <tag>" in text  # entity-encoded angle brackets are CONTENT
+    assert "closing spaces here" in text  # &nbsp; + run collapse
+    lines = text.split("\n")
+    assert "Heading One" in lines and "alpha" in lines and "beta <tag>" in lines
+    assert a["length"] == len(text)
+    assert rows["urn:uuid:resp-b"]["text"] == "tiny page"
+    assert rows["urn:uuid:resp-b"]["title"] is None
+
+
+def test_html_to_text_words_match_stdlib_parser(spark):
+    from binancedatapipeline_spark.textops.corpus_io import html_to_text
+
+    docs = [
+        _HTML_A,
+        _HTML_B,
+        "<p>a &amp; b</p><p>c</p>",
+        "<table><tr><td>x1</td><td>x2</td></tr></table>tail",
+        "no markup at all",
+        "<div>unclosed <b>bold",
+    ]
+    df = spark.createDataFrame([(d,) for d in docs], ["html"])
+    got = [
+        r["t"]
+        for r in df.select(html_to_text("html").alias("t"))
+        .collect()
+    ]
+    for html, text in zip(docs, got):
+        assert text.split() == _ref_words(html), html
+
+
+def test_warc_pipeline_is_python_free_projection(spark, tmp_path):
+    """Parse + extraction must stay a pure JVM scan-projection: no
+    Python eval, no Exchange — the 100 TB contract for a source."""
+    from binancedatapipeline_spark.textops.corpus_io import warc_documents
+
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    plan = (
+        warc_documents(spark, str(tmp_path / "a.warc"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_warc_feeds_downstream_and_stream_matches_batch(spark, tmp_path):
+    from binancedatapipeline_spark.textops.corpus_io import (
+        read_warc,
+        read_warc_stream,
+    )
+    from binancedatapipeline_spark.textops.analysis import with_tokens
+
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    batch = read_warc(spark, str(tmp_path / "a.warc"))
+    toks = with_tokens(
+        batch.filter(F.col("content_type") == "text/html")
+        .withColumn("text", F.col("html")),
+    )
+    assert toks.count() == 3  # composes with the analysis ops
+
+    stream = read_warc_stream(spark, str(tmp_path), max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("warc_stream_test")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]
+        for r in spark.sql("select doc_id from warc_stream_test").collect()
+    }
+    want = {r["doc_id"] for r in batch.collect()}
+    assert got == want
