@@ -20,6 +20,8 @@ this produces.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -144,12 +146,12 @@ def read_wet_stream(
 # discipline (reference app/src has no crawl sources at all; this and
 # the WET reader extend the training-data suite per the brief).
 #
-# Honest limit: this rides the TEXT reader, so it is the fast path
-# for identity-encoded textual payloads (which is what the synthetic
-# and test corpora are). Payloads that are raw gzip/brotli bytes
-# inside the record (Content-Encoding) or non-UTF-8 charsets need a
-# binaryFile + mapInPandas decode kernel — the multimodal module's
-# pattern — not a text scan.
+# Two readers, one schema: read_warc rides the TEXT reader — the
+# zero-Python fast path for identity-encoded UTF-8 payloads.
+# read_warc_binary is the general case (Content-Encoding-compressed
+# bodies, non-UTF-8 charsets) as a binaryFile + mapInPandas decode
+# kernel — the multimodal module's pattern. Pick per shard; the
+# downstream extraction (extract_documents) is identical.
 
 
 def _hdr(block, name: str) -> F.Column:
@@ -329,16 +331,13 @@ def html_title(html) -> F.Column:
     )
 
 
-def warc_documents(
-    spark: SparkSession, path: str, min_length: int = 1
-) -> DataFrame:
-    """Raw WARC → the package's document shape ``(doc_id, url,
+def extract_documents(resp: DataFrame, min_length: int = 1) -> DataFrame:
+    """Response rows → the package's document shape ``(doc_id, url,
     fetch_time, length, text, title)``: keep HTTP 200 ``text/html``
-    responses, extract text from the markup. Drop-in alternative to
-    :func:`read_wet` when the crawl hasn't been pre-extracted —
-    everything downstream (curation, dedup, DSIR, quality, packing)
-    composes unchanged."""
-    resp = read_warc(spark, path)
+    responses, extract text from the markup. Works over either WARC
+    reader (:func:`read_warc`'s text scan or
+    :func:`read_warc_binary`'s decode kernel) — the extraction is the
+    same JVM projection either way."""
     text = html_to_text(F.col("html"))
     return (
         resp.filter(
@@ -355,6 +354,142 @@ def warc_documents(
         )
         .filter(F.length("text") >= min_length)
     )
+
+
+def warc_documents(
+    spark: SparkSession, path: str, min_length: int = 1
+) -> DataFrame:
+    """Raw WARC → the package's document shape ``(doc_id, url,
+    fetch_time, length, text, title)``: keep HTTP 200 ``text/html``
+    responses, extract text from the markup. Drop-in alternative to
+    :func:`read_wet` when the crawl hasn't been pre-extracted —
+    everything downstream (curation, dedup, DSIR, quality, packing)
+    composes unchanged."""
+    return extract_documents(read_warc(spark, path), min_length)
+
+
+# Python-side mirrors of the JVM parse patterns, for the binary kernel
+_CHARSET_RE = _re.compile(r"""charset=["']?([\w.-]+)""", _re.I)
+_STATUS_RE = _re.compile(r"^HTTP/\d\.\d\s+(\d{3})")
+
+
+def read_warc_binary(
+    spark: SparkSession, path: str, keep_http_headers: bool = False
+) -> DataFrame:
+    """The general-case WARC reader: ``binaryFile`` scan + an
+    Arrow-batched ``mapInPandas`` kernel — for the payloads the text
+    scan can't represent: ``Content-Encoding: gzip/deflate`` bodies
+    (decompressed per record, stdlib zlib) and non-UTF-8 charsets
+    (decoded per the HTTP ``Content-Type`` charset, ``errors=
+    "replace"``). Same output schema as :func:`read_warc`; identity-
+    encoded UTF-8 records come out identically from both readers
+    (tested), so pipelines can pick per shard.
+
+    This is the deliberate slow path (the multimodal module's decode-
+    kernel pattern): per-FILE parallelism like any gzip scan, one
+    Python/Arrow hop, whole file in executor memory — which is how
+    Common Crawl shards anyway (~1 GiB). Undecodable payloads yield
+    NULL ``html`` rather than killing the scan.
+
+    Caveat vs :func:`read_warc`: a record with no WARC-Record-ID gets
+    its md5 fallback id from the RAW payload bytes here (pre-decode),
+    from the decoded text there — ids agree whenever the payload is
+    identity-encoded UTF-8."""
+    schema = (
+        "doc_id string, url string, fetch_time timestamp, "
+        "http_status int, content_type string, charset string, html string"
+        + (", http_headers string" if keep_http_headers else "")
+    )
+
+    def kernel(batches):
+        import gzip as _gz
+        import hashlib
+        import zlib
+
+        import pandas as pd
+
+        def parse_headers(block: bytes) -> dict:
+            out = {}
+            for line in block.split(b"\r\n"):
+                k, sep, v = line.partition(b":")
+                if sep:
+                    out.setdefault(k.strip().lower(), v.strip())
+            return out
+
+        def decode_body(body: bytes, http: dict):
+            enc = http.get(b"content-encoding", b"identity").lower()
+            try:
+                if enc == b"gzip":
+                    body = _gz.decompress(body)
+                elif enc == b"deflate":
+                    try:
+                        body = zlib.decompress(body)
+                    except zlib.error:  # raw-deflate servers omit the header
+                        body = zlib.decompress(body, -15)
+            except (OSError, zlib.error, EOFError):
+                return None, None
+            ctype = http.get(b"content-type", b"").decode("ascii", "replace")
+            m = _CHARSET_RE.search(ctype)
+            charset = m.group(1).strip("\"'").lower() if m else None
+            try:
+                return body.decode(charset or "utf-8", errors="replace"), charset
+            except LookupError:  # unknown charset label
+                return body.decode("utf-8", errors="replace"), charset
+
+        for pdf in batches:
+            rows = []
+            for data in pdf["content"]:
+                data = bytes(data)
+                if data[:2] == b"\x1f\x8b":  # whole-file gzip (multi-member ok)
+                    data = _gz.decompress(data)
+                for frag in data.split(b"\r\nWARC/1.0\r\n"):
+                    frag = frag.removeprefix(b"WARC/1.0\r\n")
+                    if not frag.strip():
+                        continue
+                    whdr_b, _, rest = frag.partition(b"\r\n\r\n")
+                    whdr = parse_headers(whdr_b)
+                    if whdr.get(b"warc-type", b"").lower() != b"response":
+                        continue
+                    http_b, sep, body = rest.partition(b"\r\n\r\n")
+                    if not sep:  # truncated record: headers only
+                        http_b, body = rest, b""
+                    body = body.rstrip(b"\r\n")
+                    http = parse_headers(http_b)
+                    html, charset = decode_body(body, http)
+                    status = _STATUS_RE.match(http_b.decode("ascii", "replace"))
+                    rid = whdr.get(b"warc-record-id", b"").decode("ascii", "replace").strip("<>")
+                    ctype = http.get(b"content-type")
+                    rec = {
+                        "doc_id": rid or hashlib.md5(body).hexdigest(),
+                        "url": whdr.get(b"warc-target-uri", b"").decode("utf-8", "replace") or None,
+                        "fetch_time": whdr.get(b"warc-date", b"").decode("ascii", "replace") or None,
+                        "http_status": int(status.group(1)) if status else None,
+                        "content_type": (
+                            ctype.split(b";", 1)[0].strip().lower().decode("ascii", "replace")
+                            if ctype else None
+                        ),
+                        "charset": charset,
+                        "html": html.strip() if html is not None else None,
+                    }
+                    if keep_http_headers:
+                        rec["http_headers"] = http_b.decode("utf-8", "replace")
+                    rows.append(rec)
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "url", "fetch_time", "http_status",
+                    "content_type", "charset", "html",
+                ] + (["http_headers"] if keep_http_headers else []),
+            )
+            # NANOS would be rejected by Spark's Arrow bridge — pin µs
+            out["fetch_time"] = pd.to_datetime(
+                out["fetch_time"], errors="coerce", utc=True
+            ).dt.tz_localize(None).astype("datetime64[us]")
+            out["http_status"] = out["http_status"].astype("Int32")
+            yield out
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+    return files.mapInPandas(kernel, schema)
 
 
 # Curated subset of the (public) Mozilla Public Suffix List: the

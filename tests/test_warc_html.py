@@ -265,3 +265,102 @@ def test_warc_feeds_downstream_and_stream_matches_batch(spark, tmp_path):
     }
     want = {r["doc_id"] for r in batch.collect()}
     assert got == want
+
+
+def _encoded_warc_bytes() -> bytes:
+    """Records the TEXT reader can't represent: a gzip
+    Content-Encoding body and a latin-1 charset body."""
+    html_gz = gzip.compress(_HTML_A.encode())
+    latin = "<html><body><p>café résumé</p></body></html>".encode("latin-1")
+    parts = []
+    parts.append(
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://example.com/gz\r\n"
+        "WARC-Date: 2024-03-01T12:40:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:resp-gz>\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        "Content-Encoding: gzip\r\n"
+        "\r\n".encode().decode()
+    )
+    blob = parts[0].encode() + html_gz + b"\r\n\r\n"
+    blob += (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://example.fr/latin\r\n"
+        "WARC-Date: 2024-03-01T12:41:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:resp-latin>\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html; charset=ISO-8859-1\r\n"
+        "\r\n"
+    ).encode() + latin + b"\r\n\r\n"
+    # an undecodable record: gzip-declared but garbage bytes
+    blob += (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://example.com/broken\r\n"
+        "WARC-Date: 2024-03-01T12:42:00Z\r\n"
+        "WARC-Record-ID: <urn:uuid:resp-broken>\r\n"
+        "\r\n"
+        "HTTP/1.1 200 OK\r\n"
+        "Content-Type: text/html\r\n"
+        "Content-Encoding: gzip\r\n"
+        "\r\n"
+    ).encode() + b"\x00\x01notgzip" + b"\r\n\r\n"
+    return blob
+
+
+def test_read_warc_binary_decodes_encoded_payloads(spark, tmp_path):
+    from binancedatapipeline_spark.textops.corpus_io import (
+        extract_documents,
+        read_warc_binary,
+    )
+
+    (tmp_path / "enc.warc").write_bytes(_encoded_warc_bytes())
+    rows = {
+        r["doc_id"]: r
+        for r in read_warc_binary(spark, str(tmp_path / "enc.warc")).collect()
+    }
+    assert set(rows) == {"urn:uuid:resp-gz", "urn:uuid:resp-latin", "urn:uuid:resp-broken"}
+    gz = rows["urn:uuid:resp-gz"]
+    assert gz["http_status"] == 200 and gz["charset"] == "utf-8"
+    assert gz["html"] == _HTML_A  # gzip Content-Encoding transparently undone
+    latin = rows["urn:uuid:resp-latin"]
+    assert latin["charset"] == "iso-8859-1"
+    assert "café résumé" in latin["html"]  # decoded per header charset
+    assert rows["urn:uuid:resp-broken"]["html"] is None  # NULL, not a dead scan
+    # and the shared extraction composes over the kernel's output
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in extract_documents(
+            read_warc_binary(spark, str(tmp_path / "enc.warc"))
+        ).collect()
+    }
+    assert "café résumé" in docs["urn:uuid:resp-latin"]
+    assert "Heading One" in docs["urn:uuid:resp-gz"]
+
+
+def test_binary_and_text_readers_agree_on_identity_payloads(spark, tmp_path):
+    from binancedatapipeline_spark.textops.corpus_io import (
+        read_warc,
+        read_warc_binary,
+    )
+
+    raw = _warc_bytes()
+    (tmp_path / "a.warc").write_bytes(raw)
+    with gzip.open(tmp_path / "a2.warc.gz", "wb") as f:
+        f.write(raw)  # whole-file gzip: the kernel sniffs the magic
+    cols = ["doc_id", "url", "fetch_time", "http_status", "content_type", "html"]
+    want = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in read_warc(spark, str(tmp_path / "a.warc")).collect()
+    }
+    for fname in ("a.warc", "a2.warc.gz"):
+        got = {
+            r["doc_id"]: tuple(r[c] for c in cols)
+            for r in read_warc_binary(spark, str(tmp_path / fname)).collect()
+        }
+        assert got == want
