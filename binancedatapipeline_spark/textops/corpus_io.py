@@ -74,6 +74,9 @@ def parse_wet_records(rec: DataFrame, min_length: int = 1,
         # URI-less records into one '' group (round-6 finding)
         return _hdr(F.col("__hdr"), name)
 
+    # strip whitespace EDGES only, never interior whitespace (regex,
+    # not trim() — trim strips spaces, not \r\n)
+    text = F.regexp_replace("__body", r"^\s+|\s+$", "")
     return (
         rec.withColumn("__hdr", header)
         .withColumn("__body", body)
@@ -86,7 +89,10 @@ def parse_wet_records(rec: DataFrame, min_length: int = 1,
                     ),
                     F.lit(""),
                 ),
-                F.md5(F.col("__body").cast("binary")),
+                # hash the STRIPPED text: __body still carries record-
+                # terminator CRLFs whose count depends on file position
+                # (mid-file vs EOF) — identical content must get one id
+                F.md5(text.cast("binary")),
             ).alias("doc_id"),
             hdr("WARC-Target-URI").alias("url"),
             # try_-variants, not cast/to_timestamp: a malformed header
@@ -94,10 +100,7 @@ def parse_wet_records(rec: DataFrame, min_length: int = 1,
             # not kill the scan
             F.try_to_timestamp(hdr("WARC-Date")).alias("fetch_time"),
             hdr("Content-Length").try_cast("long").alias("length"),
-            # the body carries the record separator's blank lines;
-            # strip whitespace EDGES only, never interior whitespace
-            # (regex, not trim() — trim strips spaces, not \r\n)
-            F.regexp_replace("__body", r"^\s+|\s+$", "").alias("text"),
+            text.alias("text"),
             *([F.col("__hdr").alias("headers")] if keep_headers else []),
         )
         .filter(F.length("text") >= min_length)
@@ -171,7 +174,8 @@ def _hdr(block, name: str) -> F.Column:
 def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> DataFrame:
     """Parse record-split WARC fragments (column ``value``) into one
     row per ``response`` record: ``(doc_id, url, fetch_time,
-    http_status, content_type, charset, html)``. Request/metadata/
+    http_status, content_type, charset, content_encoding, html)``.
+    Request/metadata/
     warcinfo records are dropped. Every expression is a per-row JVM
     projection — no Python, no shuffle; batch and streaming share
     this one implementation like the WET parse does."""
@@ -200,6 +204,7 @@ def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> Dat
         )
     )
     http = F.col("__http")
+    text = F.regexp_replace("__body", r"^\s+|\s+$", "")
     return out.select(
         F.coalesce(
             F.nullif(
@@ -208,11 +213,17 @@ def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> Dat
                 ),
                 F.lit(""),
             ),
-            F.md5(F.col("__body").cast("binary")),
+            # hash the STRIPPED text, not __body: __body still carries
+            # record-terminator CRLFs whose count depends on the
+            # record's file position (mid-file vs EOF), which would
+            # make ids for identical content unstable — and this is
+            # the form the binary kernel's fallback matches
+            F.md5(text.cast("binary")),
         ).alias("doc_id"),
         _hdr(F.col("__hdr"), "WARC-Target-URI").alias("url"),
         F.try_to_timestamp(_hdr(F.col("__hdr"), "WARC-Date")).alias("fetch_time"),
-        F.regexp_extract(http, r"^HTTP/\d\.\d\s+(\d{3})", 1)
+        # minor version optional: wget2/browsertrix record "HTTP/2 200"
+        F.regexp_extract(http, r"^HTTP/\d(?:\.\d)?\s+(\d{3})", 1)
         .try_cast("int")
         .alias("http_status"),
         F.nullif(
@@ -229,7 +240,21 @@ def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> Dat
             ),
             F.lit(""),
         ).alias("charset"),
-        F.regexp_replace("__body", r"^\s+|\s+$", "").alias("html"),
+        # the encoding still APPLIED to the html value: the text
+        # reader cannot decompress, so a non-identity header rides
+        # along and extract_documents excludes the row (the binary
+        # kernel decodes and reports NULL here). Without this column
+        # a compressed 200/text-html record would flow downstream as
+        # mojibake "text"
+        F.nullif(
+            F.lower(
+                F.regexp_extract(
+                    http, r"(?mi)^content-encoding:\s*(.*?)\s*$", 1
+                )
+            ),
+            F.lit(""),
+        ).alias("content_encoding"),
+        text.alias("html"),
         *([F.col("__http").alias("http_headers")] if keep_http_headers else []),
     )
 
@@ -296,10 +321,14 @@ def html_to_text(html) -> F.Column:
     ``frequent_lines``, ``gopher_filter``)."""
     c = F.col(html) if isinstance(html, str) else html
     c = F.regexp_replace(c, r"\r\n?", "\n")
-    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    # script/style subtrees BEFORE comments: a "<!--" inside script
+    # code would otherwise open a comment that swallows real body
+    # text up to the next "-->" (a comment WRAPPING a script leaves
+    # harmless fragments the comment pass then removes)
     c = F.regexp_replace(
         c, r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", " "
     )
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, rf"(?i)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*/?>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
     for ent, rep in _HTML_ENTITIES:
@@ -334,6 +363,14 @@ def extract_documents(resp: DataFrame, min_length: int = 1) -> DataFrame:
         resp.filter(
             (F.col("http_status") == 200)
             & F.col("content_type").startswith("text/html")
+            # html must be DECODED payload: the text reader leaves a
+            # non-identity Content-Encoding applied (compressed bytes
+            # are not a document); the binary kernel nulls the column
+            # after decoding
+            & (
+                F.col("content_encoding").isNull()
+                | (F.col("content_encoding") == "identity")
+            )
         )
         .select(
             "doc_id",
@@ -361,7 +398,7 @@ def warc_documents(
 
 # Python-side mirrors of the JVM parse patterns, for the binary kernel
 _CHARSET_RE = _re.compile(r"""charset=["']?([\w.-]+)""", _re.I)
-_STATUS_RE = _re.compile(r"^HTTP/\d\.\d\s+(\d{3})")
+_STATUS_RE = _re.compile(r"^HTTP/\d(?:\.\d)?\s+(\d{3})")
 
 
 def read_warc_binary(
@@ -382,13 +419,19 @@ def read_warc_binary(
     Common Crawl shards anyway (~1 GiB). Undecodable payloads yield
     NULL ``html`` rather than killing the scan.
 
+    ``content_encoding`` is NULL after a successful decode (the html
+    value is plain text) — mirroring the text reader, where a
+    non-identity value means "still compressed" and excludes the row
+    from :func:`extract_documents`.
+
     Caveat vs :func:`read_warc`: a record with no WARC-Record-ID gets
-    its md5 fallback id from the RAW payload bytes here (pre-decode),
-    from the decoded text there — ids agree whenever the payload is
-    identity-encoded UTF-8."""
+    its md5 fallback id from the decoded, edge-stripped text in both
+    readers — ids agree whenever the payload decodes; a payload this
+    kernel cannot decode falls back to hashing the raw bytes."""
     schema = (
         "doc_id string, url string, fetch_time timestamp, "
-        "http_status int, content_type string, charset string, html string"
+        "http_status int, content_type string, charset string, "
+        "content_encoding string, html string"
         + (", http_headers string" if keep_http_headers else "")
     )
 
@@ -410,13 +453,18 @@ def read_warc_binary(
         def decode_body(body: bytes, http: dict):
             enc = http.get(b"content-encoding", b"identity").lower()
             try:
-                if enc == b"gzip":
+                if enc in (b"gzip", b"x-gzip"):
                     body = _gz.decompress(body)
                 elif enc == b"deflate":
                     try:
                         body = zlib.decompress(body)
                     except zlib.error:  # raw-deflate servers omit the header
                         body = zlib.decompress(body, -15)
+                elif enc not in (b"identity", b"", b"none"):
+                    # br, zstd, "gzip, identity" lists, ... — decoding
+                    # compressed bytes as text would be mojibake, not
+                    # the documented NULL-on-undecodable contract
+                    return None, None
             except (OSError, zlib.error, EOFError):
                 return None, None
             ctype = http.get(b"content-type", b"").decode("ascii", "replace")
@@ -441,17 +489,36 @@ def read_warc_binary(
                     whdr = parse_headers(whdr_b)
                     if whdr.get(b"warc-type", b"").lower() != b"response":
                         continue
-                    http_b, sep, body = rest.partition(b"\r\n\r\n")
+                    # frame the HTTP block by the WARC Content-Length
+                    # when it is sane: the record terminator's CRLFs
+                    # follow the block, and blind rstrip would eat
+                    # trailing payload bytes of COMPRESSED bodies that
+                    # legitimately end in 0x0a/0x0d (~2/256 of valid
+                    # gzip/deflate records — their checksum trailers
+                    # are arbitrary bytes)
+                    try:
+                        cl = int(whdr.get(b"content-length", b""))
+                    except ValueError:
+                        cl = -1
+                    if 0 <= cl <= len(rest):
+                        rest_block = rest[:cl]
+                    else:  # absent/garbage length: strip the at-most-
+                        # two terminator CRLFs the record split leaves
+                        rest_block = rest.removesuffix(b"\r\n").removesuffix(b"\r\n")
+                    http_b, sep, body = rest_block.partition(b"\r\n\r\n")
                     if not sep:  # truncated record: headers only
-                        http_b, body = rest, b""
-                    body = body.rstrip(b"\r\n")
+                        http_b, body = rest_block, b""
                     http = parse_headers(http_b)
                     html, charset = decode_body(body, http)
                     status = _STATUS_RE.match(http_b.decode("ascii", "replace"))
                     rid = whdr.get(b"warc-record-id", b"").decode("ascii", "replace").strip("<>")
                     ctype = http.get(b"content-type")
                     rec = {
-                        "doc_id": rid or hashlib.md5(body).hexdigest(),
+                        # decoded-text hash matches the text reader's
+                        # fallback; raw bytes only when undecodable
+                        "doc_id": rid or hashlib.md5(
+                            html.strip().encode() if html is not None else body
+                        ).hexdigest(),
                         "url": whdr.get(b"warc-target-uri", b"").decode("utf-8", "replace") or None,
                         "fetch_time": whdr.get(b"warc-date", b"").decode("ascii", "replace") or None,
                         "http_status": int(status.group(1)) if status else None,
@@ -460,6 +527,14 @@ def read_warc_binary(
                             if ctype else None
                         ),
                         "charset": charset,
+                        # NULL = the html value is decoded text; the
+                        # undecodable case keeps the header value so
+                        # the row is auditable
+                        "content_encoding": (
+                            None
+                            if html is not None
+                            else http.get(b"content-encoding", b"").decode("ascii", "replace") or None
+                        ),
                         "html": html.strip() if html is not None else None,
                     }
                     if keep_http_headers:
@@ -469,13 +544,15 @@ def read_warc_binary(
                 rows,
                 columns=[
                     "doc_id", "url", "fetch_time", "http_status",
-                    "content_type", "charset", "html",
+                    "content_type", "charset", "content_encoding", "html",
                 ] + (["http_headers"] if keep_http_headers else []),
             )
-            # NANOS would be rejected by Spark's Arrow bridge — pin µs
+            # tz-AWARE µs: a naive series would be reinterpreted in the
+            # session timezone by the Arrow bridge (wrong instants off
+            # UTC hosts); NANOS would be rejected — hence [us, UTC]
             out["fetch_time"] = pd.to_datetime(
                 out["fetch_time"], errors="coerce", utc=True
-            ).dt.tz_localize(None).astype("datetime64[us]")
+            ).astype("datetime64[us, UTC]")
             out["http_status"] = out["http_status"].astype("Int32")
             yield out
 

@@ -353,7 +353,7 @@ def test_binary_and_text_readers_agree_on_identity_payloads(spark, tmp_path):
     (tmp_path / "a.warc").write_bytes(raw)
     with gzip.open(tmp_path / "a2.warc.gz", "wb") as f:
         f.write(raw)  # whole-file gzip: the kernel sniffs the magic
-    cols = ["doc_id", "url", "fetch_time", "http_status", "content_type", "html"]
+    cols = ["doc_id", "url", "fetch_time", "http_status", "content_type", "content_encoding", "html"]
     want = {
         r["doc_id"]: tuple(r[c] for c in cols)
         for r in read_warc(spark, str(tmp_path / "a.warc")).collect()
@@ -364,3 +364,113 @@ def test_binary_and_text_readers_agree_on_identity_payloads(spark, tmp_path):
             for r in read_warc_binary(spark, str(tmp_path / fname)).collect()
         }
         assert got == want
+
+
+def test_review_fixes_round8(spark, tmp_path):
+    """The seven post-review hardenings, one fixture each."""
+    import zlib
+
+    from binancedatapipeline_spark.textops.corpus_io import (
+        extract_documents,
+        html_to_text,
+        read_warc,
+        read_warc_binary,
+    )
+
+    # deflate body whose compressed bytes end in 0x0a — blind rstrip
+    # of the record terminator used to eat the last byte and corrupt
+    # the stream (Content-Length framing keeps it intact)
+    deflate_doc = None
+    for i in range(600):  # padding sweeps the Adler-32 low byte
+        cand = "<html><body><p>deflate " + "x" * i + "</p></body></html>"
+        if zlib.compress(cand.encode()).endswith((b"\n", b"\r")):
+            deflate_doc = cand
+            break
+    assert deflate_doc is not None
+    deflated = zlib.compress(deflate_doc.encode())
+
+    def rec(rid, uri, http_headers, body: bytes, rtype="response"):
+        http = http_headers.encode() + b"\r\n\r\n"
+        block = http + body
+        return (
+            (
+                "WARC/1.0\r\n"
+                f"WARC-Type: {rtype}\r\n"
+                f"WARC-Target-URI: {uri}\r\n"
+                "WARC-Date: 2024-03-01T12:30:00Z\r\n"
+                + (f"WARC-Record-ID: <{rid}>\r\n" if rid else "")
+                + f"Content-Length: {len(block)}\r\n\r\n"
+            ).encode()
+            + block
+            + b"\r\n\r\n"
+        )
+
+    same_body = "<p>identical id-less content</p>"
+    blob = b"".join([
+        rec("r-h2", "https://ex.com/h2",
+            "HTTP/2 200\r\nContent-Type: text/html", b"<p>http two</p>"),
+        rec("r-gzip-enc", "https://ex.com/enc",
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: gzip",
+            gzip.compress(b"<p>was gzipped</p>")),
+        rec("r-br", "https://ex.com/br",
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: br",
+            b"\x00\x01brotli-bytes"),
+        rec("r-deflate", "https://ex.com/deflate",
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Encoding: deflate",
+            deflated),
+        rec(None, "https://ex.com/noid-mid",
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html", same_body.encode()),
+        rec(None, "https://ex.com/noid-eof",
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html", same_body.encode()),
+    ])
+    (tmp_path / "f.warc").write_bytes(blob)
+
+    t_rows = {r["url"]: r for r in read_warc(spark, str(tmp_path / "f.warc")).collect()}
+    b_rows = {r["url"]: r for r in read_warc_binary(spark, str(tmp_path / "f.warc")).collect()}
+
+    # 1. HTTP/2 status lines parse in both readers
+    assert t_rows["https://ex.com/h2"]["http_status"] == 200
+    assert b_rows["https://ex.com/h2"]["http_status"] == 200
+
+    # 2. text reader surfaces content_encoding; extract_documents
+    # excludes still-compressed rows instead of ingesting mojibake
+    assert t_rows["https://ex.com/enc"]["content_encoding"] == "gzip"
+    t_docs = {r["url"] for r in extract_documents(
+        read_warc(spark, str(tmp_path / "f.warc"))).collect()}
+    assert "https://ex.com/enc" not in t_docs
+    assert "https://ex.com/h2" in t_docs
+
+    # 3. unknown encodings (br) yield NULL html in the kernel, with
+    # the encoding kept for audit; decoded rows report NULL encoding
+    assert b_rows["https://ex.com/br"]["html"] is None
+    assert b_rows["https://ex.com/br"]["content_encoding"] == "br"
+    assert b_rows["https://ex.com/enc"]["html"] == "<p>was gzipped</p>"
+    assert b_rows["https://ex.com/enc"]["content_encoding"] is None
+
+    # 4. Content-Length framing: the 0x0a-terminated deflate body
+    # survives intact
+    assert b_rows["https://ex.com/deflate"]["html"] == deflate_doc
+
+    # 5. md5 fallback is position-independent and agrees across readers
+    mid_t = t_rows["https://ex.com/noid-mid"]["doc_id"]
+    eof_t = t_rows["https://ex.com/noid-eof"]["doc_id"]
+    assert mid_t == eof_t == b_rows["https://ex.com/noid-mid"]["doc_id"]
+
+    # 6. a "<!--" inside script code must not swallow body text
+    tricky = "<script>var s='<!--';</script><p>real content</p><!-- footer -->"
+    got = spark.createDataFrame([(tricky,)], ["h"]).select(
+        html_to_text("h").alias("t")).first()["t"]
+    assert got == "real content"
+
+    # 7. tz-aware kernel timestamps: same instant from both readers
+    # even when the session timezone is not UTC
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        t2 = {r["url"]: r["fetch_time"] for r in read_warc(
+            spark, str(tmp_path / "f.warc")).collect()}
+        b2 = {r["url"]: r["fetch_time"] for r in read_warc_binary(
+            spark, str(tmp_path / "f.warc")).collect()}
+        assert t2 == b2
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
