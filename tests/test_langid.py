@@ -1,0 +1,134 @@
+"""Trained n-gram language ID: profile training determinism,
+held-out classification across six languages, miss-penalty edge
+cases, broadcast plan pin."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from binancedatapipeline_spark.textops import langid
+
+_TRAIN = {
+    "en": [
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "this is a sentence about the weather and the seasons of the year",
+        "she said that they would come to the house in the morning",
+        "we have been working on the project for three weeks now",
+    ],
+    "es": [
+        "el rapido zorro marron salta sobre el perro perezoso y corre",
+        "esta es una frase sobre el tiempo y las estaciones del ano",
+        "ella dijo que vendrian a la casa por la manana temprano",
+        "hemos estado trabajando en el proyecto durante tres semanas",
+    ],
+    "fr": [
+        "le rapide renard brun saute par dessus le chien paresseux",
+        "ceci est une phrase sur le temps et les saisons de lannee",
+        "elle a dit quils viendraient a la maison dans la matinee",
+        "nous travaillons sur le projet depuis trois semaines deja",
+    ],
+    "de": [
+        "der schnelle braune fuchs springt uber den faulen hund und rennt",
+        "dies ist ein satz uber das wetter und die jahreszeiten des jahres",
+        "sie sagte dass sie am morgen zum haus kommen wurden",
+        "wir arbeiten seit drei wochen an dem projekt zusammen",
+    ],
+    "it": [
+        "la rapida volpe marrone salta sopra il cane pigro e corre via",
+        "questa e una frase sul tempo e le stagioni dellanno",
+        "lei ha detto che sarebbero venuti a casa di mattina",
+        "stiamo lavorando al progetto da tre settimane ormai",
+    ],
+    "pt": [
+        "a rapida raposa marrom pula sobre o cachorro preguicoso e corre",
+        "esta e uma frase sobre o tempo e as estacoes do ano",
+        "ela disse que eles viriam para a casa de manha cedo",
+        "estamos trabalhando no projeto ha tres semanas agora",
+    ],
+}
+
+_HELDOUT = [
+    ("h-en", "en", "they said the house would be ready in the morning"),
+    ("h-es", "es", "dijo que la casa estaria lista por la manana"),
+    ("h-fr", "fr", "ils ont dit que la maison serait prete dans la matinee"),
+    ("h-de", "de", "sie sagten das haus wurde am morgen fertig sein"),
+    ("h-it", "it", "hanno detto che la casa sarebbe pronta di mattina"),
+    ("h-pt", "pt", "disseram que a casa estaria pronta de manha"),
+]
+
+
+def _train_df(spark):
+    rows = [(lang, t) for lang, texts in _TRAIN.items() for t in texts]
+    return spark.createDataFrame(rows, ["lang", "text"])
+
+
+def test_char_ngrams_shape(spark):
+    df = spark.createDataFrame([("ab",), ("",), (None,)], ["text"])
+    got = df.select(langid.char_ngrams(F.col("text")).alias("g")).collect()
+    # " ab " → bigrams [' a','ab','b '] + trigrams [' ab','ab ']
+    assert got[0]["g"] == [" a", "ab", "b ", " ab", "ab "]
+    # empty text → " "-padded collapses to "  "? no: '' → ' ' ' ' = '  '
+    assert all(len(g) in (2, 3) for g in got[0]["g"])
+    # null text: lower/concat propagate NULL into the when-guard,
+    # whose otherwise-branch yields [] — classified to NULL downstream
+    # (no grams → no doc profile row → left-join NULL)
+    assert got[2]["g"] == []
+
+
+def test_profiles_are_bounded_ranked_deterministic(spark):
+    train = _train_df(spark)
+    p1 = langid.train_language_profiles(train, top_k=200)
+    p2 = langid.train_language_profiles(
+        train.orderBy(F.rand(7)), top_k=200
+    )  # row order must not matter
+    rows1 = {(r["lang"], r["gram"]): r["rank"] for r in p1.collect()}
+    rows2 = {(r["lang"], r["gram"]): r["rank"] for r in p2.collect()}
+    assert rows1 == rows2
+    langs = {k[0] for k in rows1}
+    assert langs == set(_TRAIN)
+    for lang in langs:
+        ranks = sorted(v for k, v in rows1.items() if k[0] == lang)
+        assert ranks == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 200
+
+
+def test_classifies_heldout_sentences(spark):
+    train = _train_df(spark)
+    profiles = langid.train_language_profiles(train, top_k=300)
+    docs = spark.createDataFrame(
+        [(i, t) for i, _, t in _HELDOUT], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["lang_id"]
+        for r in langid.classify_language(docs, profiles).collect()
+    }
+    want = {i: lang for i, lang, _ in _HELDOUT}
+    assert got == want
+
+
+def test_empty_text_is_null_and_distance_column_present(spark):
+    train = _train_df(spark)
+    profiles = langid.train_language_profiles(train, top_k=300)
+    docs = spark.createDataFrame(
+        [("a", "the morning house"), ("b", ""), ("c", None)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in langid.classify_language(docs, profiles).collect()}
+    assert rows["a"]["lang_id"] == "en"
+    assert rows["a"]["lang_id_dist"] is not None
+    # '' still pads to '  ' → grams exist; but a None text yields none
+    assert rows["c"]["lang_id"] is None
+
+
+def test_profile_join_is_broadcast(spark):
+    train = _train_df(spark)
+    profiles = langid.train_language_profiles(train, top_k=100)
+    docs = spark.createDataFrame([("a", "hello world")], ["doc_id", "text"])
+    plan = (
+        langid.classify_language(docs, profiles)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
