@@ -171,6 +171,14 @@ def _hdr(block, name: str) -> F.Column:
     )
 
 
+def _canon_encoding(enc: F.Column) -> F.Column:
+    """Identity-equivalent Content-Encoding labels → NULL ("the html
+    value is plain text"); anything else passes through. Shared
+    canonicalization so the two WARC readers agree row-for-row on
+    identity records."""
+    return F.when(enc.isin("identity", "none"), F.lit(None)).otherwise(enc)
+
+
 def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> DataFrame:
     """Parse record-split WARC fragments (column ``value``) into one
     row per ``response`` record: ``(doc_id, url, fetch_time,
@@ -245,15 +253,12 @@ def parse_warc_responses(rec: DataFrame, keep_http_headers: bool = False) -> Dat
         # along and extract_documents excludes the row (the binary
         # kernel decodes and reports NULL here). Without this column
         # a compressed 200/text-html record would flow downstream as
-        # mojibake "text"
-        F.nullif(
-            F.lower(
-                F.regexp_extract(
-                    http, r"(?mi)^content-encoding:\s*(.*?)\s*$", 1
-                )
-            ),
-            F.lit(""),
-        ).alias("content_encoding"),
+        # mojibake "text". Identity-equivalent labels (identity, the
+        # nonstandard none) canonicalize to NULL so both readers emit
+        # the same value for the same plain-text record
+        _canon_encoding(F.lower(_hdr(http, "Content-Encoding"))).alias(
+            "content_encoding"
+        ),
         text.alias("html"),
         *([F.col("__http").alias("http_headers")] if keep_http_headers else []),
     )
@@ -321,13 +326,27 @@ def html_to_text(html) -> F.Column:
     ``frequent_lines``, ``gopher_filter``)."""
     c = F.col(html) if isinstance(html, str) else html
     c = F.regexp_replace(c, r"\r\n?", "\n")
-    # script/style subtrees BEFORE comments: a "<!--" inside script
-    # code would otherwise open a comment that swallows real body
-    # text up to the next "-->" (a comment WRAPPING a script leaves
-    # harmless fragments the comment pass then removes)
+    # comments × scripts nest both ways, and each order of two blind
+    # passes loses real text one way: comments-first lets a "<!--"
+    # inside script code swallow body text to the next "-->";
+    # scripts-first lets an UNPAIRED "<script...>" inside a comment
+    # swallow body text to the next real "</script>". Three passes:
+    # 1. comments that contain no CLOSING skip-element tag — safe
+    #    either way (an opening tag inside a comment is not a real
+    #    script start; a "<!--" inside a script always has "</script"
+    #    before its "-->", so such a span is never matched here);
+    c = F.regexp_replace(
+        c,
+        r"(?is)<!--(?:(?!</(?:script|style|noscript|template)).)*?-->",
+        " ",
+    )
+    # 2. script/style subtrees (any commented-out unpaired openings
+    #    are gone, so the lazy match starts at a real element);
     c = F.regexp_replace(
         c, r"(?is)<(script|style|noscript|template)\b[^>]*>.*?</\1\s*>", " "
     )
+    # 3. remaining comments (including remnants of comments that
+    #    WRAPPED a complete script pair removed by pass 2)
     c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
     c = F.regexp_replace(c, rf"(?i)</?(?:{_HTML_BLOCK_TAGS})\b[^>]*/?>", "\n")
     c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
@@ -363,14 +382,12 @@ def extract_documents(resp: DataFrame, min_length: int = 1) -> DataFrame:
         resp.filter(
             (F.col("http_status") == 200)
             & F.col("content_type").startswith("text/html")
-            # html must be DECODED payload: the text reader leaves a
-            # non-identity Content-Encoding applied (compressed bytes
-            # are not a document); the binary kernel nulls the column
-            # after decoding
-            & (
-                F.col("content_encoding").isNull()
-                | (F.col("content_encoding") == "identity")
-            )
+            # html must be DECODED payload: content_encoding is NULL
+            # exactly when it is (identity-equivalents canonicalize to
+            # NULL in both readers; the kernel nulls after decoding;
+            # the text reader leaves real encodings applied —
+            # compressed bytes are not a document)
+            & F.col("content_encoding").isNull()
         )
         .select(
             "doc_id",
@@ -441,6 +458,12 @@ def read_warc_binary(
         import zlib
 
         import pandas as pd
+
+        # Java regex \s is ASCII-only — Python str.strip() strips
+        # Unicode whitespace (U+00A0, U+3000, ...) and would give this
+        # reader different doc_ids/html than the text reader for
+        # payloads with such edges
+        ascii_ws = " \t\n\r\x0b\x0c"
 
         def parse_headers(block: bytes) -> dict:
             out = {}
@@ -517,7 +540,9 @@ def read_warc_binary(
                         # decoded-text hash matches the text reader's
                         # fallback; raw bytes only when undecodable
                         "doc_id": rid or hashlib.md5(
-                            html.strip().encode() if html is not None else body
+                            html.strip(ascii_ws).encode()
+                            if html is not None
+                            else body
                         ).hexdigest(),
                         "url": whdr.get(b"warc-target-uri", b"").decode("utf-8", "replace") or None,
                         "fetch_time": whdr.get(b"warc-date", b"").decode("ascii", "replace") or None,
@@ -535,7 +560,7 @@ def read_warc_binary(
                             if html is not None
                             else http.get(b"content-encoding", b"").decode("ascii", "replace") or None
                         ),
-                        "html": html.strip() if html is not None else None,
+                        "html": html.strip(ascii_ws) if html is not None else None,
                     }
                     if keep_http_headers:
                         rec["http_headers"] = http_b.decode("utf-8", "replace")

@@ -46,17 +46,21 @@ def char_ngrams(col, n_values=DEFAULT_N):
     convention). ``sequence→transform`` per n: pure JVM expressions,
     no explode here, no shuffle. Short texts guard the descending-
     ``sequence(1, 0)`` trap with an explicit empty array."""
-    c = F.concat(
-        F.lit(" "),
-        F.regexp_replace(F.lower(col), r"\s+", " "),
-        F.lit(" "),
+    # edge-trim BEFORE padding: whitespace-only (or empty) text must
+    # yield NO grams — bare padding would otherwise manufacture a
+    # "  " bigram and every such document would all-miss-tie to the
+    # alphabetically first language instead of classifying to NULL
+    base = F.regexp_replace(
+        F.regexp_replace(F.lower(col), r"\s+", " "), r"^ | $", ""
     )
+    c = F.concat(F.lit(" "), base, F.lit(" "))
+
     def one_n(n: int):
         # helper scope, not a loop-closure: F.transform dispatches on
         # the lambda's ARITY, so a `lambda i, _n=n` default-arg trick
         # would be mistaken for the (element, index) binary form
         return F.when(
-            F.length(c) >= n,
+            (F.length(base) > 0) & (F.length(c) >= n),
             F.transform(
                 F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
                 lambda i: F.substring(c, i, n),
@@ -126,10 +130,11 @@ def classify_language(
     )
     dist = (
         doc_profile
-        # inner on gram would drop (doc, lang) pairs entirely for
-        # langs sharing no grams; the left join keeps every doc gram
-        # and crosses it with each matching profile row — missing
-        # langs are handled below by re-joining the lang dim
+        # INNER join: only gram hits carry rank information. Doc grams
+        # no profile contains contribute the flat miss penalty, which
+        # is reconstructed below from (doc profile size − hits) — and
+        # languages sharing no grams at all come back via the lang-dim
+        # cross join, not this join
         .join(F.broadcast(profiles), "gram", "inner")
         .groupBy(id_col, "lang")
         .agg(

@@ -67,12 +67,16 @@ def test_char_ngrams_shape(spark):
     got = df.select(langid.char_ngrams(F.col("text")).alias("g")).collect()
     # " ab " → bigrams [' a','ab','b '] + trigrams [' ab','ab ']
     assert got[0]["g"] == [" a", "ab", "b ", " ab", "ab "]
-    # empty text → " "-padded collapses to "  "? no: '' → ' ' ' ' = '  '
     assert all(len(g) in (2, 3) for g in got[0]["g"])
-    # null text: lower/concat propagate NULL into the when-guard,
-    # whose otherwise-branch yields [] — classified to NULL downstream
-    # (no grams → no doc profile row → left-join NULL)
+    # empty, whitespace-only and null text all yield NO grams (the
+    # padding must not manufacture a "  " bigram that would all-miss-
+    # tie to the alphabetically first language) — classified to NULL
+    # downstream (no grams → no doc profile row → left-join NULL)
+    assert got[1]["g"] == []
     assert got[2]["g"] == []
+    ws = df.sparkSession.createDataFrame([("   ",)], ["text"]).select(
+        langid.char_ngrams(F.col("text")).alias("g")).first()
+    assert ws["g"] == []
 
 
 def test_profiles_are_bounded_ranked_deterministic(spark):
@@ -116,7 +120,9 @@ def test_empty_text_is_null_and_distance_column_present(spark):
     rows = {r["doc_id"]: r for r in langid.classify_language(docs, profiles).collect()}
     assert rows["a"]["lang_id"] == "en"
     assert rows["a"]["lang_id_dist"] is not None
-    # '' still pads to '  ' → grams exist; but a None text yields none
+    # empty AND null text classify to NULL, never to a spurious
+    # alphabetically-first language
+    assert rows["b"]["lang_id"] is None
     assert rows["c"]["lang_id"] is None
 
 

@@ -474,3 +474,84 @@ def test_review_fixes_round8(spark, tmp_path):
         assert t2 == b2
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_second_review_fixes_round8(spark, tmp_path):
+    """nbsp-edge id agreement, identity/none canonicalization,
+    commented-out unpaired script tag."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        extract_documents,
+        html_to_text,
+        read_warc,
+        read_warc_binary,
+    )
+
+    nbsp_body = " <p>nbsp edges</p> ".encode()
+    blob = b"".join([
+        # id-less record whose payload has U+00A0 edges: both readers
+        # must strip ASCII whitespace ONLY and produce the same id
+        (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://ex.com/nbsp\r\n"
+            "WARC-Date: 2024-03-01T12:30:00Z\r\n"
+            f"Content-Length: {47 + len(nbsp_body)}\r\n\r\n"
+        ).encode()
+        + b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        + nbsp_body
+        + b"\r\n\r\n",
+        (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://ex.com/none-enc\r\n"
+            "WARC-Date: 2024-03-01T12:31:00Z\r\n"
+            "WARC-Record-ID: <n1>\r\n\r\n"
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            "Content-Encoding: none\r\n\r\n"
+            "<p>plain despite the header</p>\r\n\r\n"
+        ).encode(),
+        (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: https://ex.com/identity-enc\r\n"
+            "WARC-Date: 2024-03-01T12:32:00Z\r\n"
+            "WARC-Record-ID: <n2>\r\n\r\n"
+            "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            "Content-Encoding: identity\r\n\r\n"
+            "<p>identity page</p>\r\n\r\n"
+        ).encode(),
+    ])
+    (tmp_path / "g.warc").write_bytes(blob)
+
+    t = {r["url"]: r for r in read_warc(spark, str(tmp_path / "g.warc")).collect()}
+    b = {r["url"]: r for r in read_warc_binary(spark, str(tmp_path / "g.warc")).collect()}
+
+    # nbsp edges survive identically (ASCII-only strip both sides) and
+    # the md5 fallback ids agree
+    assert t["https://ex.com/nbsp"]["html"] == b["https://ex.com/nbsp"]["html"]
+    assert t["https://ex.com/nbsp"]["html"].startswith(" ")
+    assert t["https://ex.com/nbsp"]["doc_id"] == b["https://ex.com/nbsp"]["doc_id"]
+
+    # identity-equivalent encodings canonicalize to NULL in BOTH
+    # readers, and the documents are kept by extract_documents
+    for url in ("https://ex.com/none-enc", "https://ex.com/identity-enc"):
+        assert t[url]["content_encoding"] is None
+        assert b[url]["content_encoding"] is None
+    t_docs = {r["url"] for r in extract_documents(
+        read_warc(spark, str(tmp_path / "g.warc"))).collect()}
+    assert {"https://ex.com/none-enc", "https://ex.com/identity-enc"} <= t_docs
+
+    # a commented-out UNPAIRED <script> opening must not swallow body
+    # text up to the next real </script> (the mirror of the case the
+    # first review found)
+    tricky = '<!-- <script src="old.js"> -->Hello world<script>x()</script>'
+    got = spark.createDataFrame([(tricky,)], ["h"]).select(
+        html_to_text("h").alias("t")).first()["t"]
+    assert got == "Hello world"
+    # and the original direction still holds after the three-pass form
+    tricky2 = "<script>var s='<!--';</script><p>real content</p><!-- footer -->"
+    got2 = spark.createDataFrame([(tricky2,)], ["h"]).select(
+        html_to_text("h").alias("t")).first()["t"]
+    assert got2 == "real content"
+    # comment WRAPPING a complete script pair: remnants cleaned, text kept
+    tricky3 = "<!-- <script>x()</script> -->kept text"
+    got3 = spark.createDataFrame([(tricky3,)], ["h"]).select(
+        html_to_text("h").alias("t")).first()["t"]
+    assert got3 == "kept text"
