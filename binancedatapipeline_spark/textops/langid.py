@@ -39,31 +39,43 @@ DEFAULT_TOP_K = 300
 DEFAULT_N = (2, 3)  # char bigrams + trigrams
 
 
-def char_ngrams(col, n_values=DEFAULT_N):
-    """The document's character n-gram array (lowercased, whitespace
-    runs collapsed to one space, text padded with a leading/trailing
-    space so word edges produce edge-grams — the Cavnar–Trenkle
-    convention). ``sequence→transform`` per n: pure JVM expressions,
-    no explode here, no shuffle. Short texts guard the descending-
-    ``sequence(1, 0)`` trap with an explicit empty array."""
-    # edge-trim BEFORE padding: whitespace-only (or empty) text must
-    # yield NO grams — bare padding would otherwise manufacture a
-    # "  " bigram and every such document would all-miss-tie to the
-    # alphabetically first language instead of classifying to NULL
+def _padded(col) -> F.Column:
+    """Lowercase, collapse whitespace runs to one space, edge-trim,
+    then pad with one leading/trailing space (the Cavnar–Trenkle
+    convention: word edges produce edge-grams). Edge-trim BEFORE
+    padding so whitespace-only/empty text becomes exactly ``"  "``
+    (detectable: no grams) — bare padding would manufacture a ``"  "``
+    bigram and every such document would all-miss-tie to the
+    alphabetically first language instead of classifying to NULL."""
     base = F.regexp_replace(
         F.regexp_replace(F.lower(col), r"\s+", " "), r"^ | $", ""
     )
-    c = F.concat(F.lit(" "), base, F.lit(" "))
+    return F.concat(F.lit(" "), base, F.lit(" "))
+
+
+def _grams_from_padded(padded, n_values=DEFAULT_N) -> F.Column:
+    """N-gram array from an ALREADY-BOUND padded-text column.
+
+    ``padded`` must be a materialized column attribute (a
+    ``withColumn`` output), not an inline expression tree: Spark's
+    higher-order functions are interpreted, so every subexpression
+    inside the lambda body is re-evaluated PER ELEMENT — an inline
+    lowercase/regex-collapse chain here turns gram extraction into
+    O(len²) regex passes per document (measured: a 1000-doc × 2 KB
+    classify ran minutes instead of seconds before this split).
+    Short/empty texts guard the descending-``sequence(1, 0)`` trap
+    with an explicit empty array; padded == "  " (empty source) yields
+    no grams."""
 
     def one_n(n: int):
         # helper scope, not a loop-closure: F.transform dispatches on
         # the lambda's ARITY, so a `lambda i, _n=n` default-arg trick
         # would be mistaken for the (element, index) binary form
         return F.when(
-            (F.length(base) > 0) & (F.length(c) >= n),
+            (F.length(padded) > 2) & (F.length(padded) >= n),
             F.transform(
-                F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-                lambda i: F.substring(c, i, n),
+                F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
+                lambda i: F.substring(padded, i, n),
             ),
         ).otherwise(F.array().cast("array<string>"))
 
@@ -72,6 +84,20 @@ def char_ngrams(col, n_values=DEFAULT_N):
     for p in parts[1:]:
         grams = F.concat(grams, p)
     return grams
+
+
+def char_ngrams(col, n_values=DEFAULT_N):
+    """The document's character n-gram array (lowercased, whitespace
+    runs collapsed to one space, text padded with a leading/trailing
+    space so word edges produce edge-grams — the Cavnar–Trenkle
+    convention). Pure JVM expressions, no explode here, no shuffle.
+
+    NOTE: convenience form for ad-hoc use on short strings — it
+    inlines the normalization INSIDE the per-element lambda, which
+    interpreted higher-order functions re-evaluate per gram (O(len²)).
+    The train/classify pipeline binds the padded text once with
+    ``withColumn`` and uses :func:`_grams_from_padded` instead."""
+    return _grams_from_padded(_padded(col), n_values)
 
 
 def train_language_profiles(
@@ -86,7 +112,10 @@ def train_language_profiles(
     training is deterministic under any row order). ≤ ``languages ×
     top_k`` rows — the broadcastable fit relation."""
     counts = (
-        df.select(lang_col, F.explode(char_ngrams(F.col(text_col), n_values)).alias("gram"))
+        # bind the padded text ONCE per row (see _grams_from_padded:
+        # an inline expression would be re-evaluated per gram)
+        df.withColumn("__cn", _padded(F.col(text_col)))
+        .select(lang_col, F.explode(_grams_from_padded(F.col("__cn"), n_values)).alias("gram"))
         .groupBy(lang_col, "gram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -107,6 +136,7 @@ def classify_language(
     n_values=DEFAULT_N,
     miss_penalty: int | None = None,
     output_col: str = "lang_id",
+    max_chars: int | None = 4000,
 ) -> DataFrame:
     """Add ``output_col``: the language whose profile is nearest to
     the document's own ranked n-gram profile by out-of-place distance
@@ -117,12 +147,23 @@ def classify_language(
 
     The document profile is capped at ``top_k`` grams like the
     training side (the method's own normalization — long documents
-    must not out-vote the profile length)."""
+    must not out-vote the profile length), and ``max_chars`` bounds
+    the gram extraction to the document HEAD (the CCNet deployment —
+    language rarely changes mid-page, and 4k characters carry far
+    more than ``top_k`` distinct grams): the per-document explode
+    cost is a constant, not a function of document length, which is
+    the difference between a bounded and an unbounded shuffle at
+    100 TB. ``max_chars=None`` reads everything."""
     if miss_penalty is None:
         miss_penalty = top_k
+    text = F.col(text_col)
+    if max_chars is not None:
+        text = F.substring(text, 1, max_chars)
     doc_w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("gram"))
     doc_profile = (
-        df.select(id_col, F.explode(char_ngrams(F.col(text_col), n_values)).alias("gram"))
+        # bind the padded text ONCE per row (see _grams_from_padded)
+        df.withColumn("__cn", _padded(text))
+        .select(id_col, F.explode(_grams_from_padded(F.col("__cn"), n_values)).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("doc_rank", F.row_number().over(doc_w))

@@ -138,3 +138,16 @@ def test_profile_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_max_chars_head_classification(spark):
+    """max_chars bounds gram extraction to the document head — a long
+    document classifies from its head and the result matches the
+    full-document classification when the head is representative."""
+    train = _train_df(spark)
+    profiles = langid.train_language_profiles(train, top_k=300)
+    long_en = " ".join(_TRAIN["en"]) * 50  # ~12k chars, all English
+    docs = spark.createDataFrame([("long", long_en)], ["doc_id", "text"])
+    head = langid.classify_language(docs, profiles, max_chars=500).first()
+    full = langid.classify_language(docs, profiles, max_chars=None).first()
+    assert head["lang_id"] == full["lang_id"] == "en"

@@ -1,0 +1,85 @@
+"""Language-ID classification cost: the head-bounded explode vs the
+unbounded one, and how the bound keeps per-document cost constant as
+documents grow.
+
+Generates ``--docs`` synthetic documents of ``--chars`` characters
+(repeating multilingual sentence stock), trains 6-language profiles,
+then times ``classify_language`` end-to-end (count) with
+``max_chars`` ∈ {500, 4000, None} at two document lengths.
+
+Usage: python tools/bench_langid.py [--docs 5000] [--chars 2000]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from binancedatapipeline_spark.session import get_session  # noqa: E402
+from binancedatapipeline_spark.textops import langid  # noqa: E402
+
+_STOCK = {
+    "en": "the quick brown fox jumps over the lazy dog near the river bank",
+    "es": "el rapido zorro marron salta sobre el perro perezoso junto al rio",
+    "fr": "le rapide renard brun saute par dessus le chien paresseux pres de la riviere",
+    "de": "der schnelle braune fuchs springt uber den faulen hund am fluss entlang",
+    "it": "la rapida volpe marrone salta sopra il cane pigro vicino al fiume",
+    "pt": "a rapida raposa marrom pula sobre o cachorro preguicoso perto do rio",
+}
+
+
+def timed(fn, n=3):
+    best = None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=5000)
+    ap.add_argument("--chars", type=int, default=2000)
+    args = ap.parse_args()
+
+    spark = get_session(shuffle_partitions=32)
+    langs = sorted(_STOCK)
+    train = spark.createDataFrame(
+        [(lang, _STOCK[lang] * 8) for lang in langs], ["lang", "text"]
+    )
+    profiles = langid.train_language_profiles(train, top_k=300).cache()
+    profiles.count()
+
+    res = {"docs": args.docs, "chars": args.chars}
+    for factor, tag in ((1, ""), (4, "_4x_chars")):
+        chars = args.chars * factor
+        rows = [
+            (i, (_STOCK[langs[i % len(langs)]] + " ") * (chars // 60 + 1))
+            for i in range(args.docs)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+        docs.count()
+        for mc in (500, 4000, None):
+            key = f"mc{mc or 'full'}{tag}_sec"
+            res[key] = round(
+                timed(
+                    lambda mc=mc: langid.classify_language(
+                        docs, profiles, max_chars=mc
+                    ).count()
+                ),
+                3,
+            )
+        docs.unpersist()
+
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
