@@ -53,29 +53,44 @@ def _padded(col) -> F.Column:
     return F.concat(F.lit(" "), base, F.lit(" "))
 
 
-def _grams_from_padded(padded, n_values=DEFAULT_N) -> F.Column:
-    """N-gram array from an ALREADY-BOUND padded-text column.
+def _grams_from_chars(chars, n_values=DEFAULT_N) -> F.Column:
+    """N-gram array from a BOUND char-array value (a lambda variable
+    or column attribute).
 
-    ``padded`` must be a materialized column attribute (a
-    ``withColumn`` output), not an inline expression tree: Spark's
-    higher-order functions are interpreted, so every subexpression
-    inside the lambda body is re-evaluated PER ELEMENT — an inline
-    lowercase/regex-collapse chain here turns gram extraction into
-    O(len²) regex passes per document (measured: a 1000-doc × 2 KB
-    classify ran minutes instead of seconds before this split).
+    Two measured O(len²)-per-document traps shape this form:
+    1. Spark's higher-order functions are interpreted — every
+       subexpression in a lambda body is re-evaluated PER ELEMENT, so
+       the input must be a bound value, never an inline
+       normalize-and-pad expression tree (regexes per gram).
+    2. ``substring(s, i, n)`` is itself O(i) on UTF-8 strings (the
+       codepoint offset is found by scanning), so POSITIONAL gram
+       extraction is quadratic even over a bound string — indexing a
+       pre-split char array (`element_at`/`slice`: O(1) per element)
+       is the linear form. Measured on one 100 KB row: 57 s
+       (substring over a bound string) → 3.4 s (char array).
+
     Short/empty texts guard the descending-``sequence(1, 0)`` trap
-    with an explicit empty array; padded == "  " (empty source) yields
-    no grams."""
+    with an explicit empty array; size 2 (the bare padding of an
+    empty source) yields no grams."""
 
     def one_n(n: int):
         # helper scope, not a loop-closure: F.transform dispatches on
         # the lambda's ARITY, so a `lambda i, _n=n` default-arg trick
         # would be mistaken for the (element, index) binary form
+        if n == 2:  # the hot default: two O(1) lookups beat slice+join
+            def body(i):
+                return F.concat(
+                    F.element_at(chars, i),
+                    F.element_at(chars, (i + F.lit(1)).cast("int")),
+                )
+        else:
+            def body(i):
+                return F.array_join(F.slice(chars, i, n), "")
+
         return F.when(
-            (F.length(padded) > 2) & (F.length(padded) >= n),
+            (F.size(chars) > 2) & (F.size(chars) >= n),
             F.transform(
-                F.sequence(F.lit(1), F.length(padded) - F.lit(n - 1)),
-                lambda i: F.substring(padded, i, n),
+                F.sequence(F.lit(1), F.size(chars) - F.lit(n - 1)), body
             ),
         ).otherwise(F.array().cast("array<string>"))
 
@@ -92,12 +107,16 @@ def char_ngrams(col, n_values=DEFAULT_N):
     space so word edges produce edge-grams — the Cavnar–Trenkle
     convention). Pure JVM expressions, no explode here, no shuffle.
 
-    NOTE: convenience form for ad-hoc use on short strings — it
-    inlines the normalization INSIDE the per-element lambda, which
-    interpreted higher-order functions re-evaluate per gram (O(len²)).
-    The train/classify pipeline binds the padded text once with
-    ``withColumn`` and uses :func:`_grams_from_padded` instead."""
-    return _grams_from_padded(_padded(col), n_values)
+    Safe and LINEAR for any document length: the padded char array is
+    bound as a lambda VARIABLE (``transform(array(x), ch -> ...)[0]``)
+    — a value by construction, not an expression the interpreter
+    re-evaluates per gram, and not dependent on any optimizer
+    projection behavior (see :func:`_grams_from_chars` for the two
+    measured quadratic traps this avoids)."""
+    return F.transform(
+        F.array(F.split(_padded(col), "")),
+        lambda ch: _grams_from_chars(ch, n_values),
+    )[0]
 
 
 def train_language_profiles(
@@ -112,10 +131,7 @@ def train_language_profiles(
     training is deterministic under any row order). ≤ ``languages ×
     top_k`` rows — the broadcastable fit relation."""
     counts = (
-        # bind the padded text ONCE per row (see _grams_from_padded:
-        # an inline expression would be re-evaluated per gram)
-        df.withColumn("__cn", _padded(F.col(text_col)))
-        .select(lang_col, F.explode(_grams_from_padded(F.col("__cn"), n_values)).alias("gram"))
+        df.select(lang_col, F.explode(char_ngrams(F.col(text_col), n_values)).alias("gram"))
         .groupBy(lang_col, "gram")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -161,9 +177,7 @@ def classify_language(
         text = F.substring(text, 1, max_chars)
     doc_w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("gram"))
     doc_profile = (
-        # bind the padded text ONCE per row (see _grams_from_padded)
-        df.withColumn("__cn", _padded(text))
-        .select(id_col, F.explode(_grams_from_padded(F.col("__cn"), n_values)).alias("gram"))
+        df.select(id_col, F.explode(char_ngrams(text, n_values)).alias("gram"))
         .groupBy(id_col, "gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("doc_rank", F.row_number().over(doc_w))

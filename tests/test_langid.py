@@ -141,13 +141,37 @@ def test_profile_join_is_broadcast(spark):
 
 
 def test_max_chars_head_classification(spark):
-    """max_chars bounds gram extraction to the document head — a long
-    document classifies from its head and the result matches the
-    full-document classification when the head is representative."""
+    """max_chars must actually bound extraction to the HEAD: a
+    document with a short English head and a long Spanish tail
+    classifies 'en' under a head bound covering only the English
+    part, and 'es' unbounded — a vacuous all-one-language fixture
+    would pass even if max_chars were silently ignored."""
     train = _train_df(spark)
     profiles = langid.train_language_profiles(train, top_k=300)
-    long_en = " ".join(_TRAIN["en"]) * 50  # ~12k chars, all English
-    docs = spark.createDataFrame([("long", long_en)], ["doc_id", "text"])
-    head = langid.classify_language(docs, profiles, max_chars=500).first()
+    head_en = " ".join(_TRAIN["en"])  # ~240 chars of English...
+    tail_es = " ".join(_TRAIN["es"]) * 40  # ...then ~9.5k chars of Spanish
+    docs = spark.createDataFrame(
+        [("mixed", head_en + " " + tail_es)], ["doc_id", "text"]
+    )
+    head = langid.classify_language(docs, profiles, max_chars=240).first()
     full = langid.classify_language(docs, profiles, max_chars=None).first()
-    assert head["lang_id"] == full["lang_id"] == "en"
+    assert head["lang_id"] == "en"
+    assert full["lang_id"] == "es"
+
+
+def test_gram_extraction_is_linear_in_document_length(spark):
+    """Canary for the two measured O(len²) traps (interpreted-lambda
+    re-evaluation; positional substring's O(i) UTF-8 scan): a 300 KB
+    document's grams must come out in seconds — each quadratic form
+    took minutes-to-never at this size. Generous bound: ~10 s healthy
+    even on a loaded host, vs ≥450 s for the broken shapes."""
+    import time
+
+    big = spark.createDataFrame([("word " * 60_000,)], ["text"])
+    t0 = time.perf_counter()
+    n = big.select(
+        F.size(langid.char_ngrams(F.col("text"))).alias("n")
+    ).first()["n"]
+    took = time.perf_counter() - t0
+    assert n == 2 * 300_000 - 1
+    assert took < 180, f"gram extraction took {took:.0f}s — quadratic again?"
