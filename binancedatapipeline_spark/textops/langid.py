@@ -119,6 +119,58 @@ def char_ngrams(col, n_values=DEFAULT_N):
     )[0]
 
 
+def _row_top_grams(grams_col, top_k: int) -> F.Column:
+    """``struct(gram, n)`` array of the row's ``top_k`` most frequent
+    grams, ranked exactly like the profile fit (count desc, gram asc)
+    — computed INSIDE the row: sort the gram array, run-length encode
+    it (run starts → ``zip_with`` next-start for counts), comparator-
+    sort the runs, slice ``top_k``. Nothing leaves the row but the
+    bounded top-k array, so building a document profile costs ZERO
+    shuffles — where the groupBy+rank-window form shuffled every gram
+    of every document twice. All inputs are bound as lambda variables
+    (the round-8 interpreted-lambda lesson)."""
+    return F.transform(
+        F.array(F.array_sort(grams_col)),
+        lambda sg: F.when(
+            F.size(sg) > 0,
+            _runs_top_k(sg, top_k),
+        ).otherwise(
+            F.array().cast("array<struct<gram:string,n:int>>")
+        ),
+    )[0]
+
+
+def _runs_top_k(sg, top_k: int) -> F.Column:
+    """Run-length + top-k over a BOUND sorted gram array (non-empty)."""
+    starts = F.filter(
+        F.sequence(F.lit(1), F.size(sg)),
+        lambda i: (i == 1)
+        | (F.element_at(sg, i.cast("int"))
+           != F.element_at(sg, (i - 1).cast("int"))),
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(sg) + 1),
+    )
+    runs = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            F.element_at(sg, s.cast("int")).alias("gram"),
+            (e - s).cast("int").alias("n"),
+        ),
+    )
+    ranked = F.array_sort(
+        runs,
+        lambda l, r: F.when(l["n"] > r["n"], -1)
+        .when(l["n"] < r["n"], 1)
+        .when(l["gram"] < r["gram"], -1)
+        .when(l["gram"] > r["gram"], 1)
+        .otherwise(0),
+    )
+    return F.slice(ranked, 1, top_k)
+
+
 def train_language_profiles(
     df: DataFrame,
     lang_col: str = "lang",
@@ -175,13 +227,22 @@ def classify_language(
     text = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
-    doc_w = Window.partitionBy(id_col).orderBy(F.col("n").desc(), F.col("gram"))
-    doc_profile = (
-        df.select(id_col, F.explode(char_ngrams(text, n_values)).alias("gram"))
-        .groupBy(id_col, "gram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("doc_rank", F.row_number().over(doc_w))
-        .filter(F.col("doc_rank") <= top_k)
+    # the document profile is computed INSIDE each row (run-length +
+    # comparator sort over the bound gram array): zero shuffles until
+    # the BOUNDED top_k-per-doc explode below — the groupBy(doc, gram)
+    # + rank-window form this replaces shuffled every gram of every
+    # document twice (and sorted them) for the same ranks
+    tops = df.select(
+        F.col(id_col),
+        _row_top_grams(char_ngrams(text, n_values), top_k).alias("__top"),
+    )
+    doc_profile = tops.select(
+        id_col,
+        F.posexplode("__top").alias("__pos", "__pg"),
+    ).select(
+        id_col,
+        F.col("__pg.gram").alias("gram"),
+        (F.col("__pos") + 1).alias("doc_rank"),
     )
     dist = (
         doc_profile
@@ -199,9 +260,13 @@ def classify_language(
     )
     # grams with no profile entry cost miss_penalty each; the number
     # of misses is (doc profile size − hits), so the constant-per-doc
-    # term needs the doc's gram count
-    doc_sizes = doc_profile.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__doc_grams")
+    # term needs the doc's gram count — a map-side projection off the
+    # row-local top array, no aggregation. Zero-gram documents are
+    # EXCLUDED here on purpose: with no doc_sizes row they fall out of
+    # the scoring entirely and classify to NULL (an included size-0
+    # row would distance-0-tie every language and pick the first)
+    doc_sizes = tops.filter(F.size("__top") > 0).select(
+        id_col, F.size("__top").alias("__doc_grams")
     )
     langs = profiles.select("lang").distinct()
     scored = (

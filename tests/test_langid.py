@@ -175,3 +175,21 @@ def test_gram_extraction_is_linear_in_document_length(spark):
     took = time.perf_counter() - t0
     assert n == 2 * 300_000 - 1
     assert took < 180, f"gram extraction took {took:.0f}s — quadratic again?"
+
+
+def test_doc_profile_stage_is_shuffle_free(spark):
+    """The per-document profile (top-k ranked grams) must be computed
+    inside the row: no Exchange, no Window, no aggregate in its plan —
+    only the bounded top-k array ever leaves the row."""
+    docs = spark.createDataFrame(
+        [("a", "some text to profile right here")], ["doc_id", "text"]
+    )
+    tops = docs.select(
+        "doc_id",
+        langid._row_top_grams(langid.char_ngrams(F.col("text")), 300).alias("t"),
+    )
+    plan = tops._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
