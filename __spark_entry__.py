@@ -652,14 +652,37 @@ def q_doc_rep_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The round-5 exact-collapse primitive (textops/dedup.py
     exact_rep_map): every doc mapped to the min id of its
     byte-identical group — the step that keeps near-dedup O(groups)
-    on adversarially duplicated corpora. SQL-expressible, so the
-    collapse itself is correctness-gated against the oracle."""
+    on adversarially duplicated corpora. Retired from the registry in
+    round 8 (rotation for hist_quantiles — the md5-digest machinery
+    stays oracle-gated through doc_exact_dedup); the exact query keeps
+    its DuckDB differential in tests/test_retired_queries.py."""
     from binancedatapipeline_spark.textops.dedup import exact_rep_map
 
     d = _t(spark, sf_dir, "documents")
     return exact_rep_map(d).select(
         "doc_id", F.col("__rep_id").alias("rep_id")
     )
+
+
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile state (textops/sketch.py
+    hist_build + hist_quantiles): per-event-type fixed-bin histogram
+    of `value` over [0, 500) × 40 bins, then the 0.5/0.9 quantiles
+    answered off the state relation alone — the bounded-memory
+    monitoring shape (ingest keeps ≤ groups×(bins+2) rows, quantiles
+    never rescan data). Deterministic pure arithmetic end to end, so
+    the whole fit→estimate pipeline is oracle-gated: the DuckDB oracle
+    reproduces binning, cumulative-mass bin selection and linear
+    interpolation bit-identically."""
+    from binancedatapipeline_spark.textops.sketch import (
+        hist_build,
+        hist_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h = hist_build(ev, "value", lo=0.0, hi=500.0, bins=40,
+                   group_cols=("event_type",))
+    return hist_quantiles(h, [0.5, 0.9], group_cols=("event_type",))
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1196,8 +1219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keeps full diff-test coverage, and whose multi-distinct
     # machinery stays oracle-gated through count_distinct) for
     # sq8_topk, gating the vector-compression family's quantization
-    # grid end to end. All retired queries stay DuckDB-diff-tested
-    # verbatim in tests/test_retired_queries.py.
+    # grid end to end; and doc_rep_map (exact-collapse rep map — the
+    # identical md5-digest machinery stays oracle-gated through
+    # doc_exact_dedup) for hist_quantiles, gating the mergeable-
+    # sketch family's histogram fit→quantile pipeline. All retired
+    # queries stay DuckDB-diff-tested verbatim in
+    # tests/test_retired_queries.py.
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -1225,7 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_distinct": q_count_distinct,
         "json_extract": q_json_extract,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_rep_map": q_doc_rep_map,
+        "hist_quantiles": q_hist_quantiles,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_guess": q_doc_lang_guess,
@@ -1555,11 +1582,39 @@ WHERE json_extract_string(props, '$.k')::INTEGER > 50
 SELECT md5(text) AS digest, min(doc_id) AS canonical_id, count(*) AS n_copies
 FROM documents GROUP BY md5(text)
 """,
-        "doc_rep_map": """
-SELECT doc_id,
-       CASE WHEN text IS NULL THEN doc_id
-            ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS rep_id
-FROM documents
+        "hist_quantiles": """
+WITH h AS (
+  SELECT event_type,
+         CASE WHEN value < 0.0::DOUBLE THEN -1
+              WHEN value >= 500.0::DOUBLE THEN 40
+              ELSE CAST(floor((value - 0.0::DOUBLE)
+                   / ((500.0::DOUBLE - 0.0::DOUBLE) / 40)) AS INTEGER)
+         END AS bin,
+         count(*) AS cnt
+  FROM events
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, q, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type, q ORDER BY bin) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type, q) AS total
+  FROM h CROSS JOIN (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE]) AS q)
+),
+sel AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, q ORDER BY bin) AS rn
+  FROM (SELECT *, total * q AS target FROM c)
+  WHERE cum >= target
+)
+SELECT event_type, q,
+       CASE WHEN bin < 0 THEN 0.0::DOUBLE
+            WHEN bin >= 40 THEN 500.0::DOUBLE
+            ELSE least(greatest(
+                 0.0::DOUBLE + (bin + (target - (cum - cnt)) / cnt)
+                   * ((500.0::DOUBLE - 0.0::DOUBLE) / 40),
+                 0.0::DOUBLE), 500.0::DOUBLE)
+       END AS q_est
+FROM sel WHERE rn = 1
 """,
         "doc_token_stats": f"""
 SELECT doc_id,

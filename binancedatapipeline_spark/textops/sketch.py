@@ -334,18 +334,46 @@ def hist_quantile(
     window and return plausible-looking garbage). Whole computation
     is window + filter over the <= groups x (bins+2) relation —
     trivially small."""
-    if not (0.0 <= q <= 1.0):
-        raise ValueError(f"hist_quantile: q must be in [0, 1], got {q}")
-    _params(hist, "hist_quantile", _HIST_EDGES)
+    return hist_quantiles(hist, [q], group_cols).select(*group_cols, "q_est")
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    qs,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Per-group quantile estimates for SEVERAL q values in one pass
+    over the histogram relation: ``group_cols + (q, q_est)``, one row
+    per (group, q). Same estimator as :func:`hist_quantile` (linear
+    interpolation in the bin holding the q-th mass, under/overflow
+    bins clamp to lo/hi, one-bin-width error) — the q values ride the
+    relation via a tiny explode so all windows run in the ONE pass a
+    per-q loop would repeat. The relation is ≤ groups × (bins+2) × |qs|
+    rows — still trivially small."""
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError("hist_quantiles: need at least one q")
+    bad = [q for q in qs if not (0.0 <= q <= 1.0)]
+    if bad:
+        raise ValueError(f"hist_quantiles: q must be in [0, 1], got {bad}")
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"hist_quantiles: duplicate q values in {qs}")
+    if "q" in hist.columns:
+        raise ValueError(
+            "hist_quantiles: the relation already carries a 'q' column "
+            "(reserved for the quantile label) — rename it"
+        )
+    _params(hist, "hist_quantiles", _HIST_EDGES)
     from pyspark.sql import Window
 
-    gw = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    gw = Window.partitionBy(*group_cols, "q")
     ow = gw.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     width = (F.col("hi") - F.col("lo")) / F.col("bins")
     h = (
-        hist.withColumn("__cum", F.sum("cnt").over(ow))
+        hist.withColumn("q", F.explode(F.array(*[F.lit(q) for q in qs])))
+        .withColumn("__cum", F.sum("cnt").over(ow))
         .withColumn("__total", F.sum("cnt").over(gw))
-        .withColumn("__target", F.col("__total") * F.lit(q))
+        .withColumn("__target", F.col("__total") * F.col("q"))
     )
     # the first bin whose cumulative mass reaches the target
     h = h.filter(F.col("__cum") >= F.col("__target")).withColumn(
@@ -358,4 +386,4 @@ def hist_quantile(
         .when(F.col("bin") >= F.col("bins"), F.col("hi"))
         .otherwise(F.least(F.greatest(inside, F.col("lo")), F.col("hi")))
     )
-    return h.select(*group_cols, est.alias("q_est"))
+    return h.select(*group_cols, "q", est.alias("q_est"))

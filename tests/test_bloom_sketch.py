@@ -408,3 +408,35 @@ def test_hist_guards_reserved_cols_mixed_edges_and_nan(spark):
     assert cells == {5: 1}  # NaN and NULL both ignored
     est = hist_quantile(hist_build(nan_df, "v", 0.0, 10.0, 10), 0.99).collect()[0].q_est
     assert est < 10.0 and not math.isnan(est)
+
+
+def test_hist_quantiles_multi_q_matches_per_q(spark):
+    import pyspark.sql.functions as F
+
+    from binancedatapipeline_spark.textops.sketch import hist_quantiles
+
+    df = spark.range(5000).select(
+        (F.pmod(F.xxhash64("id"), 7)).cast("string").alias("grp"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), 1000) / 10.0).alias("v"),
+    )
+    h = hist_build(df, "v", 0.0, 100.0, 32, ("grp",))
+    qs = (0.25, 0.5, 0.9)
+    multi = {
+        (r.grp, r.q): r.q_est
+        for r in hist_quantiles(h, qs, ("grp",)).collect()
+    }
+    assert len(multi) == 7 * len(qs)
+    for q in qs:
+        single = {r.grp: r.q_est for r in hist_quantile(h, q, ("grp",)).collect()}
+        for grp, est in single.items():
+            assert multi[(grp, q)] == est, (grp, q)
+
+    # reserved-label guard: a relation already carrying `q` raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="'q' column"):
+        hist_quantiles(h.withColumn("q", F.lit(1)), [0.5], ("grp",))
+    with _pytest.raises(ValueError, match="duplicate"):
+        hist_quantiles(h, [0.5, 0.5], ("grp",))
+    with _pytest.raises(ValueError, match="at least one"):
+        hist_quantiles(h, [], ("grp",))

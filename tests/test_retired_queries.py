@@ -97,3 +97,23 @@ def test_retired_approx_distinct_matches_duckdb(spark, con):
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_retired_doc_rep_map_matches_duckdb(spark, con):
+    # retired in round 8 (rotation for hist_quantiles); oracle SQL
+    # kept verbatim from the round-8 registry
+    got = _rows(entry_mod.q_doc_rep_map(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN doc_id
+            ELSE min(doc_id) OVER (PARTITION BY md5(text)) END AS rep_id
+FROM documents
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
