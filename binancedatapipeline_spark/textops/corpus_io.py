@@ -842,3 +842,115 @@ def dedup_by_url(
             .drop("__rn")
         )
     return out.drop("host", "domain", "path", "url_canonical", "__grp")
+
+
+def parse_blocklist_text(spark: SparkSession, text: str) -> DataFrame:
+    """Build a blocklist dim (``domain``) from a raw one-domain-per-
+    line file — the UT1/adult-list format RefinedWeb's URL filter
+    consumes: blank lines and ``#``/``//`` comments skipped, entries
+    lowercased, anything after the first whitespace ignored. Leading
+    ``www.`` is NOT stripped: an entry blocks its own host and every
+    subdomain, so list authors who mean the whole site publish the
+    registrable domain."""
+    rows = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or line.startswith("//"):
+            continue
+        dom = line.split()[0].lower().strip(".")
+        if dom:
+            rows.append((dom,))
+    return spark.createDataFrame(rows, "domain string")
+
+
+def with_blocked_domain(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    domain_col: str = "domain",
+    output_col: str = "blocked_domain",
+) -> DataFrame:
+    """Add ``output_col``: the blocklist entry the row's host falls
+    under (host == entry, or host ends with ``"." + entry`` — i.e.
+    every subdomain of a listed domain is blocked, the UT1/RefinedWeb
+    convention), NULL when no entry matches. The LONGEST matching
+    entry wins, so an audit row shows the most specific listing.
+
+    Scale shape: the corpus NEVER shuffles. Like the PSL domain join,
+    the blocklist's distinct label counts (a bounded driver collect
+    over the tiny dim — UT1 lists hold 2–5-label entries) decide the
+    plan: one broadcast LEFT join per label count, keyed on the last
+    k labels of the host (pure regex, no explode). A 4M-entry list is
+    a few hundred MB broadcast once; the alternative explode-suffixes
+    + join + re-group form shuffles the corpus by row id for the same
+    answer.
+
+    ``host_col`` skips URL parsing when the host was already extracted
+    (e.g. by :func:`with_url_parts`); hosts compare lowercased; rows
+    with a NULL/empty host are never blocked (missing information is
+    not a match)."""
+    if host_col is None:
+        host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    else:
+        host = F.lower(F.col(host_col))
+    out = df.withColumn("__bl_host", F.nullif(host, F.lit("")))
+    bl = (
+        blocklist.select(F.lower(F.col(domain_col)).alias("__bl_dom"))
+        .filter(F.col("__bl_dom").isNotNull() & (F.col("__bl_dom") != ""))
+        .withColumn(
+            "__bl_labels",
+            F.size(F.split(F.col("__bl_dom"), r"\.")),
+        )
+    )
+    shapes = sorted(
+        int(r["__bl_labels"]) for r in bl.select("__bl_labels").distinct().collect()
+    )
+
+    def last_labels(k: int) -> F.Column:
+        # last k dot-separated labels of the host; NULL when the host
+        # has fewer than k labels (same kernel as the PSL join)
+        return F.nullif(
+            F.regexp_extract(
+                F.col("__bl_host"), r"((?:[^.]+\.){%d}[^.]+)$" % (k - 1), 1
+            ),
+            F.lit(""),
+        )
+
+    joined = out
+    flags: list[tuple[int, str]] = []
+    for k in shapes:
+        flag = f"__bl_hit_{k}"
+        side = F.broadcast(
+            bl.filter(F.col("__bl_labels") == k)
+            .select(F.col("__bl_dom").alias(flag))
+            .distinct()
+        )
+        joined = joined.join(side, last_labels(k) == F.col(flag), "left")
+        flags.append((k, flag))
+    blocked = F.coalesce(
+        *[F.col(flag) for _, flag in sorted(flags, reverse=True)]
+    ) if flags else F.lit(None).cast("string")
+    return (
+        joined.withColumn(output_col, blocked)
+        .drop("__bl_host", *[flag for _, flag in flags])
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    host_col: str | None = None,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Drop every row whose host is a listed domain or any subdomain
+    of one — the crawl-curation URL filter (RefinedWeb runs it before
+    any content pass; UT1-style category lists are the usual input).
+    Schema passes through unchanged. For auditing which entry blocked
+    a row, use :func:`with_blocked_domain` directly."""
+    return (
+        with_blocked_domain(df, blocklist, url_col, host_col, domain_col)
+        .filter(F.col("blocked_domain").isNull())
+        .drop("blocked_domain")
+    )

@@ -151,3 +151,46 @@ def test_near_dedup_with_verification(spark):
         ).collect()
     )
     assert kept == [1, 10, 20, 21]
+
+
+def test_near_dedup_score_col_keeps_best_scored_member(spark):
+    """score_col survivor selection: the highest-scored member of each
+    cluster survives (not the min id); NULL scores sort last; score
+    ties break to the min id, so a constant score reproduces the
+    default min-id output exactly."""
+    import pyspark.sql.functions as F
+
+    base = _corpus(spark)
+    # cluster {1,2,3}: best score on 2; cluster {10,11}: NULL on 10 so
+    # 11 wins; singletons 20/21 survive regardless of score
+    scores = {1: 0.2, 2: 0.9, 3: 0.5, 10: None, 11: 0.1, 20: None, 21: 0.0}
+    df = base.withColumn(
+        "quality",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in scores.items() for x in kv]
+            ),
+            F.col("doc_id"),
+        ),
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup(df, k=16, bands=8, score_col="quality").collect()
+    )
+    assert kept == [2, 11, 20, 21]
+    # survivors keep their full row, untouched
+    row = near_dedup(df, k=16, bands=8, score_col="quality").filter(
+        "doc_id = 2"
+    ).first()
+    assert row["text"].startswith(_BASE) and row["quality"] == 0.9
+
+    # constant score == default min-id selection
+    const = base.withColumn("quality", F.lit(1.0))
+    kept_const = sorted(
+        r["doc_id"]
+        for r in near_dedup(const, k=16, bands=8, score_col="quality").collect()
+    )
+    kept_default = sorted(
+        r["doc_id"] for r in near_dedup(base, k=16, bands=8).collect()
+    )
+    assert kept_const == kept_default == [1, 10, 20, 21]

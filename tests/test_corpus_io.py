@@ -365,3 +365,98 @@ def test_read_wet_stream_equals_batch(spark, tmp_path):
     b = sorted(tuple(r) for r in batch.collect())
     s = sorted(tuple(r) for r in streamed.collect())
     assert b == s and len(b) == 2
+
+
+def test_blocklist_subdomain_and_longest_match(spark):
+    """UT1-style domain blocklist: an entry blocks its own host and
+    every subdomain; the longest listed entry labels the row; NULL or
+    unparseable hosts never match; schema passes through unchanged."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        blocklist_filter,
+        with_blocked_domain,
+    )
+
+    bl = spark.createDataFrame(
+        [("bad.com",), ("ads.bad.com",), ("tracker.net",), ("WWW.shouty.org",)],
+        "domain string",
+    )
+    rows = [
+        (1, "https://bad.com/x"),            # exact entry
+        (2, "https://a.bad.com/x"),          # subdomain of bad.com
+        (3, "https://x.ads.bad.com/x"),      # longest entry wins
+        (4, "https://notbad.com/x"),         # suffix of the NAME, not a subdomain
+        (5, "https://good.org/x"),           # clean
+        (6, None),                           # NULL url → NULL host
+        (7, "::not a url::"),                # unparseable → NULL host
+        (8, "https://www.shouty.org/x"),     # entries compare lowercased
+        (9, "https://deep.www.shouty.org/"), # subdomain of a www entry
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["blocked_domain"] for r in with_blocked_domain(df, bl).collect()}
+    assert got[1] == "bad.com"
+    assert got[2] == "bad.com"
+    assert got[3] == "ads.bad.com"
+    assert got[4] is None
+    assert got[5] is None
+    assert got[6] is None
+    assert got[7] is None
+    assert got[8] == "www.shouty.org"
+    assert got[9] == "www.shouty.org"
+
+    kept = blocklist_filter(df, bl)
+    assert kept.columns == df.columns
+    assert {r["doc_id"] for r in kept.collect()} == {4, 5, 6, 7}
+
+    # host_col path: reuse an already-extracted host, no URL parse
+    hdf = spark.createDataFrame(
+        [(1, "Sub.Bad.Com"), (2, "fine.org")], "doc_id long, host string"
+    )
+    got2 = {
+        r["doc_id"]: r["blocked_domain"]
+        for r in with_blocked_domain(hdf, bl, host_col="host").collect()
+    }
+    assert got2 == {1: "bad.com", 2: None}
+
+
+def test_blocklist_zero_corpus_shuffle_plan(spark):
+    """The corpus never shuffles: one broadcast hash join per distinct
+    blocklist label count. The only hash-partitioned exchanges in the
+    plan belong to the tiny dim side's per-shape distinct (keys named
+    __bl_hit_*) — never a corpus column."""
+    from binancedatapipeline_spark.textops.corpus_io import with_blocked_domain
+
+    bl = spark.createDataFrame([("bad.com",), ("x.y.bad.net",)], "domain string")
+    df = spark.createDataFrame([(1, "https://a.bad.com/")], "doc_id long, url string")
+    plan = (
+        with_blocked_domain(df, bl)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "hashpartitioning" in line:
+            assert "__bl_hit_" in line, line
+    assert "BroadcastHashJoin" in plan
+
+
+def test_parse_blocklist_text(spark):
+    from binancedatapipeline_spark.textops.corpus_io import parse_blocklist_text
+
+    text = """
+# comment
+// another comment
+
+BAD.com   trailing junk ignored
+.dotty.org.
+sole.net
+"""
+    got = sorted(r["domain"] for r in parse_blocklist_text(spark, text).collect())
+    assert got == ["bad.com", "dotty.org", "sole.net"]
+
+
+def test_blocklist_empty_list_blocks_nothing(spark):
+    from binancedatapipeline_spark.textops.corpus_io import blocklist_filter
+
+    bl = spark.createDataFrame([], "domain string")
+    df = spark.createDataFrame([(1, "https://any.com/")], "doc_id long, url string")
+    assert blocklist_filter(df, bl).count() == 1
