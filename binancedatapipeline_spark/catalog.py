@@ -81,6 +81,24 @@ class TableSpec:
     # partition — the ClickHouse ORDER BY primary index, recreated on
     # the plain-parquet manifest.
     stats_columns: tuple[str, ...] = ()
+    # parquet BLOOM FILTERS per column: {column: expected distinct
+    # values per row group}. Complements stats_columns for EQUALITY
+    # point reads where min/max bounds can't help — a high-cardinality
+    # key (user id, doc id, trade id) in partitions that aren't (yet)
+    # PK-clustered: footer stats of an unsorted file span the whole
+    # key domain, but its bloom filter still excludes absent keys, so
+    # the reader skips the row group (parquet-mr applies blooms under
+    # the same filter pushdown as stats). ndv sizes the filter
+    # (~1.2 bytes/key at the parquet default fpp); parquet caps a
+    # filter at parquet.bloom.filter.max.bytes (1 MiB). A chunk whose
+    # key set still fits the 1 MiB dictionary page gets NO bloom by
+    # design — the dictionary itself filters row groups exactly, and
+    # parquet-mr omits the redundant filter — so blooms materialize
+    # precisely on the chunks that fell back to plain encoding, i.e.
+    # the high-cardinality ones that need them. Blooms cost write-side
+    # bytes only — declare them on tables with real point-read
+    # traffic, not on every fact table.
+    bloom_filters: dict[str, int] | None = None
 
     @property
     def columns(self) -> list[str]:

@@ -508,7 +508,7 @@ class Warehouse:
             n = out.count()
             stage = self._new_stage(spec.name)
             data = os.path.join(stage, "data")
-            writer = out.write
+            writer = self._data_writer(out, spec)
             if spec.partition_date_source:
                 writer = writer.partitionBy(DS_COL)
             writer.parquet(data)
@@ -1245,6 +1245,22 @@ class Warehouse:
             return df
         return df.withColumn(DS_COL, F.to_date(F.col(src)))
 
+    def _data_writer(self, df: DataFrame, spec: TableSpec):
+        """``df.write`` carrying the spec's declared parquet BLOOM
+        FILTERS (``TableSpec.bloom_filters``: column → expected
+        distinct values per row group). Every table-data write goes
+        through here so point-read row-group skipping holds across
+        overwrite / upsert / maintain / migrate — a freshly-upserted
+        unclustered partition is exactly where footer min/max can't
+        prune and the bloom still can."""
+        writer = df.write
+        for col, ndv in (spec.bloom_filters or {}).items():
+            writer = (
+                writer.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                .option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
+            )
+        return writer
+
     def init_table(self, spec: TableSpec) -> None:
         """CREATE TABLE IF NOT EXISTS (duckdb:1499-1521): write an
         empty dataset + manifest so readers never 404."""
@@ -1261,7 +1277,7 @@ class Warehouse:
             out = self._with_ds(spec, spec.align(df))
             stage = self._new_stage(spec.name)
             data = os.path.join(stage, "data")
-            writer = out.write
+            writer = self._data_writer(out, spec)
             if spec.partition_date_source:
                 writer = writer.partitionBy(DS_COL)
             writer.parquet(data)
@@ -1289,8 +1305,8 @@ class Warehouse:
         table = f"{spec.name}_bucketed"
         self.spark.sql(f"DROP TABLE IF EXISTS {table}")
         (
-            spec.align(df)
-            .write.mode("overwrite")
+            self._data_writer(spec.align(df), spec)
+            .mode("overwrite")
             .bucketBy(n_buckets, *cols)
             .sortBy(*cols)
             .option("path", self.path(table))
@@ -1345,7 +1361,8 @@ class Warehouse:
                 anti_build, on=list(spec.primary_keys), how="left_anti"
             ).unionByName(updates)
             stage = self._new_stage(spec.name)
-            self._with_ds(spec, merged).write.parquet(os.path.join(stage, "data"))
+            self._data_writer(self._with_ds(spec, merged), spec).parquet(
+                os.path.join(stage, "data"))
             moves, staged = self._staged_moves(spec.name, stage)
             self._commit(spec.name, stage, staged, moves, None, fence,
                          stats_column=spec.time_column,
@@ -1392,7 +1409,7 @@ class Warehouse:
         # are vacuumed after the grace cycle.
         stage = self._new_stage(spec.name)
         data = os.path.join(stage, "data")
-        merged.write.partitionBy(DS_COL).parquet(data)
+        self._data_writer(merged, spec).partitionBy(DS_COL).parquet(data)
         moves, staged = self._staged_moves(spec.name, stage)
         replaced = {_ds_key(ds) for ds in touched} | set(staged)
         self._commit(spec.name, stage, staged, moves, replaced, fence,
@@ -1479,7 +1496,7 @@ class Warehouse:
                     .sortWithinPartitions(*pk)
                 )
                 stage = self._new_stage(spec.name)
-                merged.write.parquet(os.path.join(stage, "data"))
+                self._data_writer(merged, spec).parquet(os.path.join(stage, "data"))
                 moves, staged = self._staged_moves(spec.name, stage)
                 self._commit(spec.name, stage, staged, moves, None, fence,
                          stats_column=spec.time_column,
@@ -1509,7 +1526,8 @@ class Warehouse:
                 .sortWithinPartitions(DS_COL, *pk)
             )
             stage = self._new_stage(spec.name)
-            merged.write.partitionBy(DS_COL).parquet(os.path.join(stage, "data"))
+            self._data_writer(merged, spec).partitionBy(DS_COL).parquet(
+                os.path.join(stage, "data"))
             moves, staged = self._staged_moves(spec.name, stage)
             self._commit(
                 spec.name, stage, staged, moves, set(fragmented) | set(staged),
