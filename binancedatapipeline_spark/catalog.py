@@ -267,6 +267,14 @@ BN_OPTION_SYMBOLS_EXERCISED = _register(
         lookback=lookback_for("8h"),
         update_frequency="8h",
         partition_date_source="expiryDate",
+        # the one unbounded-cardinality PK in the registry: every
+        # expired contract ever (BTC-240628-50000-C, ...) accumulates
+        # here, and "look up this contract's strike result" is an
+        # equality point read min/max bounds can't serve on unsorted
+        # partitions. Kline/premium tables keep NO blooms on purpose:
+        # their ~10³ symbols stay dictionary-encoded, where parquet
+        # omits the bloom anyway (see TableSpec.bloom_filters).
+        bloom_filters={"symbol": 200_000},
     )
 )
 

@@ -894,6 +894,10 @@ def with_blocked_domain(
         host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     else:
         host = F.lower(F.col(host_col))
+    # strip the DNS root dot: "a.bad.com." is the same host as
+    # "a.bad.com", and the label-suffix regex below can't match past a
+    # trailing dot — an unstripped FQDN form would evade the list
+    host = F.regexp_replace(host, r"\.+$", "")
     out = df.withColumn("__bl_host", F.nullif(host, F.lit("")))
     bl = (
         blocklist.select(F.lower(F.col(domain_col)).alias("__bl_dom"))

@@ -390,6 +390,7 @@ def test_blocklist_subdomain_and_longest_match(spark):
         (7, "::not a url::"),                # unparseable → NULL host
         (8, "https://www.shouty.org/x"),     # entries compare lowercased
         (9, "https://deep.www.shouty.org/"), # subdomain of a www entry
+        (10, "https://a.bad.com./x"),        # FQDN root dot must not evade
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string")
     got = {r["doc_id"]: r["blocked_domain"] for r in with_blocked_domain(df, bl).collect()}
@@ -402,6 +403,7 @@ def test_blocklist_subdomain_and_longest_match(spark):
     assert got[7] is None
     assert got[8] == "www.shouty.org"
     assert got[9] == "www.shouty.org"
+    assert got[10] == "bad.com"
 
     kept = blocklist_filter(df, bl)
     assert kept.columns == df.columns
