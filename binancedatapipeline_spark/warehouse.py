@@ -586,6 +586,63 @@ class Warehouse:
             .select(*spec.columns)
         )
 
+    def rollback(self, spec: TableSpec | str) -> None:
+        """Atomically restore the PREVIOUS committed snapshot as the
+        current version — the bad-publish undo (Delta's RESTORE, one
+        version deep). Runs through the standard plan/publish protocol
+        with ZERO file moves: data files are immutable, so rolling
+        back is one staged plan whose manifest is the grace manifest
+        re-stamped with a fresh version and this writer's fence, then
+        one atomic manifest replace. Crash-safe like any commit
+        (recover replays it), fenced like any commit (a zombie's
+        rollback cannot clobber a newer writer).
+
+        After a rollback the superseded (bad) version sits in the
+        grace slot: ``read_prev`` diffs what was undone, a second
+        ``rollback`` is the undo of the undo, and its files survive
+        one further publish cycle before vacuum. Raises
+        FileNotFoundError when no previous version exists (first
+        write, legacy table, or ``vacuum(full=True)`` — full vacuum
+        voids the grace guarantee, and any grace file already removed
+        fails the restore BEFORE anything is published)."""
+        name = spec if isinstance(spec, str) else spec.name
+        if self._txn is not None:
+            raise RuntimeError(
+                "rollback is not transactional — run it outside a "
+                "transaction"
+            )
+        with self._writer_lock(name) as fence:
+            self.recover(name)
+            prev_path = os.path.join(self.path(name), MANIFEST_PREV)
+            try:
+                with open(prev_path) as f:
+                    prev = json.load(f)
+            except (OSError, ValueError):
+                raise FileNotFoundError(
+                    f"no previous snapshot for table {name!r} (first "
+                    "write, legacy table, or vacuumed with full=True)"
+                ) from None
+            live = self._current_manifest(name)
+            stage = self._new_stage(name)
+            manifest = dict(prev)
+            manifest["version"] = os.path.basename(stage)
+            manifest["fence"] = fence
+            missing = [
+                p
+                for p in self._manifest_files(name, manifest)
+                if not os.path.exists(p)
+            ]
+            if missing:
+                shutil.rmtree(stage, ignore_errors=True)
+                raise FileNotFoundError(
+                    f"cannot roll back {name!r}: {len(missing)} grace "
+                    f"file(s) already vacuumed (first: {missing[0]})"
+                )
+            self._check_fence(name, fence)
+            plan = {"moves": [], "manifest": manifest, "prev_manifest": live}
+            self._write_plan(stage, plan)
+            self._publish(name, stage)
+
     def read_between(
         self, spec: TableSpec, since=None, until=None, column: str | None = None
     ) -> DataFrame:

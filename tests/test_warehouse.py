@@ -763,3 +763,66 @@ def test_migrate_rewrites_to_widened_schema(spark, wh, fixture_dir):
     m = wh._load_manifest(new_spec.name)
     rels = [r for rs in m["files"].values() for r in rs]
     assert rels and all(r in m["stats"] for r in rels)
+
+
+# ------------------------------------------------------------- rollback
+
+
+def _fp(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_rollback_restores_previous_snapshot(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    v1 = _fp(wh.read(spec))
+
+    bad = src.withColumn("close", F.col("close") * 100)  # the bad publish
+    wh.upsert(spec, bad)
+    v2 = _fp(wh.read(spec))
+    assert v2 != v1
+
+    wh.rollback(spec)
+    assert _fp(wh.read(spec)) == v1
+    # the undone version sits in the grace slot: diffable, re-doable
+    assert _fp(wh.read_prev(spec)) == v2
+    wh.rollback(spec)
+    assert _fp(wh.read(spec)) == v2
+
+    # the table stays writable after a rollback (fence monotone)
+    wh.rollback(spec)
+    wh.upsert(spec, bad.limit(10))
+    assert wh.read(spec).count() == src.count()
+
+
+def test_rollback_without_previous_raises(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    with pytest.raises(FileNotFoundError):
+        wh.rollback(spec)
+    wh.overwrite(spec, _klines(spark, fixture_dir))
+    with pytest.raises(FileNotFoundError):  # first write: no grace yet
+        wh.rollback(spec)
+
+
+def test_rollback_after_full_vacuum_raises_before_publishing(
+    spark, wh, fixture_dir
+):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    wh.upsert(spec, src.withColumn("close", F.lit(9.9)))
+    after = _fp(wh.read(spec))
+    wh.vacuum(spec.name, full=True)  # voids the grace guarantee
+    with pytest.raises(FileNotFoundError):
+        wh.rollback(spec)
+    # nothing was published: the table still reads the live version
+    assert _fp(wh.read(spec)) == after
+
+
+def test_rollback_refused_inside_transaction(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    wh.overwrite(spec, _klines(spark, fixture_dir))
+    with pytest.raises(RuntimeError, match="not transactional"):
+        with wh.transaction():
+            wh.rollback(spec)
