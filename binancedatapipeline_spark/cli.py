@@ -141,6 +141,13 @@ def build_parser() -> argparse.ArgumentParser:
 
     wm = sub.add_parser("watermark", help="print a table's incremental watermark")
     wm.add_argument("--table", required=True)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="restore the previous committed snapshot (bad-publish undo; "
+        "run again to redo)",
+    )
+    rb.add_argument("--table", required=True)
     return p
 
 
@@ -188,4 +195,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
     elif args.command == "watermark":
         spec = catalog.TABLES[args.table]
         out(f"{args.table}: {pipe.warehouse.latest_timestamp(spec)}")
+    elif args.command == "rollback":
+        pipe.warehouse.rollback(args.table)
+        out(f"{args.table}: rolled back to the previous version")
     return 0

@@ -90,3 +90,25 @@ def test_vacuum_and_maintain_verbs(spark, wh_root):
         spark=spark, out=lines.append,
     ) == 0
     assert "removed" in lines[0]
+
+
+def test_rollback_verb_restores_previous_version(spark, wh_root):
+    lines = []
+    assert cli.main(
+        ["--warehouse", wh_root, "--symbols", "BTCUSDT", "update"],
+        spark=spark, out=lines.append,
+    ) == 0
+    wh = Warehouse(spark, wh_root)
+    spec = catalog.BN_SPOT_KLINES
+    before = sorted(tuple(r) for r in wh.read(spec).collect())
+    # second tick publishes a new version (even if value-identical,
+    # the manifest advances) — corrupt it so the rollback is visible
+    bad = wh.read(spec).withColumn("close", F.lit(-1.0))
+    wh.upsert(spec, bad)
+    assert wh.read(spec).filter(F.col("close") == -1.0).count() > 0
+    rc = cli.main(
+        ["--warehouse", wh_root, "rollback", "--table", "bn_spot_klines"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0
+    assert sorted(tuple(r) for r in wh.read(spec).collect()) == before
