@@ -36,6 +36,10 @@ from binancedatapipeline_spark.textops.cleaning import (
     gopher_filter,
     redact_pii,
 )
+from binancedatapipeline_spark.textops.corpus_io import (
+    blocklist_filter,
+    with_blocked_domain,
+)
 from binancedatapipeline_spark.textops.decontam import contamination_hits
 from binancedatapipeline_spark.textops.sampling import stable_split
 
@@ -51,6 +55,8 @@ def curation_flags(
     materialize: bool = True,
     frequent_line_doc_frac: float | None = None,
     cache_registry: list[DataFrame] | None = None,
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
@@ -66,7 +72,21 @@ def curation_flags(
     internal cleaned-corpus persist (when ``materialize``), so the
     caller can unpersist it after consuming the result —
     prepare_training_corpus folds it into ``RecipeResult.release()``;
-    without a handle the corpus-sized cache lives until context GC."""
+    without a handle the corpus-sized cache lives until context GC.
+
+    ``blocklist`` (a ``domain`` dim, see
+    :func:`textops.corpus_io.with_blocked_domain`) adds the URL-filter
+    verdict: ``blocked_domain`` (the matched entry, for attribution)
+    and ``is_blocked``. In this AUDIT form blocked rows still flow
+    through every later stage — the histogram should show what each
+    gate would discard independently; :func:`curate` applies the
+    blocklist BEFORE the cleaning kernels instead, so blocked rows
+    never pay them."""
+    if blocklist is not None:
+        docs = with_blocked_domain(docs, blocklist, url_col=url_col)
+        docs = docs.withColumn(
+            "is_blocked", F.col("blocked_domain").isNotNull()
+        )
     out = redact_pii(docs, text_col=text_col, out_col="__pii_clean")
     out = clean_lines(out, text_col="__pii_clean", min_words=min_line_words)
     out = out.drop("__pii_clean")
@@ -137,12 +157,23 @@ def curate(
     bench: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    blocklist: DataFrame | None = None,
+    url_col: str = "url",
     **kwargs,
 ) -> DataFrame:
     """The curated corpus: cleaned text, Gopher-passing, one copy per
     digest, benchmark-clean, split-assigned. Returns the original
     columns with ``text_col`` replaced by the cleaned text, plus
-    ``split``."""
+    ``split``.
+
+    ``blocklist`` drops listed-domain rows BEFORE the cleaning
+    kernels (RefinedWeb's stage order — the URL filter is the cheap
+    gate, so blocked rows never pay regex cleaning, dedup hashing or
+    the decontamination probe). For the per-stage audit of what the
+    list alone would discard, use :func:`curation_flags` with the
+    same blocklist."""
+    if blocklist is not None:
+        docs = blocklist_filter(docs, blocklist, url_col=url_col)
     flagged = curation_flags(docs, bench, id_col=id_col, text_col=text_col, **kwargs)
     kept = flagged.filter(
         F.col("keep_shape")
@@ -167,8 +198,21 @@ def curation_report(flags: DataFrame) -> DataFrame:
         if "n_freq_lines_dropped" in flags.columns
         else []
     )
+    blocked = (
+        [F.sum(F.col("is_blocked").cast("long")).alias("blocked_domains")]
+        if "is_blocked" in flags.columns
+        else []
+    )
+    keep = (
+        F.col("keep_shape")
+        & ~F.col("is_exact_dup")
+        & ~F.col("is_contaminated")
+    )
+    if "is_blocked" in flags.columns:
+        keep = keep & ~F.col("is_blocked")
     return flags.agg(
         F.count(F.lit(1)).alias("n_docs"),
+        *blocked,
         F.sum(F.col("n_pii")).alias("pii_spans"),
         F.sum((F.col("n_lines") - F.col("n_lines_kept")).cast("long")).alias(
             "boilerplate_lines_dropped"
@@ -177,11 +221,5 @@ def curation_report(flags: DataFrame) -> DataFrame:
         F.sum((~F.col("keep_shape")).cast("long")).alias("shape_dropped"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("exact_dups"),
         F.sum(F.col("is_contaminated").cast("long")).alias("contaminated"),
-        F.sum(
-            (
-                F.col("keep_shape")
-                & ~F.col("is_exact_dup")
-                & ~F.col("is_contaminated")
-            ).cast("long")
-        ).alias("survivors"),
+        F.sum(keep.cast("long")).alias("survivors"),
     )

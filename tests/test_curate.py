@@ -86,3 +86,36 @@ def test_one_composed_plan_no_python_loops(spark):
     flags = curation_flags(_corpus(spark), _bench(spark))
     plan = flags._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
+
+
+def _bl_corpus(spark):
+    rows = [
+        (1, GOOD_BODY, "https://fine.org/a"),
+        (2, GOOD_BODY + " unique tail two ok", "https://sub.spam.example/x"),
+        (3, GOOD_BODY + " unique tail three ok", None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, url string")
+
+
+def test_blocklist_stage_in_audit_and_filter(spark):
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    docs = _bl_corpus(spark)
+
+    # AUDIT: every row survives, carrying the URL-filter verdict
+    flags = curation_flags(docs, blocklist=bl, materialize=False)
+    got = {r["doc_id"]: (r["is_blocked"], r["blocked_domain"]) for r in flags.collect()}
+    assert got[1] == (False, None)
+    assert got[2] == (True, "spam.example")
+    assert got[3] == (False, None)  # URL-less rows are never blocked
+
+    # the report counts the gate and excludes blocked rows from survivors
+    rep = curation_report(flags).first()
+    assert rep["blocked_domains"] == 1
+    assert rep["survivors"] == 2
+
+    # FILTER: blocked rows are dropped before the cleaning kernels
+    kept = curate(docs, blocklist=bl, materialize=False)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+    # without a blocklist the report has no blocked_domains column
+    plain = curation_report(curation_flags(docs, materialize=False))
+    assert "blocked_domains" not in plain.columns
