@@ -128,3 +128,34 @@ def test_recipe_with_quality_span_and_dsir_stages(spark):
     )
     assert joined.count("boiler0 plate tokens") <= 1
     res.release()
+
+
+def test_blocklist_rides_curate_kwargs_through_the_recipe(spark):
+    """curate_kwargs={'blocklist': ...} flows through the recipe into
+    curate's pre-kernel URL gate — no recipe-level plumbing needed."""
+    other = " ".join(
+        f"chapter{i} about mountain climbing routes and gear" for i in range(12)
+    )
+    rows = [
+        (1, GOOD + " alpha", "https://fine.org/a"),
+        (2, GOOD + " unique beta tail", "https://x.spam.example/p"),
+        (3, other, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+    blocklist = spark.createDataFrame([("spam.example",)], "domain string")
+    res = prepare_training_corpus(
+        docs,
+        curate_kwargs={
+            "min_line_words": 1,
+            "gopher_overrides": {"min_words": 10},
+            "blocklist": blocklist,
+        },
+        max_ppl=None,
+        min_ppl=0.0,
+    )
+    kept_ids = {r["doc_id"] for r in res.corpus.select("doc_id").distinct().collect()}
+    res.release()
+    assert 2 not in kept_ids and {1, 3} <= kept_ids
+    # the audit funnel's curate row already excludes the blocked doc
+    audit = dict(res.audit)
+    assert audit["curate"] == 2
