@@ -844,14 +844,22 @@ def dedup_by_url(
     return out.drop("host", "domain", "path", "url_canonical", "__grp")
 
 
-def parse_blocklist_text(spark: SparkSession, text: str) -> DataFrame:
+def parse_blocklist_text(
+    spark: SparkSession, text: str, category: str | None = None
+) -> DataFrame:
     """Build a blocklist dim (``domain``) from a raw one-domain-per-
     line file — the UT1/adult-list format RefinedWeb's URL filter
     consumes: blank lines and ``#``/``//`` comments skipped, entries
     lowercased, anything after the first whitespace ignored. Leading
     ``www.`` is NOT stripped: an entry blocks its own host and every
     subdomain, so list authors who mean the whole site publish the
-    registrable domain."""
+    registrable domain.
+
+    ``category`` stamps every row with the list's name (UT1 publishes
+    one file per category — adult, gambling, phishing...), so several
+    parsed lists union into one dim and
+    :func:`with_blocked_domain`'s ``category_col`` attributes each
+    blocked row to the list(s) that fired."""
     rows = []
     for line in text.splitlines():
         line = line.strip()
@@ -859,8 +867,9 @@ def parse_blocklist_text(spark: SparkSession, text: str) -> DataFrame:
             continue
         dom = line.split()[0].lower().strip(".")
         if dom:
-            rows.append((dom,))
-    return spark.createDataFrame(rows, "domain string")
+            rows.append((dom,) if category is None else (dom, category))
+    schema = "domain string" if category is None else "domain string, category string"
+    return spark.createDataFrame(rows, schema)
 
 
 def with_blocked_domain(
@@ -870,12 +879,21 @@ def with_blocked_domain(
     host_col: str | None = None,
     domain_col: str = "domain",
     output_col: str = "blocked_domain",
+    category_col: str | None = None,
+    output_category_col: str = "blocked_category",
 ) -> DataFrame:
     """Add ``output_col``: the blocklist entry the row's host falls
     under (host == entry, or host ends with ``"." + entry`` — i.e.
     every subdomain of a listed domain is blocked, the UT1/RefinedWeb
     convention), NULL when no entry matches. The LONGEST matching
     entry wins, so an audit row shows the most specific listing.
+
+    ``category_col`` (a column of ``blocklist``, e.g. from
+    :func:`parse_blocklist_text`'s ``category``) additionally emits
+    ``output_category_col``: the matched entry's category — a domain
+    listed under several categories yields them comma-joined in
+    sorted order (the dim side pre-aggregates per domain, so the
+    corpus join multiplicity stays exactly 1).
 
     Scale shape: the corpus NEVER shuffles. Like the PSL domain join,
     the blocklist's distinct label counts (a bounded driver collect
@@ -899,8 +917,12 @@ def with_blocked_domain(
     # trailing dot — an unstripped FQDN form would evade the list
     host = F.regexp_replace(host, r"\.+$", "")
     out = df.withColumn("__bl_host", F.nullif(host, F.lit("")))
+    has_cat = category_col is not None
+    cols = [F.lower(F.col(domain_col)).alias("__bl_dom")]
+    if has_cat:
+        cols.append(F.col(category_col).alias("__bl_cat"))
     bl = (
-        blocklist.select(F.lower(F.col(domain_col)).alias("__bl_dom"))
+        blocklist.select(*cols)
         .filter(F.col("__bl_dom").isNotNull() & (F.col("__bl_dom") != ""))
         .withColumn(
             "__bl_labels",
@@ -925,20 +947,42 @@ def with_blocked_domain(
     flags: list[tuple[int, str]] = []
     for k in shapes:
         flag = f"__bl_hit_{k}"
-        side = F.broadcast(
-            bl.filter(F.col("__bl_labels") == k)
-            .select(F.col("__bl_dom").alias(flag))
-            .distinct()
+        grp = bl.filter(F.col("__bl_labels") == k)
+        if has_cat:
+            # ONE row per domain no matter how many category lists
+            # carry it — the corpus join multiplicity must stay 1
+            side = grp.groupBy(F.col("__bl_dom").alias(flag)).agg(
+                F.array_join(
+                    F.array_sort(F.collect_set("__bl_cat")), ","
+                ).alias(f"{flag}_cat")
+            )
+        else:
+            side = grp.select(F.col("__bl_dom").alias(flag)).distinct()
+        joined = joined.join(
+            F.broadcast(side), last_labels(k) == F.col(flag), "left"
         )
-        joined = joined.join(side, last_labels(k) == F.col(flag), "left")
         flags.append((k, flag))
-    blocked = F.coalesce(
-        *[F.col(flag) for _, flag in sorted(flags, reverse=True)]
-    ) if flags else F.lit(None).cast("string")
-    return (
-        joined.withColumn(output_col, blocked)
-        .drop("__bl_host", *[flag for _, flag in flags])
+    ordered = [flag for _, flag in sorted(flags, reverse=True)]
+    blocked = (
+        F.coalesce(*[F.col(f) for f in ordered])
+        if flags
+        else F.lit(None).cast("string")
     )
+    drop_cols = ["__bl_host", *ordered]
+    joined = joined.withColumn(output_col, blocked)
+    if has_cat:
+        # the category must come from the SAME (longest) entry that
+        # won output_col: a chained WHEN stops at the first non-null
+        # FLAG — a coalesce over the categories would fall through to
+        # a shorter entry whenever the winner's category is NULL
+        hit = F.lit(None).cast("string")
+        for f in ordered:
+            cond = F.col(f).isNotNull()
+            val = F.nullif(F.col(f"{f}_cat"), F.lit(""))
+            hit = F.when(cond, val) if f == ordered[0] else hit.when(cond, val)
+        joined = joined.withColumn(output_category_col, hit)
+        drop_cols += [f"{f}_cat" for f in ordered]
+    return joined.drop(*drop_cols)
 
 
 def blocklist_filter(

@@ -462,3 +462,42 @@ def test_blocklist_empty_list_blocks_nothing(spark):
     bl = spark.createDataFrame([], "domain string")
     df = spark.createDataFrame([(1, "https://any.com/")], "doc_id long, url string")
     assert blocklist_filter(df, bl).count() == 1
+
+
+def test_blocklist_category_attribution(spark):
+    """Merged UT1-style category lists: blocked rows carry the
+    category of the entry that fired; a domain on several lists shows
+    them comma-joined sorted; the category follows the LONGEST match
+    even when a shorter entry also matches."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        parse_blocklist_text,
+        with_blocked_domain,
+    )
+
+    bl = (
+        parse_blocklist_text(spark, "bad.com\nshared.org\n", category="adult")
+        .unionByName(
+            parse_blocklist_text(
+                spark, "shared.org\ncasino.bad.com\n", category="gambling"
+            )
+        )
+    )
+    rows = [
+        (1, "https://x.bad.com/a"),          # adult (2-label)
+        (2, "https://shared.org/b"),         # both lists -> joined sorted
+        (3, "https://x.casino.bad.com/c"),   # 3-label gambling wins over 2-label adult
+        (4, "https://fine.net/d"),           # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: (r["blocked_domain"], r["blocked_category"])
+        for r in with_blocked_domain(df, bl, category_col="category").collect()
+    }
+    assert got[1] == ("bad.com", "adult")
+    assert got[2] == ("shared.org", "adult,gambling")
+    assert got[3] == ("casino.bad.com", "gambling")
+    assert got[4] == (None, None)
+
+    # without category_col the output shape is unchanged
+    plain = with_blocked_domain(df, bl)
+    assert "blocked_category" not in plain.columns
