@@ -991,14 +991,21 @@ def blocklist_filter(
     url_col: str = "url",
     host_col: str | None = None,
     domain_col: str = "domain",
+    category_col: str | None = None,
 ) -> DataFrame:
     """Drop every row whose host is a listed domain or any subdomain
     of one — the crawl-curation URL filter (RefinedWeb runs it before
     any content pass; UT1-style category lists are the usual input).
-    Schema passes through unchanged. For auditing which entry blocked
-    a row, use :func:`with_blocked_domain` directly."""
+    Schema passes through unchanged (``category_col`` is accepted so
+    one kwargs dict drives both this and the audit form — dropped
+    rows need no attribution, so the category never materializes in
+    the output). For auditing which entry/category blocked a row, use
+    :func:`with_blocked_domain` directly."""
     return (
-        with_blocked_domain(df, blocklist, url_col, host_col, domain_col)
+        with_blocked_domain(
+            df, blocklist, url_col, host_col, domain_col,
+            category_col=category_col,
+        )
         .filter(F.col("blocked_domain").isNull())
-        .drop("blocked_domain")
+        .drop("blocked_domain", "blocked_category")
     )

@@ -57,6 +57,7 @@ def curation_flags(
     cache_registry: list[DataFrame] | None = None,
     blocklist: DataFrame | None = None,
     url_col: str = "url",
+    blocklist_kwargs: dict | None = None,
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
@@ -83,7 +84,9 @@ def curation_flags(
     blocklist BEFORE the cleaning kernels instead, so blocked rows
     never pay them."""
     if blocklist is not None:
-        docs = with_blocked_domain(docs, blocklist, url_col=url_col)
+        docs = with_blocked_domain(
+            docs, blocklist, url_col=url_col, **(blocklist_kwargs or {})
+        )
         docs = docs.withColumn(
             "is_blocked", F.col("blocked_domain").isNotNull()
         )
@@ -159,6 +162,7 @@ def curate(
     text_col: str = "text",
     blocklist: DataFrame | None = None,
     url_col: str = "url",
+    blocklist_kwargs: dict | None = None,
     **kwargs,
 ) -> DataFrame:
     """The curated corpus: cleaned text, Gopher-passing, one copy per
@@ -173,7 +177,9 @@ def curate(
     list alone would discard, use :func:`curation_flags` with the
     same blocklist."""
     if blocklist is not None:
-        docs = blocklist_filter(docs, blocklist, url_col=url_col)
+        docs = blocklist_filter(
+            docs, blocklist, url_col=url_col, **(blocklist_kwargs or {})
+        )
     flagged = curation_flags(docs, bench, id_col=id_col, text_col=text_col, **kwargs)
     kept = flagged.filter(
         F.col("keep_shape")

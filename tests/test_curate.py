@@ -119,3 +119,22 @@ def test_blocklist_stage_in_audit_and_filter(spark):
     # without a blocklist the report has no blocked_domains column
     plain = curation_report(curation_flags(docs, materialize=False))
     assert "blocked_domains" not in plain.columns
+
+
+def test_blocklist_kwargs_carry_category_into_audit(spark):
+    from binancedatapipeline_spark.textops.corpus_io import parse_blocklist_text
+
+    bl = parse_blocklist_text(spark, "spam.example\n", category="adult")
+    docs = _bl_corpus(spark)
+    flags = curation_flags(
+        docs, blocklist=bl, materialize=False,
+        blocklist_kwargs={"category_col": "category"},
+    )
+    got = {r["doc_id"]: r["blocked_category"] for r in flags.collect()}
+    assert got == {1: None, 2: "adult", 3: None}
+    # the same kwargs dict drives the filter form without error
+    kept = curate(
+        docs, blocklist=bl, materialize=False,
+        blocklist_kwargs={"category_col": "category"},
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
