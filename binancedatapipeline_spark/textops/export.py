@@ -18,6 +18,11 @@ shuffle to co-locate each shard in one task (range partition on the
 shard id — duplicate keys cannot split, so each shard lands whole in
 exactly one task and writes exactly one file), one bounded groupBy
 for the manifest. The corpus body never passes through the driver.
+
+Manifest IO uses local ``os`` calls (atomic replace) — local disk /
+NFS / POSIX-rename filesystems, the same contract the warehouse
+documents; object stores want the manifest written through their own
+conditional-put primitive.
 """
 
 from __future__ import annotations

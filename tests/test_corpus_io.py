@@ -501,3 +501,51 @@ def test_blocklist_category_attribution(spark):
     # without category_col the output shape is unchanged
     plain = with_blocked_domain(df, bl)
     assert "blocked_category" not in plain.columns
+
+
+def test_blocklist_matches_python_reference_on_random_hosts(spark):
+    """Randomized differential: the per-shape broadcast-join matcher
+    agrees with a direct Python suffix matcher on 300 generated hosts
+    x a 60-entry mixed-shape list (deterministic generation)."""
+    import random
+
+    from binancedatapipeline_spark.textops.corpus_io import with_blocked_domain
+
+    rng = random.Random(42)
+    tlds = ["com", "net", "org", "io"]
+    labels = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+    def rand_dom(n_labels):
+        return ".".join(rng.choice(labels) + str(rng.randrange(6)) for _ in range(n_labels - 1)) + "." + rng.choice(tlds)
+
+    entries = sorted({rand_dom(rng.choice([2, 2, 3, 4])) for _ in range(60)})
+    hosts = []
+    for _ in range(300):
+        r = rng.random()
+        if r < 0.4:  # subdomain of a listed entry
+            hosts.append(rng.choice(["w.", "a.b.", ""]) + rng.choice(entries))
+        elif r < 0.5:  # name-suffix trap: notbad.com vs bad.com
+            e = rng.choice(entries)
+            hosts.append("x" + e)
+        else:
+            hosts.append(rand_dom(rng.choice([2, 3, 4, 5])))
+
+    def ref_match(host):
+        best = None
+        for e in entries:
+            if host == e or host.endswith("." + e):
+                if best is None or e.count(".") > best.count("."):
+                    best = e
+        return best
+
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    bl = spark.createDataFrame([(e,) for e in entries], "domain string")
+    got = {
+        r["doc_id"]: r["blocked_domain"]
+        for r in with_blocked_domain(df, bl, host_col="host").collect()
+    }
+    exp = {i: ref_match(h) for i, h in enumerate(hosts)}
+    assert got == exp
+    assert sum(v is not None for v in exp.values()) > 50  # non-trivial corpus
