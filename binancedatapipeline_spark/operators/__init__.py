@@ -11,6 +11,7 @@ from binancedatapipeline_spark.operators.upsert import upsert
 from binancedatapipeline_spark.operators.wma import with_wma
 from binancedatapipeline_spark.operators.asof import asof_join
 from binancedatapipeline_spark.operators.components import connected_components
+from binancedatapipeline_spark.operators.pagerank import pagerank
 from binancedatapipeline_spark.operators.layout import (
     compact_small_files,
     sorted_write,
@@ -23,6 +24,7 @@ __all__ = [
     "find_time_gaps",
     "upsert",
     "with_wma",
+    "pagerank",
     "asof_join",
     "connected_components",
     "compact_small_files",

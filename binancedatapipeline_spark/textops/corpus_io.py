@@ -370,6 +370,69 @@ def html_title(html) -> F.Column:
     )
 
 
+def extract_links(html) -> F.Column:
+    """Array of the page's outbound link targets: every ``href``
+    attribute of an ``<a>`` tag (single-, double- and un-quoted forms;
+    entity ``&amp;`` decoded; fragment-only/`javascript:`/`mailto:`
+    targets dropped). Pure JVM regex — the same extraction discipline
+    as :func:`html_to_text`, and the same documented limit (a regex
+    over markup, not a DOM parser)."""
+    c = F.col(html) if isinstance(html, str) else html
+    hrefs = F.regexp_extract_all(
+        c,
+        F.lit(r'(?is)<a\s[^>]*?href\s*=\s*("([^"]*)"|' + r"'([^']*)'|([^\s>]+))"),
+        1,
+    )
+    return F.filter(
+        F.transform(
+            hrefs,
+            lambda h: F.regexp_replace(
+                F.regexp_replace(h, r"""^["']|["']$""", ""), r"&amp;", "&"
+            ),
+        ),
+        lambda u: (u != "")
+        & ~u.startswith("#")
+        & ~F.lower(u).startswith("javascript:")
+        & ~F.lower(u).startswith("mailto:"),
+    )
+
+
+def host_edges(
+    docs: DataFrame,
+    url_col: str = "url",
+    links_col: str = "links",
+) -> DataFrame:
+    """Distinct ``(src, dst)`` host-level link edges from per-page
+    outlink arrays — the input shape
+    :func:`operators.pagerank.pagerank` ranks (the Common-Crawl-style
+    host authority graph). Relative links (no host of their own)
+    resolve to the page's host and then drop as self-loops; rows with
+    an unparseable page URL contribute nothing. One explode + one
+    distinct — the explode multiplier is the page's outlink count,
+    and host pairs collapse before any downstream iteration."""
+    src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    out = (
+        docs.select(
+            F.nullif(src, F.lit("")).alias("src"),
+            F.explode(F.col(links_col)).alias("__link"),
+        )
+        .select(
+            "src",
+            F.lower(
+                F.try_parse_url(F.col("__link"), F.lit("HOST"))
+            ).alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("dst") != "")
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    return out
+
+
 def extract_documents(resp: DataFrame, min_length: int = 1) -> DataFrame:
     """Response rows → the package's document shape ``(doc_id, url,
     fetch_time, length, text, title)``: keep HTTP 200 ``text/html``

@@ -1,0 +1,76 @@
+"""PageRank vs a direct Python power-iteration reference, plus the
+invariants: mass conservation, dangling handling, determinism."""
+
+from __future__ import annotations
+
+import pytest
+
+from binancedatapipeline_spark.operators.pagerank import pagerank
+
+
+def _reference(edges, iterations=20, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    out = {}
+    eset = sorted(set(edges))
+    for s, d in eset:
+        if s != d:
+            out.setdefault(s, set()).add(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        nxt = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                nxt[d] += damping * share
+        ranks = nxt
+    return ranks
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),          # d has one outlink, nobody links d
+    ("e", "c"), ("c", "e"),
+    ("f", "a"),          # f dangles into the core
+    ("a", "g"),          # g is a SINK (dangling node)
+    ("a", "b"),          # duplicate edge collapses to one endorsement
+]
+
+
+def test_matches_python_power_iteration(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=25).collect()}
+    exp = _reference(EDGES, iterations=25)
+    assert set(got) == set(exp)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # authority ordering: the hub c outranks the sink g and the
+    # unreferenced d/f
+    assert got["c"] > got["g"] and got["c"] > got["d"]
+
+
+def test_deterministic_across_runs(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    a = sorted((r["node"], r["rank"]) for r in pagerank(df, iterations=10).collect())
+    b = sorted((r["node"], r["rank"]) for r in pagerank(df, iterations=10).collect())
+    assert a == b
+
+
+def test_self_loops_nulls_and_guards(spark):
+    rows = [("a", "a"), ("a", "b"), (None, "b"), ("b", None), ("b", "a")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=15).collect()}
+    exp = _reference([("a", "b"), ("b", "a")], iterations=15)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9)
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(df, iterations=3).count() == 0

@@ -555,3 +555,53 @@ def test_second_review_fixes_round8(spark, tmp_path):
     got3 = spark.createDataFrame([(tricky3,)], ["h"]).select(
         html_to_text("h").alias("t")).first()["t"]
     assert got3 == "kept text"
+
+
+def test_extract_links_and_host_graph_pagerank(spark):
+    """The authority pipeline end to end: href extraction from markup
+    -> host-level edges -> pagerank ranks the hub highest."""
+    from binancedatapipeline_spark.operators.pagerank import pagerank
+    from binancedatapipeline_spark.textops.corpus_io import (
+        extract_links,
+        host_edges,
+    )
+    import pyspark.sql.functions as F
+
+    html = (
+        '<p>intro</p><a href="https://hub.example/x">q</a> '
+        "<a href='https://Other.Example/y?a=1&amp;b=2'>s</a> "
+        '<a href=https://bare.example/z>b</a> '
+        '<a href="#frag">skip</a> <a href="javascript:void(0)">skip</a> '
+        '<a href="mailto:x@y.z">skip</a> <a href="/relative/path">rel</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://src.example/page", html)], "doc_id long, url string, html string"
+    )
+    (links,) = df.select(extract_links("html").alias("l")).collect()
+    assert links["l"] == [
+        "https://hub.example/x",
+        "https://Other.Example/y?a=1&b=2",
+        "https://bare.example/z",
+        "/relative/path",
+    ]
+
+    edges = host_edges(df.withColumn("links", extract_links("html")))
+    got = sorted((r["src"], r["dst"]) for r in edges.collect())
+    # the relative link has no host of its own -> resolves NULL, drops
+    assert got == [
+        ("src.example", "bare.example"),
+        ("src.example", "hub.example"),
+        ("src.example", "other.example"),
+    ]
+
+    # many pages pointing at one hub: pagerank ranks the hub on top
+    pages = [
+        (i, f"https://site{i}.example/p",
+         '<a href="https://hub.example/x">hub</a>'
+         + (f'<a href="https://site{(i + 1) % 5}.example/">peer</a>' if i % 2 else ""))
+        for i in range(5)
+    ]
+    big = spark.createDataFrame(pages, "doc_id long, url string, html string")
+    e = host_edges(big.withColumn("links", extract_links("html")))
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, iterations=15).collect()}
+    assert max(ranks, key=ranks.get) == "hub.example"
