@@ -31,13 +31,23 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | list | None = None,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges``: returns
     ``(node, rank)`` with ranks summing to 1 (damped power iteration,
-    uniform teleport, dangling mass redistributed uniformly).
+    uniform teleport, dangling mass redistributed like the teleport).
 
-    Deterministic: the result is a pure function of the edge SET (
-    duplicate edges are collapsed — a page linking the same target
+    ``seeds`` switches to PERSONALIZED PageRank (TrustRank): the
+    teleport vector — and the dangling mass — concentrates on the
+    seed set instead of all nodes, so a node's rank measures its link
+    proximity to the trusted seeds (the curation use: seed Wikipedia/
+    gov/edu hosts, weight crawl hosts by how reachable they are from
+    trust). Seeds may be a one-column DataFrame or a Python list;
+    seeds absent from the graph are ignored, and at least one seed
+    must be present.
+
+    Deterministic: the result is a pure function of the edge SET
+    (duplicate edges are collapsed — a page linking the same target
     twice is one endorsement, the convention host-graph builders use).
     Nodes appearing only as targets (no outlinks) are ranked too;
     their whole rank is dangling mass."""
@@ -60,6 +70,32 @@ def pagerank(
     n_nodes = nodes.count()
     if n_nodes == 0:
         return nodes.withColumn("rank", F.lit(0.0))
+
+    # the teleport distribution: uniform over all nodes, or uniform
+    # over the seed set (personalized). `__t` sums to 1 either way.
+    if seeds is not None:
+        if not isinstance(seeds, DataFrame):
+            spark = edges.sparkSession
+            seeds = spark.createDataFrame(
+                [(s,) for s in seeds], nodes.select("node").schema
+            )
+        seed_nodes = (
+            nodes.join(
+                seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+                "node",
+                "left_semi",
+            ).localCheckpoint(eager=True)
+        )
+        n_seeds = seed_nodes.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: no seed appears in the graph")
+        tvec = nodes.join(
+            seed_nodes.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
+        ).select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
+    else:
+        tvec = nodes.withColumn("__t", F.lit(1.0 / n_nodes))
+    tvec = tvec.localCheckpoint(eager=True)
+
     # out-degree-normalized edge weights, fixed across iterations
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     w = (
@@ -67,8 +103,7 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
         .localCheckpoint(eager=True)
     )
-    teleport = (1.0 - damping) / n_nodes
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    ranks = tvec.select("node", F.col("__t").alias("rank"))
     for _ in range(iterations):
         contribs = (
             w.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -76,22 +111,21 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
         )
         # dangling mass: rank held by nodes with no outlinks — spread
-        # uniformly (one scalar per round, a bounded driver value)
+        # along the teleport vector (one scalar per round, a bounded
+        # driver value)
         dangling = (
             ranks.join(out.withColumnRenamed("src", "node"), "node", "left_anti")
             .agg(F.sum("rank"))
             .first()[0]
             or 0.0
         )
-        spread = damping * dangling / n_nodes
         ranks = (
-            nodes.join(contribs, "node", "left")
+            tvec.join(contribs, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(teleport)
+                    F.col("__t") * F.lit((1.0 - damping) + damping * dangling)
                     + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                    + F.lit(spread)
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

@@ -74,3 +74,49 @@ def test_self_loops_nulls_and_guards(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df, iterations=3).count() == 0
+
+
+def _reference_personalized(edges, seeds, iterations=20, damping=0.85):
+    nodes = sorted({x for e in edges for x in e})
+    seeds = [s for s in seeds if s in nodes]
+    out = {}
+    for s, d in sorted(set(edges)):
+        if s != d:
+            out.setdefault(s, set()).add(d)
+    t = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in nodes}
+    ranks = dict(t)
+    for _ in range(iterations):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        nxt = {v: t[v] * ((1 - damping) + damping * dangling) for v in nodes}
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                nxt[d] += damping * share
+        ranks = nxt
+    return ranks
+
+
+def test_personalized_matches_reference_and_concentrates_on_seeds(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=25, seeds=["a", "e"]).collect()
+    }
+    exp = _reference_personalized(EDGES, ["a", "e"], iterations=25)
+    for v in exp:
+        assert got[v] == pytest.approx(exp[v], rel=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # trust proximity: the seed-adjacent core outranks the periphery
+    # unreachable FROM the seeds (f links in, nothing links f)
+    assert got["b"] > got["f"] and got["c"] > got["f"]
+
+    # seeds as a DataFrame behave identically; unknown seeds ignored
+    sdf = spark.createDataFrame([("a",), ("e",), ("zzz",)], "node string")
+    got2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=25, seeds=sdf).collect()
+    }
+    for v in exp:
+        assert got2[v] == pytest.approx(exp[v], rel=1e-9), v
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, iterations=2, seeds=["nope"])
