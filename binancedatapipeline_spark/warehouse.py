@@ -481,6 +481,27 @@ class Warehouse:
             return spec.empty(self.spark)
         return df.select(*spec.columns)
 
+    def register_views(self, *specs: TableSpec, suffix: str = "") -> list[str]:
+        """Register each table as a session TEMP VIEW named after it
+        (plus ``suffix``), so the whole warehouse is queryable with
+        plain ``spark.sql`` — the surface the reference's users
+        already write. Returns the view names.
+
+        Each view is SNAPSHOT-PINNED: its file listing resolves from
+        the manifest at registration time (the same guarantee
+        :meth:`read` gives one query), so a long analysis session sees
+        one consistent version of every registered table no matter
+        what concurrent publishes do — re-run ``register_views`` to
+        advance to the latest commits. Tables not yet initialized
+        register as their empty declared schema, so SQL over a fresh
+        warehouse resolves instead of 404ing."""
+        names = []
+        for spec in specs:
+            name = f"{spec.name}{suffix}"
+            self.read(spec).createOrReplaceTempView(name)
+            names.append(name)
+        return names
+
     def migrate(self, spec: TableSpec) -> int:
         """One-shot rewrite of a table to the spec's CURRENT schema —
         the non-additive evolution path (type widening, dropped

@@ -826,3 +826,35 @@ def test_rollback_refused_inside_transaction(spark, wh, fixture_dir):
     with pytest.raises(RuntimeError, match="not transactional"):
         with wh.transaction():
             wh.rollback(spec)
+
+
+# -------------------------------------------------------- SQL views
+
+
+def test_register_views_snapshot_pinned_sql(spark, wh, fixture_dir):
+    spec = catalog.BN_SPOT_KLINES
+    src = _klines(spark, fixture_dir)
+    wh.overwrite(spec, src)
+    names = wh.register_views(spec, catalog.BN_SPOT_SYMBOLS)
+    assert names == ["bn_spot_klines", "bn_spot_symbols"]
+    n0 = spark.sql("SELECT count(*) AS n FROM bn_spot_klines").first()["n"]
+    assert n0 == src.count()
+    # uninitialized table registers as its empty declared schema
+    assert spark.sql("SELECT * FROM bn_spot_symbols").count() == 0
+
+    # snapshot pinning: a publish AFTER registration is invisible to
+    # the view until re-registration
+    extra = src.withColumn("symbol", F.concat(F.col("symbol"), F.lit("_X")))
+    wh.upsert(spec, extra)
+    assert spark.sql("SELECT count(*) FROM bn_spot_klines").first()[0] == n0
+    wh.register_views(spec)
+    assert spark.sql("SELECT count(*) FROM bn_spot_klines").first()[0] == 2 * n0
+
+    # suffix keeps two versions addressable side by side
+    wh.register_views(spec, suffix="_v2")
+    assert spark.sql(
+        "SELECT count(*) FROM bn_spot_klines_v2"
+    ).first()[0] == 2 * n0
+    spark.catalog.dropTempView("bn_spot_klines")
+    spark.catalog.dropTempView("bn_spot_klines_v2")
+    spark.catalog.dropTempView("bn_spot_symbols")
