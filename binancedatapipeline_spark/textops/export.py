@@ -80,7 +80,11 @@ def write_training_shards(
         aggs.append(F.sum(token_col).alias("tokens"))
     totals = df.agg(*aggs).first()
     total_rows = totals["rows"]
-    total_tokens = int(totals["tokens"]) if token_col is not None else None
+    # sum() is NULL over an all-NULL column — count that as 0 tokens
+    # (sizing then falls back to one shard) rather than crashing
+    total_tokens = (
+        int(totals["tokens"] or 0) if token_col is not None else None
+    )
     if total_rows == 0:
         raise ValueError("write_training_shards: empty corpus")
     if n_shards is None:
@@ -133,7 +137,9 @@ def write_training_shards(
             "files": files,
         }
         if token_col is not None:
-            entry["tokens"] = int(row["tokens"]) if row is not None else 0
+            entry["tokens"] = (
+                int(row["tokens"] or 0) if row is not None else 0
+            )
         shards.append(entry)
     manifest = {
         "seed": seed,

@@ -104,3 +104,12 @@ def test_empty_corpus_and_reserved_column_raise(spark, tmp_path):
     bad = _docs(spark).withColumn("__shard", F.lit(1))
     with pytest.raises(ValueError, match="reserved"):
         write_training_shards(bad, str(tmp_path / "s"), n_shards=2)
+
+
+def test_all_null_tokens_fall_back_to_one_shard(spark, tmp_path):
+    docs = _docs(spark, 100).withColumn("n_tokens", F.lit(None).cast("long"))
+    m = write_training_shards(
+        docs, str(tmp_path / "nulls"), tokens_per_shard=1000, token_col="n_tokens"
+    )
+    assert m["n_shards"] == 1 and m["total_tokens"] == 0
+    assert m["shards"][0]["rows"] == 100 and m["shards"][0]["tokens"] == 0
