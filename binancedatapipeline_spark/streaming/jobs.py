@@ -233,23 +233,25 @@ def stream_extreme_alerts(
                 window_pred = None
                 if detect_lookback is not None and horizon is not None:
                     # file-pruned window read — never a full table scan.
-                    # Month/year lookbacks aren't timedelta-expressible;
-                    # those keep round 6's Spark-side interval filter
-                    # (unpruned but correct) instead of crashing.
+                    # Month/year lookbacks aren't timedelta-expressible
+                    # (no fixed length), so those evaluate
+                    # `horizon − interval` ONCE through Spark's own
+                    # calendar arithmetic — a one-row local eval, no
+                    # table touched — and then take the SAME pruned
+                    # path as the timedelta branch (until round 8 they
+                    # fell back to an unpruned full-table filter).
                     delta = parse_duration(detect_lookback)
                     if delta is not None:
                         window_since = horizon - delta
-                        window_pred = F.col(tcol) >= F.lit(window_since)
-                        stored = warehouse.read_between(
-                            premium_spec, since=window_since
-                        )
                     else:
-                        window_pred = (
-                            F.col(tcol)
-                            >= F.lit(horizon)
-                            - F.expr(f"interval {detect_lookback}")
-                        )
-                        stored = warehouse.read(premium_spec).filter(window_pred)
+                        window_since = warehouse.spark.sql(
+                            f"SELECT timestamp'{horizon}' "
+                            f"- interval {detect_lookback}"
+                        ).first()[0]
+                    window_pred = F.col(tcol) >= F.lit(window_since)
+                    stored = warehouse.read_between(
+                        premium_spec, since=window_since
+                    )
                 if stored is None:
                     stored = warehouse.read(premium_spec)
                 # replay-safe post-upsert view: committed rows whose PK
