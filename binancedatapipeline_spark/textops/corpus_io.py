@@ -419,7 +419,17 @@ def host_edges(
         .select(
             "src",
             F.lower(
-                F.try_parse_url(F.col("__link"), F.lit("HOST"))
+                F.try_parse_url(
+                    # protocol-relative links ("//cdn.example/x") carry
+                    # a host but no scheme, which try_parse_url rejects
+                    # — normalize so they contribute edges instead of
+                    # silently dropping
+                    F.when(
+                        F.col("__link").startswith("//"),
+                        F.concat(F.lit("https:"), F.col("__link")),
+                    ).otherwise(F.col("__link")),
+                    F.lit("HOST"),
+                )
             ).alias("dst"),
         )
         .filter(

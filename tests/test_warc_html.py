@@ -572,7 +572,8 @@ def test_extract_links_and_host_graph_pagerank(spark):
         "<a href='https://Other.Example/y?a=1&amp;b=2'>s</a> "
         '<a href=https://bare.example/z>b</a> '
         '<a href="#frag">skip</a> <a href="javascript:void(0)">skip</a> '
-        '<a href="mailto:x@y.z">skip</a> <a href="/relative/path">rel</a>'
+        '<a href="mailto:x@y.z">skip</a> <a href="/relative/path">rel</a> '
+        '<a href="//cdn.example/asset.js">protocol-relative</a>'
     )
     df = spark.createDataFrame(
         [(1, "https://src.example/page", html)], "doc_id long, url string, html string"
@@ -583,6 +584,7 @@ def test_extract_links_and_host_graph_pagerank(spark):
         "https://Other.Example/y?a=1&b=2",
         "https://bare.example/z",
         "/relative/path",
+        "//cdn.example/asset.js",
     ]
 
     edges = host_edges(df.withColumn("links", extract_links("html")))
@@ -590,6 +592,7 @@ def test_extract_links_and_host_graph_pagerank(spark):
     # the relative link has no host of its own -> resolves NULL, drops
     assert got == [
         ("src.example", "bare.example"),
+        ("src.example", "cdn.example"),
         ("src.example", "hub.example"),
         ("src.example", "other.example"),
     ]
