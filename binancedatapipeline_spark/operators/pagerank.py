@@ -32,6 +32,7 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     seeds: DataFrame | list | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges``: returns
     ``(node, rank)`` with ranks summing to 1 (damped power iteration,
@@ -45,6 +46,12 @@ def pagerank(
     trust). Seeds may be a one-column DataFrame or a Python list;
     seeds absent from the graph are ignored, and at least one seed
     must be present.
+
+    ``tol`` enables early stopping: iteration ends once the L∞ rank
+    change falls below it (``iterations`` becomes the cap). The check
+    is one node-sized aggregate per round next to the dangling-mass
+    aggregate the loop already runs — convergence detection costs a
+    second bounded scalar, not a corpus pass.
 
     Deterministic: the result is a pure function of the edge SET
     (duplicate edges are collapsed — a page linking the same target
@@ -119,7 +126,7 @@ def pagerank(
             .first()[0]
             or 0.0
         )
-        ranks = (
+        nxt = (
             tvec.join(contribs, "node", "left")
             .select(
                 "node",
@@ -130,4 +137,17 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        if tol is not None:
+            delta = (
+                nxt.join(
+                    ranks.withColumnRenamed("rank", "__prev"), "node", "left"
+                )
+                .agg(F.max(F.abs(F.col("rank") - F.coalesce("__prev", F.lit(0.0)))))
+                .first()[0]
+            )
+            ranks = nxt
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = nxt
     return ranks

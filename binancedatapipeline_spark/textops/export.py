@@ -47,6 +47,8 @@ def write_training_shards(
     n_shards: int | None = None,
     seed: int = 0,
     id_col: str = "doc_id",
+    file_format: str = "parquet",
+    compression: str | None = None,
 ) -> dict:
     """Write ``df`` as ``path/shard=K/*.parquet`` plus an atomic
     ``_MANIFEST.json``; returns the manifest dict.
@@ -57,6 +59,12 @@ def write_training_shards(
     placement balances tokens in expectation, so a shard's token count
     tracks the target within sampling noise, the same guarantee as its
     row count).
+
+    ``file_format``: ``"parquet"`` (default — full type fidelity) or
+    ``"json"`` (JSON Lines, the shape line-oriented trainer loaders
+    ingest directly; timestamps/binaries degrade to their JSON forms,
+    so export the columns the trainer needs). ``compression`` passes
+    through to the writer (e.g. ``"gzip"`` for ``.json.gz`` shards).
 
     Manifest: ``seed``, ``n_shards``, per-shard ``rows``/``tokens``/
     ``files`` (file names sorted — concatenating a shard's files in
@@ -74,6 +82,11 @@ def write_training_shards(
         raise ValueError("tokens_per_shard requires token_col")
     if "__shard" in df.columns:
         raise ValueError("write_training_shards: '__shard' column is reserved")
+    if file_format not in ("parquet", "json"):
+        raise ValueError(
+            f"write_training_shards: file_format must be 'parquet' or "
+            f"'json', got {file_format!r}"
+        )
 
     aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
@@ -104,7 +117,7 @@ def write_training_shards(
         # within-shard order is independent of the residue class
         .withColumn("__ord", F.xxhash64(sid, F.lit(seed + 1)))
     )
-    (
+    writer = (
         # range-partition on the shard id alone: duplicate keys cannot
         # split across partitions, so each shard lands WHOLE in one
         # task → exactly one file per shard directory
@@ -113,8 +126,11 @@ def write_training_shards(
         .drop("__ord")
         .write.partitionBy("__shard")
         .mode("error")
-        .parquet(path)
+        .format(file_format)
     )
+    if compression is not None:
+        writer = writer.option("compression", compression)
+    writer.save(path)
 
     stat_aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
@@ -145,6 +161,7 @@ def write_training_shards(
         "seed": seed,
         "n_shards": n_shards,
         "id_col": id_col,
+        "format": file_format,
         "total_rows": int(total_rows),
         "shards": shards,
     }
@@ -164,7 +181,7 @@ def read_training_shards(spark, path: str) -> DataFrame:
     instead of silently training on a truncated corpus."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
-    df = spark.read.parquet(path)
+    df = spark.read.format(manifest.get("format", "parquet")).load(path)
     for entry in manifest["shards"]:
         d = os.path.join(path, f"__shard={entry['shard']}")
         files = sorted(

@@ -113,3 +113,22 @@ def test_all_null_tokens_fall_back_to_one_shard(spark, tmp_path):
     )
     assert m["n_shards"] == 1 and m["total_tokens"] == 0
     assert m["shards"][0]["rows"] == 100 and m["shards"][0]["tokens"] == 0
+
+
+def test_jsonl_export_round_trips(spark, tmp_path):
+    docs = _docs(spark, 300)
+    m = write_training_shards(
+        docs.select("doc_id", "text"), str(tmp_path / "jl"),
+        n_shards=3, file_format="json", compression="gzip",
+    )
+    assert m["format"] == "json"
+    import glob
+
+    files = glob.glob(str(tmp_path / "jl" / "__shard=*" / "*.json.gz"))
+    assert len(files) == 3
+    back = read_training_shards(spark, str(tmp_path / "jl"))
+    assert back.count() == 300
+    assert {r["doc_id"] for r in back.limit(5).collect()} <= set(range(300))
+    with pytest.raises(ValueError, match="file_format"):
+        write_training_shards(docs, str(tmp_path / "bad"), n_shards=2,
+                              file_format="csvish")

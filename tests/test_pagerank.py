@@ -120,3 +120,17 @@ def test_personalized_matches_reference_and_concentrates_on_seeds(spark):
         assert got2[v] == pytest.approx(exp[v], rel=1e-9), v
     with pytest.raises(ValueError, match="no seed"):
         pagerank(df, iterations=2, seeds=["nope"])
+
+
+def test_tolerance_early_stop_converges(spark):
+    """tol stops iteration once the L-inf rank change falls below it;
+    the result matches the long fixed-iteration run to that tolerance."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    exact = {r["node"]: r["rank"] for r in pagerank(df, iterations=60).collect()}
+    early = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=60, tol=1e-7).collect()
+    }
+    for v in exact:
+        assert early[v] == pytest.approx(exact[v], abs=1e-5), v
+    assert sum(early.values()) == pytest.approx(1.0, abs=1e-9)
