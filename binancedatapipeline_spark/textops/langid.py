@@ -289,3 +289,91 @@ def classify_language(
         .select(id_col, F.col("lang").alias(output_col), F.col("__dist").alias(f"{output_col}_dist"))
     )
     return df.join(best, id_col, "left")
+
+
+def classify_language_paragraphs(
+    df: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = DEFAULT_TOP_K,
+    n_values=DEFAULT_N,
+    miss_penalty: int | None = None,
+    min_chars: int = 40,
+    max_paragraphs: int = 64,
+    max_chars: int | None = 1000,
+) -> DataFrame:
+    """Paragraph-level language identification — the CCNet deployment
+    detail document-level classification misses: web pages mix
+    languages (navigation in one, body in another; quoted passages),
+    and corpus language filters want the MAJORITY language plus how
+    pure the document is. Adds three columns:
+
+    * ``lang_majority`` — the language classifying the most
+      paragraphs (ties break alphabetically; NULL when nothing
+      classified);
+    * ``lang_fraction`` — classified paragraphs agreeing with the
+      majority, in (0, 1] (the CCNet-style purity gate:
+      ``lang_fraction < 1`` flags mixed-language documents);
+    * ``n_paragraphs_classified`` — the sample size behind both.
+
+    Mechanics: split on blank lines, drop paragraphs shorter than
+    ``min_chars`` (boilerplate fragments misclassify), cap the
+    explode at ``max_paragraphs`` head paragraphs and each paragraph
+    at ``max_chars`` — so the per-document cost is a CONSTANT, same
+    discipline as :func:`classify_language`'s head bound — then run
+    the ordinary per-row profile classification on the paragraph
+    relation and fold back per document. The profile side broadcasts;
+    the only doc-keyed shuffles are the paragraph classification's
+    own bounded ones plus one fold."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.slice(
+                F.filter(
+                    F.split(F.col(text_col), r"\n\s*\n"),
+                    lambda p: F.length(F.trim(p)) >= min_chars,
+                ),
+                1,
+                max_paragraphs,
+            )
+        ).alias("__pos", "__ptext"),
+    )
+    scored = classify_language(
+        paras.withColumn(
+            "__pid",
+            F.concat(F.col(id_col).cast("string"), F.lit("\x00"),
+                     F.col("__pos").cast("string")),
+        ).select(F.col("__pid"), F.col(id_col), F.col("__ptext")),
+        profiles,
+        id_col="__pid",
+        text_col="__ptext",
+        top_k=top_k,
+        n_values=n_values,
+        miss_penalty=miss_penalty,
+        output_col="__plang",
+        max_chars=max_chars,
+    )
+    counts = (
+        scored.filter(F.col("__plang").isNotNull())
+        .groupBy(id_col, "__plang")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # majority = top (count desc, lang asc) — the same deterministic
+    # tie-break convention as classify_language's argmin
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__n").desc(), F.col("__plang")
+    )
+    tw = Window.partitionBy(id_col)
+    per_doc = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__total", F.sum("__n").over(tw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__plang").alias("lang_majority"),
+            (F.col("__n") / F.col("__total")).alias("lang_fraction"),
+            F.col("__total").alias("n_paragraphs_classified"),
+        )
+    )
+    return df.join(per_doc, id_col, "left")

@@ -4,6 +4,7 @@ cases, broadcast plan pin."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops import langid
@@ -193,3 +194,40 @@ def test_doc_profile_stage_is_shuffle_free(spark):
     assert "Window" not in plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_level_majority_and_purity(spark):
+    """classify_language_paragraphs: a mixed EN/ES document reports
+    the majority language with fraction < 1; a uniform document
+    reports fraction 1; short fragments don't vote; doc with no
+    qualifying paragraph classifies NULL."""
+    train = _train_df(spark)
+    profiles = langid.train_language_profiles(train, top_k=300)
+    en = (
+        "this long paragraph talks about the weather and the seasons "
+        "of the year in the most ordinary english words available"
+    )
+    es = (
+        "este parrafo largo habla sobre el tiempo y las estaciones "
+        "del ano con las palabras espanolas mas comunes posibles"
+    )
+    rows = [
+        (1, f"{en}\n\n{en} again and again\n\n{es}"),   # 2 en + 1 es
+        (2, f"{es}\n\n{es} otra vez"),                  # pure es
+        (3, "hi\n\nok"),                                # all too short
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (
+            r["lang_majority"], r["lang_fraction"], r["n_paragraphs_classified"]
+        )
+        for r in langid.classify_language_paragraphs(
+            df, profiles, min_chars=40
+        ).collect()
+    }
+    assert out[1][0] == "en" and out[1][2] == 3
+    assert out[1][1] == pytest.approx(2 / 3)
+    assert out[2] == ("es", 1.0, 2)
+    assert out[3] == (None, None, None)
+    assert out[4] == (None, None, None)
