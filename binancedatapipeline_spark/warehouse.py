@@ -494,7 +494,13 @@ class Warehouse:
         what concurrent publishes do — re-run ``register_views`` to
         advance to the latest commits. Tables not yet initialized
         register as their empty declared schema, so SQL over a fresh
-        warehouse resolves instead of 404ing."""
+        warehouse resolves instead of 404ing. With no specs, registers
+        EVERY table in the catalog registry — one call puts the whole
+        warehouse behind SQL."""
+        if not specs:
+            from binancedatapipeline_spark import catalog
+
+            specs = tuple(catalog.TABLES.values())
         names = []
         for spec in specs:
             name = f"{spec.name}{suffix}"

@@ -855,6 +855,9 @@ def test_register_views_snapshot_pinned_sql(spark, wh, fixture_dir):
     assert spark.sql(
         "SELECT count(*) FROM bn_spot_klines_v2"
     ).first()[0] == 2 * n0
-    spark.catalog.dropTempView("bn_spot_klines")
-    spark.catalog.dropTempView("bn_spot_klines_v2")
-    spark.catalog.dropTempView("bn_spot_symbols")
+    # no-arg form registers the whole catalog registry
+    names = wh.register_views()
+    assert set(names) == set(catalog.TABLES)
+    assert spark.sql("SELECT count(*) FROM bn_funding_rates").first()[0] == 0
+    for v in names + ["bn_spot_klines_v2"]:
+        spark.catalog.dropTempView(v)
