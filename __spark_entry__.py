@@ -1158,6 +1158,81 @@ def q_dedup_by_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_by_url(crawl).select("doc_id", "url")
 
 
+def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66 trained Cavnar–Trenkle language ID (textops/langid.py),
+    oracle-gated per the round-8 verdict: train per-language char
+    bigram+trigram profiles ON the labeled documents table (its
+    `lang` column is the training label), then classify every
+    document against them by out-of-place distance. End-to-end
+    deterministic — profile ranks break ties (count desc, gram asc),
+    the argmin breaks ties (distance, lang) — so DuckDB reproduces
+    the fit AND the classification bit-identically."""
+    from binancedatapipeline_spark.textops.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    profiles = train_language_profiles(
+        docs, lang_col="lang", text_col="text", top_k=200
+    )
+    out = classify_language(
+        docs, profiles, id_col="doc_id", text_col="text", top_k=200
+    )
+    return out.select("doc_id", "lang_id", "lang_id_dist")
+
+
+def q_blocklist_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L71 domain blocklist with category attribution
+    (textops/corpus_io.py `parse_blocklist_text` +
+    `with_blocked_domain`), oracle-gated per the round-8 verdict,
+    over documents with deterministically synthesized crawl URLs:
+    mixed host case, www. prefixes, FQDN trailing dots, NULL urls
+    (never blocked) — against a three-list blocklist exercising
+    2/3/4-label entries, subdomain matches, longest-entry-wins
+    overlap (site5.example1.com beats example1.com) and
+    multi-category comma-joining (adult,gambling)."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        parse_blocklist_text,
+        with_blocked_domain,
+    )
+
+    d = F.col("doc_id")
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (d % 23).cast("string"),
+        F.lit(".Example"),
+        (d % 7).cast("string"),
+        F.lit(".COM"),
+        F.when(d % 5 == 0, F.lit(".")).otherwise(F.lit("")),
+    )
+    url = F.when(d % 17 == 0, F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("https://"), host, F.lit("/p/"), d.cast("string"))
+    )
+    crawl = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url")
+    )
+    bl = (
+        parse_blocklist_text(
+            spark, "example3.com\n# comment line\nexample1.com", category="ads"
+        )
+        .unionByName(
+            parse_blocklist_text(spark, "site5.example1.com", category="adult")
+        )
+        .unionByName(
+            parse_blocklist_text(
+                spark,
+                "site5.example1.com\nwww.site6.example2.com",
+                category="gambling",
+            )
+        )
+    )
+    return with_blocked_domain(crawl, bl, category_col="category").select(
+        "doc_id", "url", "blocked_domain", "blocked_category"
+    )
+
+
 def q_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-outer-join semantics (per-user view and error day-counts,
     users on either side retained) in ONE scan and no join: distinct
@@ -1203,6 +1278,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and textops.with_fingerprint is diff-tested against hashlib in
     # tests/test_round5_fixes.py) for doc_rep_map so the
     # exact-collapse primitive behind near_dedup is oracle-gated.
+    # Round 9 swapped scalar_datemath (pure F1–F4 conversion
+    # projection — every conversion it exercised stays oracle-gated:
+    # interval arithmetic through join_theta, date_trunc through
+    # events_hourly_rollup, date difference through
+    # window_lag_extreme, epoch-ms through wma20/asof_join inputs)
+    # for doc_langid, gating the trained Cavnar–Trenkle language-ID
+    # family end to end (profile fit + out-of-place classification);
+    # and pivot (status→columns conditional aggregation — the same
+    # case-when aggregate machinery stays oracle-gated through
+    # conditional_agg, and the Expand family through grouping_sets)
+    # for blocklist_domains, gating the domain-blocklist family
+    # (longest-entry-wins + multi-category attribution).
     # Round 7 swapped word_count (corpus token frequency — the same
     # tokenize→explode→count machinery stays driver-verified through
     # doc_token_stats and tfidf_top_terms) for dedup_by_url, so the
@@ -1241,7 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_by_url": q_dedup_by_url,
         "topk_per_group": q_topk_per_group,
         "cte_margin_shape": q_cte_margin_shape,
-        "scalar_datemath": q_scalar_datemath,
+        "doc_langid": q_doc_langid,
         "conditional_agg": q_conditional_agg,
         "groupby_having": q_groupby_having,
         "full_outer": q_full_outer,
@@ -1270,7 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_windows": q_rank_windows,
         "grouping_sets": q_grouping_sets,
         "sq8_topk": q_sq8_topk,
-        "pivot": q_pivot,
+        "blocklist_domains": q_blocklist_domains,
         "percentiles": q_percentiles,
         "window_range_frame": q_window_range_frame,
         "funnel": q_funnel,
@@ -1489,13 +1576,68 @@ SELECT * FROM assets
 UNION ALL
 SELECT -1 AS nation, min(first_ship), max(last_ship) FROM assets
 """,
-        "scalar_datemath": """
-SELECT event_id,
-       epoch_ms(ts) AS ts_ms,
-       ts + INTERVAL 5 DAY AS ts_plus5d,
-       date_trunc('hour', ts) AS ts_hour,
-       ts + INTERVAL 8 HOUR AS ts_cn
-FROM events
+        "doc_langid": """
+WITH tnorm AS (
+  SELECT lang, ' ' || trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) || ' ' AS s
+  FROM documents
+),
+tgrams AS (
+  SELECT lang, g
+  FROM tnorm, UNNEST(
+    CASE WHEN length(s) > 2 THEN
+      list_concat(
+        list_transform(range(1, length(s)::INT), i -> substr(s, i::INT, 2)),
+        list_transform(range(1, length(s)::INT - 1), i -> substr(s, i::INT, 3))
+      )
+    ELSE CAST([] AS VARCHAR[]) END) AS t(g)
+),
+prof AS (
+  SELECT lang, g AS gram,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, g) AS rank
+  FROM tgrams GROUP BY lang, g
+  QUALIFY rank <= 200
+),
+dnorm AS (
+  SELECT doc_id, ' ' || trim(regexp_replace(lower(substr(text, 1, 4000)), '\\s+', ' ', 'g')) || ' ' AS s
+  FROM documents
+),
+dgrams AS (
+  SELECT doc_id, g
+  FROM dnorm, UNNEST(
+    CASE WHEN length(s) > 2 THEN
+      list_concat(
+        list_transform(range(1, length(s)::INT), i -> substr(s, i::INT, 2)),
+        list_transform(range(1, length(s)::INT - 1), i -> substr(s, i::INT, 3))
+      )
+    ELSE CAST([] AS VARCHAR[]) END) AS t(g)
+),
+dcount AS (SELECT doc_id, g AS gram, count(*) AS n FROM dgrams GROUP BY doc_id, g),
+dprof AS (
+  SELECT doc_id, gram,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS doc_rank
+  FROM dcount QUALIFY doc_rank <= 200
+),
+sizes AS (SELECT doc_id, count(*) AS dg FROM dprof GROUP BY doc_id),
+langs AS (SELECT DISTINCT lang FROM prof),
+hits AS (
+  SELECT dp.doc_id, p.lang,
+         sum(abs(dp.doc_rank - p.rank)) AS hd, count(*) AS h
+  FROM dprof dp JOIN prof p USING (gram)
+  GROUP BY dp.doc_id, p.lang
+),
+scored AS (
+  SELECT s.doc_id, l.lang,
+         (coalesce(hd, 0) + (s.dg - coalesce(h, 0)) * 200)::BIGINT AS dist
+  FROM sizes s CROSS JOIN langs l
+  LEFT JOIN hits ON hits.doc_id = s.doc_id AND hits.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, dist,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist, lang) AS rn
+  FROM scored
+)
+SELECT d.doc_id, b.lang AS lang_id, b.dist AS lang_id_dist
+FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """,
         "conditional_agg": """
 SELECT user_id,
@@ -1885,11 +2027,38 @@ SELECT query_id, vec_id, round(cosine, 6) AS cosine,
 FROM scored
 QUALIFY rank <= 10
 """,
-        "pivot": """
-SELECT l_returnflag,
-       sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_f,
-       sum(l_quantity) FILTER (l_linestatus = 'O') AS qty_o
-FROM lineitem GROUP BY l_returnflag
+        "blocklist_domains": """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+         || 'Site' || (doc_id % 23)::VARCHAR
+         || '.Example' || (doc_id % 7)::VARCHAR || '.COM'
+         || (CASE WHEN doc_id % 5 = 0 THEN '.' ELSE '' END) AS h
+  FROM documents
+),
+docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE 'https://' || h || '/p/' || doc_id::VARCHAR END AS url,
+         CASE WHEN doc_id % 17 = 0 THEN NULL
+              ELSE regexp_replace(lower(h), '\\.+$', '') END AS host
+  FROM raw
+),
+bl AS (
+  SELECT domain, string_agg(DISTINCT category, ',' ORDER BY category) AS category
+  FROM (VALUES ('example3.com', 'ads'), ('example1.com', 'ads'),
+               ('site5.example1.com', 'adult'), ('site5.example1.com', 'gambling'),
+               ('www.site6.example2.com', 'gambling')) t(domain, category)
+  GROUP BY domain
+),
+m AS (
+  SELECT d.doc_id, b.domain, b.category,
+         row_number() OVER (PARTITION BY d.doc_id ORDER BY length(b.domain) DESC) AS rn
+  FROM docs d JOIN bl b
+    ON d.host = b.domain OR ends_with(d.host, '.' || b.domain)
+)
+SELECT d.doc_id, d.url, m.domain AS blocked_domain, m.category AS blocked_category
+FROM docs d LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)
 """,
         "percentiles": """
 SELECT o_orderpriority,

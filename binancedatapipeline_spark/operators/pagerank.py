@@ -14,9 +14,15 @@ real cluster).
 
 Scale shape: the edge relation shuffles on src once per round (join
 against the current ranks) and the contributions shuffle on dst once
-per round — 2 exchanges × iterations, each O(edges). Ranks are one
-row per node; nothing corpus-sized ever reaches the driver (the
-dangling-mass term is a one-row aggregate per round).
+per round — 2 edge-sized exchanges × iterations. Everything else in
+the loop is NODE-sized: the dangling node set (pages with no
+outlinks) is invariant across iterations, so it is precomputed once
+and checkpointed, and the per-round dangling-mass term is a semi-join
+of the current ranks against it plus a one-row sum — no edge lineage
+is ever re-evaluated inside the loop (the round-8 form re-derived the
+out-degree relation from raw edges every round: one extra full
+edge-distinct shuffle + aggregation per iteration). Ranks are one row
+per node; nothing corpus-sized ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -110,6 +116,13 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
         .localCheckpoint(eager=True)
     )
+    # the dangling node SET (no outlinks) is invariant across
+    # iterations: precompute + checkpoint it once, so the per-round
+    # dangling-mass term is node-sized work (semi-join + sum) and no
+    # edge lineage is ever evaluated inside the loop
+    dangling_nodes = nodes.join(
+        w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).localCheckpoint(eager=True)
     ranks = tvec.select("node", F.col("__t").alias("rank"))
     for _ in range(iterations):
         contribs = (
@@ -121,7 +134,7 @@ def pagerank(
         # along the teleport vector (one scalar per round, a bounded
         # driver value)
         dangling = (
-            ranks.join(out.withColumnRenamed("src", "node"), "node", "left_anti")
+            ranks.join(dangling_nodes, "node", "left_semi")
             .agg(F.sum("rank"))
             .first()[0]
             or 0.0

@@ -954,6 +954,7 @@ def with_blocked_domain(
     output_col: str = "blocked_domain",
     category_col: str | None = None,
     output_category_col: str = "blocked_category",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Add ``output_col``: the blocklist entry the row's host falls
     under (host == entry, or host ends with ``"." + entry`` — i.e.
@@ -968,14 +969,25 @@ def with_blocked_domain(
     sorted order (the dim side pre-aggregates per domain, so the
     corpus join multiplicity stays exactly 1).
 
-    Scale shape: the corpus NEVER shuffles. Like the PSL domain join,
-    the blocklist's distinct label counts (a bounded driver collect
-    over the tiny dim — UT1 lists hold 2–5-label entries) decide the
-    plan: one broadcast LEFT join per label count, keyed on the last
-    k labels of the host (pure regex, no explode). A 4M-entry list is
-    a few hundred MB broadcast once; the alternative explode-suffixes
-    + join + re-group form shuffles the corpus by row id for the same
-    answer.
+    Scale shape, ``broadcast=True`` (default): the corpus NEVER
+    shuffles. Like the PSL domain join, the blocklist's distinct
+    label counts (a bounded driver collect over the tiny dim — UT1
+    lists hold 2–5-label entries) decide the plan: one broadcast LEFT
+    join per label count, keyed on the last k labels of the host
+    (pure regex, no explode). A 4M-entry list is a few hundred MB
+    broadcast once.
+
+    ``broadcast=False`` is the beyond-broadcast escape hatch (the
+    same ``method=`` discipline as DSIR's join scorer and the spans
+    probe): for merged multi-category lists past ~10M entries, the
+    broadcast relations stop fitting executor/driver memory. The
+    fallback joins DISTINCT HOSTS — never the corpus rows — against
+    the list: distinct hosts (one narrow-column shuffle), explode
+    each host's ≤ |label shapes| candidate suffixes, shuffle-join the
+    per-domain aggregated list, keep the longest hit per host
+    (``max_by`` on label count — no window), then one host-keyed
+    shuffle join back onto the corpus. Both paths return identical
+    results (randomized differential in tests/test_corpus_io.py).
 
     ``host_col`` skips URL parsing when the host was already extracted
     (e.g. by :func:`with_url_parts`); hosts compare lowercased; rows
@@ -1015,6 +1027,76 @@ def with_blocked_domain(
             ),
             F.lit(""),
         )
+
+    if not broadcast:
+        if not shapes:
+            out = out.withColumn(output_col, F.lit(None).cast("string"))
+            if has_cat:
+                out = out.withColumn(
+                    output_category_col, F.lit(None).cast("string")
+                )
+            return out.drop("__bl_host")
+        # distinct HOSTS — one narrow-column shuffle — not corpus rows
+        hosts = (
+            out.select("__bl_host")
+            .filter(F.col("__bl_host").isNotNull())
+            .distinct()
+        )
+        cand = (
+            hosts.select(
+                "__bl_host",
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(k).alias("__bl_k"),
+                            last_labels(k).alias("__bl_sfx"),
+                        )
+                        for k in shapes
+                    ])
+                ).alias("__bl_c"),
+            )
+            .select(
+                "__bl_host",
+                F.col("__bl_c.__bl_k").alias("__bl_k"),
+                F.col("__bl_c.__bl_sfx").alias("__bl_sfx"),
+            )
+            .filter(F.col("__bl_sfx").isNotNull())
+        )
+        # one row per listed domain (same multiplicity-1 contract as
+        # the per-k broadcast sides); a k-label suffix only ever
+        # equals a k-label domain, so the string is the whole key
+        if has_cat:
+            dim = bl.groupBy(F.col("__bl_dom")).agg(
+                F.array_join(
+                    F.array_sort(F.collect_set("__bl_cat")), ","
+                ).alias("__bl_catj")
+            )
+        else:
+            dim = bl.select("__bl_dom").distinct()
+        hit_rows = cand.join(dim, cand["__bl_sfx"] == dim["__bl_dom"])
+        # longest entry wins = max label count; per (host, k) the
+        # suffix is unique so max_by has no ties to break
+        win_val = (
+            F.struct(
+                F.col("__bl_dom").alias("d"), F.col("__bl_catj").alias("c")
+            )
+            if has_cat
+            else F.struct(F.col("__bl_dom").alias("d"))
+        )
+        winners = (
+            hit_rows.groupBy("__bl_host")
+            .agg(F.max_by(win_val, F.col("__bl_k")).alias("__bl_win"))
+        )
+        win_cols = ["__bl_host", F.col("__bl_win.d").alias(output_col)]
+        if has_cat:
+            win_cols.append(
+                F.nullif(F.col("__bl_win.c"), F.lit("")).alias(
+                    output_category_col
+                )
+            )
+        return out.join(
+            winners.select(*win_cols), "__bl_host", "left"
+        ).drop("__bl_host")
 
     joined = out
     flags: list[tuple[int, str]] = []

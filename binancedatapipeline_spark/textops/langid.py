@@ -13,10 +13,13 @@ distributed and both pure DataFrame ops:
    codebooks, DSIR ratios, the unigram LM).
 2. **Classify** — per-document out-of-place distance against every
    profile: explode the document's ranked grams, broadcast-join the
-   profile table, sum ``|doc_rank − profile_rank|`` per (doc, lang)
-   with a ``miss_penalty`` for grams absent from a profile, take the
-   argmin. Two shuffles, both on doc keys (gram ranking + distance
-   fold); the profile side never shuffles.
+   profile table, and fold ``|doc_rank − profile_rank|`` per language
+   (``miss_penalty`` for grams absent from a profile) in ONE
+   groupBy(doc) with per-language conditional aggregates — the
+   language list is collected driver-side first (the profile dim is
+   bounded by construction, same discipline as the SQ codebook
+   collect). One corpus scan, one shuffle, no window, no cross join;
+   the argmin is a row-local ``array_min`` over per-language structs.
 
 Scale shape at 100 TB: the corpus is touched once per half; nothing
 ever materializes per-language corpora; the only joined relation is
@@ -221,72 +224,91 @@ def classify_language(
     more than ``top_k`` distinct grams): the per-document explode
     cost is a constant, not a function of document length, which is
     the difference between a bounded and an unbounded shuffle at
-    100 TB. ``max_chars=None`` reads everything."""
+    100 TB. ``max_chars=None`` reads everything.
+
+    Plan shape (the round-9 replan): the language LIST is collected
+    driver-side up front — the profile relation is a bounded fitted
+    dim (≤ languages × top_k rows), the same bounded-collect
+    discipline as the SQ codebook — which lets the whole score fold
+    into ONE ``groupBy(doc)`` with per-language conditional
+    aggregates and a row-local ``array_min`` argmin. The expensive
+    per-row gram top-k is therefore evaluated exactly ONCE (the
+    round-8 form fed it to two join branches, and Catalyst does not
+    dedupe common subtrees across branches — the corpus was scanned
+    and the top-k computed twice), and the shuffle count drops from
+    three (distance fold + argmin window + size×lang join) to one."""
     if miss_penalty is None:
         miss_penalty = top_k
     text = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
+    langs = sorted(
+        r[0] for r in profiles.select("lang").distinct().collect()
+        if r[0] is not None
+    )
+    if not langs:
+        return df.withColumn(output_col, F.lit(None).cast("string")) \
+                 .withColumn(f"{output_col}_dist", F.lit(None).cast("bigint"))
     # the document profile is computed INSIDE each row (run-length +
     # comparator sort over the bound gram array): zero shuffles until
-    # the BOUNDED top_k-per-doc explode below — the groupBy(doc, gram)
-    # + rank-window form this replaces shuffled every gram of every
-    # document twice (and sorted them) for the same ranks
-    tops = df.select(
-        F.col(id_col),
-        _row_top_grams(char_ngrams(text, n_values), top_k).alias("__top"),
-    )
-    doc_profile = tops.select(
-        id_col,
-        F.posexplode("__top").alias("__pos", "__pg"),
-    ).select(
-        id_col,
-        F.col("__pg.gram").alias("gram"),
-        (F.col("__pos") + 1).alias("doc_rank"),
-    )
-    dist = (
-        doc_profile
-        # INNER join: only gram hits carry rank information. Doc grams
-        # no profile contains contribute the flat miss penalty, which
-        # is reconstructed below from (doc profile size − hits) — and
-        # languages sharing no grams at all come back via the lang-dim
-        # cross join, not this join
-        .join(F.broadcast(profiles), "gram", "inner")
-        .groupBy(id_col, "lang")
-        .agg(
-            F.sum(F.abs(F.col("doc_rank") - F.col("rank"))).alias("hit_dist"),
-            F.count(F.lit(1)).alias("hits"),
+    # the BOUNDED top_k-per-doc explode below — and the doc's gram
+    # count rides the exploded rows (`__doc_grams`), so no second
+    # branch ever re-reads the corpus. Zero-gram documents produce no
+    # exploded rows at all, fall out of the scoring entirely, and
+    # classify to NULL via the final left join (a size-0 row would
+    # distance-0-tie every language and pick the first).
+    exploded = (
+        df.select(
+            F.col(id_col),
+            _row_top_grams(char_ngrams(text, n_values), top_k).alias("__top"),
         )
-    )
-    # grams with no profile entry cost miss_penalty each; the number
-    # of misses is (doc profile size − hits), so the constant-per-doc
-    # term needs the doc's gram count — a map-side projection off the
-    # row-local top array, no aggregation. Zero-gram documents are
-    # EXCLUDED here on purpose: with no doc_sizes row they fall out of
-    # the scoring entirely and classify to NULL (an included size-0
-    # row would distance-0-tie every language and pick the first)
-    doc_sizes = tops.filter(F.size("__top") > 0).select(
-        id_col, F.size("__top").alias("__doc_grams")
-    )
-    langs = profiles.select("lang").distinct()
-    scored = (
-        doc_sizes.crossJoin(F.broadcast(langs))
-        .join(dist, [id_col, "lang"], "left")
         .select(
             id_col,
-            "lang",
-            (
-                F.coalesce(F.col("hit_dist"), F.lit(0))
-                + (F.col("__doc_grams") - F.coalesce(F.col("hits"), F.lit(0)))
-                * F.lit(miss_penalty)
-            ).alias("__dist"),
+            F.size("__top").alias("__doc_grams"),
+            F.posexplode("__top").alias("__pos", "__pg"),
+        )
+        .select(
+            id_col,
+            "__doc_grams",
+            F.col("__pg.gram").alias("gram"),
+            (F.col("__pos") + 1).alias("doc_rank"),
         )
     )
-    best_w = Window.partitionBy(id_col).orderBy(F.col("__dist"), F.col("lang"))
-    best = (
-        scored.withColumn("__rn", F.row_number().over(best_w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, F.col("lang").alias(output_col), F.col("__dist").alias(f"{output_col}_dist"))
+    # LEFT join: gram hits carry rank information per matching
+    # language; doc grams no profile contains survive as lang-NULL
+    # rows so the miss count (doc profile size − hits) stays exact
+    # even for documents sharing no gram with ANY profile (those
+    # all-miss ties break to the alphabetically first language, the
+    # documented convention)
+    joined = exploded.join(F.broadcast(profiles), "gram", "left")
+    aggs = [F.max("__doc_grams").alias("__dg")]
+    for i, lang in enumerate(langs):
+        hit = F.col("lang") == lang
+        aggs.append(
+            F.sum(F.when(hit, F.abs(F.col("doc_rank") - F.col("rank"))))
+            .alias(f"__hd_{i}")
+        )
+        aggs.append(F.count(F.when(hit, F.lit(1))).alias(f"__h_{i}"))
+    agg = joined.groupBy(id_col).agg(*aggs)
+    dists = F.array(*[
+        F.struct(
+            (
+                F.coalesce(F.col(f"__hd_{i}"), F.lit(0)).cast("bigint")
+                + (F.col("__dg").cast("bigint") - F.col(f"__h_{i}"))
+                * F.lit(miss_penalty)
+            ).alias("d"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ])
+    # struct ordering is field-by-field: min by (distance, lang) IS
+    # the deterministic argmin — no window, no second shuffle
+    best = agg.select(
+        id_col, F.array_min(dists).alias("__b")
+    ).select(
+        id_col,
+        F.col("__b.lang").alias(output_col),
+        F.col("__b.d").alias(f"{output_col}_dist"),
     )
     return df.join(best, id_col, "left")
 

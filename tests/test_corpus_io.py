@@ -549,3 +549,70 @@ def test_blocklist_matches_python_reference_on_random_hosts(spark):
     exp = {i: ref_match(h) for i, h in enumerate(hosts)}
     assert got == exp
     assert sum(v is not None for v in exp.values()) > 50  # non-trivial corpus
+
+
+def test_blocklist_shuffle_fallback_matches_broadcast_path(spark):
+    """Randomized differential for the beyond-broadcast escape hatch
+    (broadcast=False, round-9 verdict ask #4): the distinct-host
+    suffix-explode + shuffle-join + longest-win re-group must return
+    EXACTLY what the per-shape broadcast path returns — including
+    multi-category comma-joins, NULL hosts (never blocked), FQDN
+    trailing dots, and the notbad.com name-suffix trap — on 400
+    generated rows x an 80-entry three-category mixed-shape list."""
+    import random
+
+    from binancedatapipeline_spark.textops.corpus_io import with_blocked_domain
+
+    rng = random.Random(99)
+    tlds = ["com", "net", "org"]
+    labels = ["alpha", "beta", "gamma", "delta"]
+
+    def rand_dom(n_labels):
+        return ".".join(
+            rng.choice(labels) + str(rng.randrange(5)) for _ in range(n_labels - 1)
+        ) + "." + rng.choice(tlds)
+
+    entries = sorted({rand_dom(rng.choice([2, 2, 3, 4])) for _ in range(80)})
+    bl_rows = [(e, rng.choice(["ads", "adult", "gambling"])) for e in entries]
+    # a few domains listed under MULTIPLE categories
+    for e in entries[:8]:
+        bl_rows.append((e, "phishing"))
+    hosts = []
+    for _ in range(400):
+        r = rng.random()
+        if r < 0.08:
+            hosts.append(None)
+        elif r < 0.45:
+            hosts.append(rng.choice(["w.", "a.b.", ""]) + rng.choice(entries)
+                         + rng.choice(["", "."]))
+        elif r < 0.55:
+            hosts.append("x" + rng.choice(entries))
+        else:
+            hosts.append(rand_dom(rng.choice([2, 3, 4, 5])))
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "doc_id long, host string"
+    )
+    bl = spark.createDataFrame(bl_rows, "domain string, category string")
+
+    def rows(broadcast):
+        return sorted(
+            (r["doc_id"], r["blocked_domain"], r["blocked_category"])
+            for r in with_blocked_domain(
+                df, bl, host_col="host", category_col="category",
+                broadcast=broadcast,
+            ).collect()
+        )
+
+    fast, fallback = rows(True), rows(False)
+    assert fast == fallback
+    assert sum(v is not None for _, v, _ in fast) > 80  # non-trivial
+    assert any(c is not None and "," in c for _, _, c in fast)  # multi-cat hit
+
+    # empty blocklist: both paths block nothing, same output schema
+    empty = spark.createDataFrame([], "domain string, category string")
+    for b in (True, False):
+        out = with_blocked_domain(
+            df, empty, host_col="host", category_col="category", broadcast=b
+        )
+        assert {"blocked_domain", "blocked_category"} <= set(out.columns)
+        assert out.filter(out.blocked_domain.isNotNull()).count() == 0

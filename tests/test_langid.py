@@ -141,6 +141,34 @@ def test_profile_join_is_broadcast(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_classify_evaluates_top_k_exactly_once(spark):
+    """Round-9 replan pin: the per-row gram top-k (the dominant
+    per-document cost — `zip_with` appears ONLY inside _runs_top_k)
+    must occur exactly ONCE in the classify plan. The round-8 form
+    fed it to two join branches (doc_profile + doc_sizes) and
+    Catalyst does not dedupe common subtrees across branches, so the
+    corpus was scanned and the top-k computed twice."""
+    train = _train_df(spark)
+    profiles = langid.train_language_profiles(train, top_k=100)
+    docs = spark.createDataFrame([("a", "hello world")], ["doc_id", "text"])
+    plan = (
+        langid.classify_language(docs, profiles)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("zip_with") == 1, plan
+
+
+def test_classify_with_empty_profiles_is_all_null(spark):
+    profiles = spark.createDataFrame(
+        [], "lang string, gram string, rank int"
+    )
+    docs = spark.createDataFrame([("a", "hello world")], ["doc_id", "text"])
+    row = langid.classify_language(docs, profiles).first()
+    assert row["lang_id"] is None and row["lang_id_dist"] is None
+
+
 def test_max_chars_head_classification(spark):
     """max_chars must actually bound extraction to the HEAD: a
     document with a short English head and a long Spanish tail

@@ -117,3 +117,49 @@ FROM documents
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_retired_scalar_datemath_matches_duckdb(spark, con):
+    # retired in round 9 (rotation for doc_langid); oracle SQL kept
+    # verbatim from the round-8 registry. Every conversion it gates
+    # stays oracle-verified through still-registered queries (interval
+    # arithmetic via join_theta, date_trunc via events_hourly_rollup,
+    # date difference via window_lag_extreme)
+    got = _rows(entry_mod.q_scalar_datemath(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT event_id,
+       epoch_ms(ts) AS ts_ms,
+       ts + INTERVAL 5 DAY AS ts_plus5d,
+       date_trunc('hour', ts) AS ts_hour,
+       ts + INTERVAL 8 HOUR AS ts_cn
+FROM events
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_retired_pivot_matches_duckdb(spark, con):
+    # retired in round 9 (rotation for blocklist_domains); oracle SQL
+    # kept verbatim from the round-8 registry. The case-when aggregate
+    # machinery stays oracle-gated through conditional_agg
+    got = _rows(entry_mod.q_pivot(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT l_returnflag,
+       sum(l_quantity) FILTER (l_linestatus = 'F') AS qty_f,
+       sum(l_quantity) FILTER (l_linestatus = 'O') AS qty_o
+FROM lineitem GROUP BY l_returnflag
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0

@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from binancedatapipeline_spark.session import get_session  # noqa: E402
 from binancedatapipeline_spark.textops import langid  # noqa: E402
 
@@ -68,11 +70,17 @@ def main() -> None:
         docs.count()
         for mc in (500, 4000, None):
             key = f"mc{mc or 'full'}{tag}_sec"
+            # checksum, NOT count(): the round-9 classify plan joins a
+            # groupBy(id) aggregate back on id, which Spark proves
+            # unique and ELIMINATES under count() — a count would time
+            # the cached scan, not the classification
             res[key] = round(
                 timed(
                     lambda mc=mc: langid.classify_language(
                         docs, profiles, max_chars=mc
-                    ).count()
+                    )
+                    .agg(F.sum(F.length("lang_id")), F.sum("lang_id_dist"))
+                    .first()
                 ),
                 3,
             )
