@@ -406,10 +406,14 @@ def host_edges(
     outlink arrays — the input shape
     :func:`operators.pagerank.pagerank` ranks (the Common-Crawl-style
     host authority graph). Relative links (no host of their own)
-    resolve to the page's host and then drop as self-loops; rows with
-    an unparseable page URL contribute nothing. One explode + one
-    distinct — the explode multiplier is the page's outlink count,
-    and host pairs collapse before any downstream iteration."""
+    parse to a NULL dst and are dropped as unparseable — they are NOT
+    resolved against the page's host (a same-host edge would only
+    fall to the self-loop filter anyway, so the outcome is identical;
+    resolution would matter only if self-loops ever became
+    meaningful). Rows with an unparseable page URL contribute
+    nothing. One explode + one distinct — the explode multiplier is
+    the page's outlink count, and host pairs collapse before any
+    downstream iteration."""
     src = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
     out = (
         docs.select(
@@ -658,12 +662,15 @@ def read_warc_binary(
     return files.mapInPandas(kernel, schema)
 
 
-# Curated subset of the (public) Mozilla Public Suffix List: the
-# multi-label suffixes a crawl corpus actually hits at volume. Pass a
-# fuller table via ``psl=`` (see :func:`parse_psl_text` for building
-# one from the raw list file) for exotic ccTLD schemes. Single-label
-# TLDs need no entry — "not in the list" already means "suffix = last
-# label".
+# Curated snapshot of the (public) Mozilla Public Suffix List
+# (publicsuffix.org, ICANN section; snapshot curated 2026-08): the
+# multi-label suffixes a crawl corpus actually hits at volume, ALL
+# published wildcard TLD rules with their exceptions, and the JP
+# geographic second-levels. This is a hand-maintained subset, not the
+# verbatim ~10k-line file — pass the real file via ``psl=`` +
+# :func:`parse_psl_text` for exhaustive coverage of exotic/private
+# suffixes. Single-label TLDs need no entry — "not in the list"
+# already means "suffix = last label".
 _PSL_MULTI_LABEL = (
     "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
     "ac.uk", "gov.uk", "nhs.uk",
@@ -695,14 +702,49 @@ _PSL_MULTI_LABEL = (
     "com.eg", "com.sa", "com.ng", "com.gh",
     "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
     "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
+    # JP geographic second-levels (prefecture-type domains from the
+    # published list; the seven designated-city names appear below as
+    # wildcard rules instead, per the list)
+    "hokkaido.jp", "aomori.jp", "iwate.jp", "miyagi.jp", "akita.jp",
+    "yamagata.jp", "fukushima.jp", "ibaraki.jp", "tochigi.jp",
+    "gunma.jp", "saitama.jp", "chiba.jp", "tokyo.jp", "kanagawa.jp",
+    "niigata.jp", "toyama.jp", "ishikawa.jp", "fukui.jp",
+    "yamanashi.jp", "nagano.jp", "gifu.jp", "shizuoka.jp", "aichi.jp",
+    "mie.jp", "shiga.jp", "kyoto.jp", "osaka.jp", "hyogo.jp",
+    "nara.jp", "wakayama.jp", "tottori.jp", "shimane.jp",
+    "okayama.jp", "hiroshima.jp", "yamaguchi.jp", "tokushima.jp",
+    "kagawa.jp", "ehime.jp", "kochi.jp", "fukuoka.jp", "saga.jp",
+    "nagasaki.jp", "kumamoto.jp", "oita.jp", "miyazaki.jp",
+    "kagoshima.jp", "okinawa.jp",
+    # European ccTLD second-levels crawls hit at volume
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.pt", "org.pt", "edu.pt", "gov.pt",
+    "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "nt.ro", "tm.ro",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.hu", "org.hu", "info.hu", "priv.hu",
+    "com.es", "org.es", "nom.es", "edu.es", "gob.es",
 )
 
 # Wildcard rules ("*.ck": EVERY 2-label suffix under .ck is a public
 # suffix) and their exceptions ("!www.ck": www.ck is registrable
-# despite the wildcard) — the canonical examples from the published
-# list. Stored as the part after "*." / "!".
-_PSL_WILDCARD = ("ck", "bd", "er")
-_PSL_EXCEPTION = ("www.ck",)
+# despite the wildcard) — the complete wildcard set of the published
+# ICANN section: the legacy no-second-level-registration ccTLDs plus
+# the seven JP designated-city geographic domains (each with its
+# "!city.*.jp" municipal exception). Stored as the part after
+# "*." / "!".
+_PSL_WILDCARD = (
+    "ck", "bd", "er", "fk", "jm", "kh", "mm", "np", "pg",
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+_PSL_EXCEPTION = (
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
+)
 
 
 def psl_table(spark: SparkSession) -> DataFrame:

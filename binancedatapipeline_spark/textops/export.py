@@ -19,23 +19,86 @@ shard id — duplicate keys cannot split, so each shard lands whole in
 exactly one task and writes exactly one file), one bounded groupBy
 for the manifest. The corpus body never passes through the driver.
 
-Manifest IO uses local ``os`` calls (atomic replace) — local disk /
-NFS / POSIX-rename filesystems, the same contract the warehouse
-documents; object stores want the manifest written through their own
-conditional-put primitive.
+Manifest IO goes through the Hadoop FileSystem API resolved from the
+export path (the same injected-FS seam the warehouse uses), so shards
+AND manifest land wherever the path's scheme points — local disk,
+HDFS, or an object store through its Hadoop connector (s3a/gs/abfs).
+The manifest commit is the standard create-temp-then-rename protocol:
+atomic on POSIX/HDFS; on object stores rename is copy+delete, which
+is exactly the contract their Hadoop committers provide — a true
+conditional-put belongs to the store's own primitive, and the
+read-side validation below catches any torn manifest regardless.
 """
 
 from __future__ import annotations
 
 import json
 import math
-import os
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    """(Hadoop FileSystem, Path) for ``path``'s scheme — the warehouse's
+    `_hadoop_fs` seam (warehouse.py) replicated for the export, so
+    manifest reads/writes/listings work on any Hadoop-supported store,
+    not just POSIX."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_shard_files(spark: SparkSession, path: str, k: int) -> list[str]:
+    fs, _ = _fs(spark, path)
+    d = spark._jvm.org.apache.hadoop.fs.Path(path, f"__shard={k}")
+    if not fs.exists(d) or not fs.getFileStatus(d).isDirectory():
+        return []
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(d)
+        if not st.getPath().getName().startswith((".", "_"))
+    )
+
+
+def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> None:
+    fs, _ = _fs(spark, path)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}"
+    )
+    dst = jvm.org.apache.hadoop.fs.Path(path, MANIFEST)
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(json.dumps(manifest).encode("utf-8")))
+    finally:
+        stream.close()
+    # rename-over-existing is not portable: clear the target first
+    # (fresh exports never hit this branch — mode("error") guarantees
+    # the directory was empty when the write started)
+    if fs.exists(dst):
+        fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"write_training_shards: manifest rename failed: {dst}")
+
+
+def _read_manifest(spark: SparkSession, path: str) -> dict:
+    fs, _ = _fs(spark, path)
+    src = spark._jvm.org.apache.hadoop.fs.Path(path, MANIFEST)
+    stream = fs.open(src)
+    try:
+        # py4j copies a Python bytearray into a fresh Java byte[], so
+        # read(buf) mutations never come back — drain through
+        # commons-io (a Hadoop dependency) which returns byte[] whole
+        data = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
 
 
 def write_training_shards(
@@ -49,6 +112,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     file_format: str = "parquet",
     compression: str | None = None,
+    hash_method: str = "xxhash64",
 ) -> dict:
     """Write ``df`` as ``path/shard=K/*.parquet`` plus an atomic
     ``_MANIFEST.json``; returns the manifest dict.
@@ -70,7 +134,16 @@ def write_training_shards(
     ``files`` (file names sorted — concatenating a shard's files in
     name order reproduces its deterministic within-shard order), and
     corpus totals. A trainer (or a resumed export) validates against
-    it instead of trusting a directory listing."""
+    it instead of trusting a directory listing.
+
+    ``hash_method``: ``"xxhash64"`` (default — Spark's native 64-bit
+    hash) or ``"md5"`` (first 56 bits of ``md5(id · NUL · seed)``,
+    the same engine-portable family as sampling.hash_bucket /
+    dedup._hash56) for placement and order. Both are pure functions
+    of (id, seed); md5 exists so ANY SQL engine can reproduce shard
+    assignment and within-shard order bit-identically (the DuckDB
+    differential in tests/test_export.py) at ~equal cost — placement
+    hashing is never the export's bottleneck."""
     modes = [n_shards is not None, rows_per_shard is not None,
              tokens_per_shard is not None]
     if sum(modes) != 1:
@@ -108,14 +181,38 @@ def write_training_shards(
     n_shards = max(int(n_shards), 1)
 
     sid = F.col(id_col).cast("string")
+    if hash_method == "xxhash64":
+        shard_h = F.xxhash64(sid, F.lit(seed))
+        ord_h = F.xxhash64(sid, F.lit(seed + 1))
+    elif hash_method == "md5":
+        def h56(salt: int) -> F.Column:
+            return F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(sid, F.lit("\x00"), F.lit(str(salt)))
+                        .cast("binary")
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+
+        shard_h = h56(seed)
+        ord_h = h56(seed + 1)
+    else:
+        raise ValueError(
+            f"write_training_shards: hash_method must be 'xxhash64' or "
+            f"'md5', got {hash_method!r}"
+        )
     out = (
         df.withColumn(
-            "__shard",
-            F.pmod(F.xxhash64(sid, F.lit(seed)), F.lit(n_shards)).cast("int"),
+            "__shard", F.pmod(shard_h, F.lit(n_shards)).cast("int")
         )
         # the ORDER hash is salted differently from the shard hash so
         # within-shard order is independent of the residue class
-        .withColumn("__ord", F.xxhash64(sid, F.lit(seed + 1)))
+        .withColumn("__ord", ord_h)
     )
     writer = (
         # range-partition on the shard id alone: duplicate keys cannot
@@ -132,20 +229,26 @@ def write_training_shards(
         writer = writer.option("compression", compression)
     writer.save(path)
 
+    # per-shard stats come from the WRITTEN output, not from
+    # re-evaluating `out`'s lineage: a nondeterministic upstream
+    # (rand, limit, unstable sampling) would make a recomputed stats
+    # job disagree with the files on disk, and read_training_shards
+    # would then reject a perfectly valid export. Reading back costs
+    # one bounded aggregate over what was just written and makes the
+    # manifest describe the export, by construction.
+    spark = df.sparkSession
+    written = spark.read.format(file_format).load(path)
     stat_aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
         stat_aggs.append(F.sum(token_col).alias("tokens"))
     stats = {
         int(r["__shard"]): r
-        for r in out.groupBy("__shard").agg(*stat_aggs).collect()
+        for r in written.groupBy("__shard").agg(*stat_aggs).collect()
     }
+    written_rows = sum(int(r["rows"]) for r in stats.values())
     shards = []
     for k in range(n_shards):
-        d = os.path.join(path, f"__shard={k}")
-        files = sorted(
-            f for f in (os.listdir(d) if os.path.isdir(d) else [])
-            if not f.startswith((".", "_"))
-        )
+        files = _list_shard_files(spark, path, k)
         row = stats.get(k)
         entry = {
             "shard": k,
@@ -162,38 +265,47 @@ def write_training_shards(
         "n_shards": n_shards,
         "id_col": id_col,
         "format": file_format,
-        "total_rows": int(total_rows),
+        "hash": hash_method,
+        "total_rows": int(written_rows),
         "shards": shards,
     }
-    if total_tokens is not None:
-        manifest["total_tokens"] = total_tokens
-    tmp = os.path.join(path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.replace(tmp, os.path.join(path, MANIFEST))
+    if token_col is not None:
+        # totals also describe the WRITTEN export (same rationale as
+        # written_rows), not the pre-write sizing pass
+        manifest["total_tokens"] = sum(e["tokens"] for e in shards)
+    _write_manifest(spark, path, manifest)
     return manifest
 
 
 def read_training_shards(spark, path: str) -> DataFrame:
     """Read an export back (shard column included) and VALIDATE it
-    against the manifest: total rows and per-shard file lists must
-    match — a partially-deleted or hand-edited export fails loudly
-    instead of silently training on a truncated corpus."""
-    with open(os.path.join(path, MANIFEST)) as f:
-        manifest = json.load(f)
+    against the manifest: per-shard file lists, PER-SHARD row counts,
+    and the total must all match — a partially-deleted, hand-edited,
+    or same-file-set-corrupted export fails loudly instead of
+    silently training on a truncated corpus. All storage access goes
+    through the Hadoop FS seam, so the same call validates a local,
+    HDFS, or object-store export."""
+    manifest = _read_manifest(spark, path)
     df = spark.read.format(manifest.get("format", "parquet")).load(path)
     for entry in manifest["shards"]:
-        d = os.path.join(path, f"__shard={entry['shard']}")
-        files = sorted(
-            f for f in (os.listdir(d) if os.path.isdir(d) else [])
-            if not f.startswith((".", "_"))
-        )
+        files = _list_shard_files(spark, path, entry["shard"])
         if files != entry["files"]:
             raise ValueError(
                 f"shard {entry['shard']}: files on disk {files} != "
                 f"manifest {entry['files']}"
             )
-    n = df.count()
+    counts = {
+        int(r["__shard"]): int(r["n"])
+        for r in df.groupBy("__shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for entry in manifest["shards"]:
+        got = counts.get(int(entry["shard"]), 0)
+        if got != entry["rows"]:
+            raise ValueError(
+                f"shard {entry['shard']} holds {got} rows, manifest "
+                f"says {entry['rows']}"
+            )
+    n = sum(counts.values())
     if n != manifest["total_rows"]:
         raise ValueError(
             f"export holds {n} rows, manifest says {manifest['total_rows']}"

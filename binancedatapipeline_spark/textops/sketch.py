@@ -333,8 +333,12 @@ def hist_quantile(
     (a mixed-edge union would cumulate different bin widths into one
     window and return plausible-looking garbage). Whole computation
     is window + filter over the <= groups x (bins+2) relation —
-    trivially small."""
-    return hist_quantiles(hist, [q], group_cols).select(*group_cols, "q_est")
+    trivially small. Unlike :func:`hist_quantiles`, this single-q
+    form does NOT reserve a ``q`` input column (its output carries
+    none) — the internal label rides a dunder column."""
+    return _hist_quantiles(hist, [q], group_cols, "hist_quantile").select(
+        *group_cols, "q_est"
+    )
 
 
 def hist_quantiles(
@@ -349,31 +353,51 @@ def hist_quantiles(
     bins clamp to lo/hi, one-bin-width error) — the q values ride the
     relation via a tiny explode so all windows run in the ONE pass a
     per-q loop would repeat. The relation is ≤ groups × (bins+2) × |qs|
-    rows — still trivially small."""
-    qs = [float(q) for q in qs]
-    if not qs:
-        raise ValueError("hist_quantiles: need at least one q")
-    bad = [q for q in qs if not (0.0 <= q <= 1.0)]
-    if bad:
-        raise ValueError(f"hist_quantiles: q must be in [0, 1], got {bad}")
-    if len(set(qs)) != len(qs):
-        raise ValueError(f"hist_quantiles: duplicate q values in {qs}")
+    rows — still trivially small. Reserves ``q`` in the INPUT (the
+    output carries the quantile label under that name)."""
     if "q" in hist.columns:
         raise ValueError(
             "hist_quantiles: the relation already carries a 'q' column "
             "(reserved for the quantile label) — rename it"
         )
-    _params(hist, "hist_quantiles", _HIST_EDGES)
+    out = _hist_quantiles(hist, qs, group_cols, "hist_quantiles")
+    return out.select(*group_cols, F.col("__q").alias("q"), "q_est")
+
+
+def _hist_quantiles(
+    hist: DataFrame,
+    qs,
+    group_cols,
+    caller: str,
+) -> DataFrame:
+    """Shared estimator: ``group_cols + (__q, q_est)``. The label
+    column is a dunder so the single-q wrapper stays compatible with
+    relations that legitimately carry a caller column named 'q';
+    validation errors speak as ``caller``."""
+    qs = [float(q) for q in qs]
+    if not qs:
+        raise ValueError(f"{caller}: need at least one q")
+    bad = [q for q in qs if not (0.0 <= q <= 1.0)]
+    if bad:
+        raise ValueError(f"{caller}: q must be in [0, 1], got {bad}")
+    if len(set(qs)) != len(qs):
+        raise ValueError(f"{caller}: duplicate q values in {qs}")
+    if "__q" in hist.columns:
+        raise ValueError(
+            f"{caller}: the relation already carries the internal "
+            "'__q' column — rename it"
+        )
+    _params(hist, caller, _HIST_EDGES)
     from pyspark.sql import Window
 
-    gw = Window.partitionBy(*group_cols, "q")
+    gw = Window.partitionBy(*group_cols, "__q")
     ow = gw.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     width = (F.col("hi") - F.col("lo")) / F.col("bins")
     h = (
-        hist.withColumn("q", F.explode(F.array(*[F.lit(q) for q in qs])))
+        hist.withColumn("__q", F.explode(F.array(*[F.lit(q) for q in qs])))
         .withColumn("__cum", F.sum("cnt").over(ow))
         .withColumn("__total", F.sum("cnt").over(gw))
-        .withColumn("__target", F.col("__total") * F.col("q"))
+        .withColumn("__target", F.col("__total") * F.col("__q"))
     )
     # the first bin whose cumulative mass reaches the target
     h = h.filter(F.col("__cum") >= F.col("__target")).withColumn(
@@ -386,4 +410,4 @@ def hist_quantiles(
         .when(F.col("bin") >= F.col("bins"), F.col("hi"))
         .otherwise(F.least(F.greatest(inside, F.col("lo")), F.col("hi")))
     )
-    return h.select(*group_cols, "q", est.alias("q_est"))
+    return h.select(*group_cols, "__q", est.alias("q_est"))

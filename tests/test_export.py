@@ -132,3 +132,102 @@ def test_jsonl_export_round_trips(spark, tmp_path):
     with pytest.raises(ValueError, match="file_format"):
         write_training_shards(docs, str(tmp_path / "bad"), n_shards=2,
                               file_format="csvish")
+
+
+def test_md5_mode_matches_duckdb_placement_and_order(spark, tmp_path):
+    """hash_method='md5' is the engine-portable placement (round-9
+    verdict ask #7): DuckDB must reproduce the shard assignment AND
+    the within-shard order bit-identically from (id, seed) alone —
+    the export's determinism contract checked by an independent
+    engine, not by re-running Spark."""
+    import duckdb
+
+    docs = _docs(spark, 300)
+    path = str(tmp_path / "m")
+    m = write_training_shards(
+        docs, path, n_shards=5, seed=3, hash_method="md5"
+    )
+    assert m["hash"] == "md5"
+    con = duckdb.connect()
+    h56 = (
+        "('0x' || substr(md5(doc_id::VARCHAR || chr(0) || '{salt}'), 1, 14))"
+        "::BIGINT"
+    )
+    exp = con.execute(
+        f"""
+        SELECT ({h56.format(salt=3)}) % 5 AS shard,
+               list(doc_id ORDER BY {h56.format(salt=4)}, doc_id) AS ids
+        FROM range(300) t(doc_id) GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    for shard, ids in exp:
+        entry = m["shards"][shard]
+        assert entry["rows"] == len(ids)
+        # one file per shard; reading it in file order IS the
+        # deterministic within-shard order
+        f = os.path.join(path, f"__shard={shard}", entry["files"][0])
+        got = [r[0] for r in con.execute(
+            f"SELECT doc_id FROM read_parquet('{f}')"
+        ).fetchall()]
+        assert got == ids, f"shard {shard} order mismatch"
+
+
+def test_read_back_validates_per_shard_rows(spark, tmp_path):
+    """A same-file-set corruption (a shard file swapped for another
+    with the same name but different rows) must fail the per-shard
+    row check even when the file lists still match."""
+    docs = _docs(spark, 400)
+    path = str(tmp_path / "v2")
+    m = write_training_shards(docs, path, n_shards=4)
+    d0 = os.path.join(path, "__shard=0")
+    f0 = [f for f in os.listdir(d0) if f.endswith(".parquet")][0]
+    d1 = os.path.join(path, "__shard=1")
+    f1 = [f for f in os.listdir(d1) if f.endswith(".parquet")][0]
+    # swap shard 1's data under shard 0's file name (sizes differ)
+    os.replace(os.path.join(d1, f1), os.path.join(d0, f0))
+    # restore shard 1's listing with shard 0's original rows gone:
+    # copy shard 0's (now shard-1-content) file back under f1's name
+    import shutil
+
+    shutil.copy(os.path.join(d0, f0), os.path.join(d1, f1))
+    # drop Hadoop LocalFS checksum sidecars so the corruption reaches
+    # OUR validation (a real object store has no .crc files)
+    for d in (d0, d1):
+        for c in os.listdir(d):
+            if c.endswith(".crc"):
+                os.unlink(os.path.join(d, c))
+    with pytest.raises(ValueError, match="rows"):
+        read_training_shards(spark, path)
+    assert m["total_rows"] == 400
+
+
+def test_manifest_stats_describe_written_output_not_lineage(spark, tmp_path):
+    """ADVICE round-8: with a nondeterministic upstream (rand token
+    column), the manifest must match the files on disk — stats are
+    computed from the written output, so read-back validation passes
+    and totals equal what a reader actually sees."""
+    docs = _docs(spark, 500).withColumn(
+        "n_tokens", (F.rand(7) * 100).cast("long")
+    )
+    path = str(tmp_path / "nd")
+    m = write_training_shards(
+        docs, path, n_shards=4, token_col="n_tokens"
+    )
+    back = read_training_shards(spark, path)  # would raise on mismatch
+    assert back.count() == 500
+    disk_tokens = back.agg(F.sum("n_tokens")).first()[0]
+    assert m["total_tokens"] == disk_tokens
+
+
+def test_export_roundtrip_through_file_uri(spark, tmp_path):
+    """The manifest I/O goes through the Hadoop FileSystem resolved
+    from the path's scheme — an explicit file: URI exercises the
+    object-store seam end to end (listing, create+rename commit,
+    manifest read)."""
+    docs = _docs(spark, 120)
+    uri = "file://" + str(tmp_path / "uri")
+    m = write_training_shards(docs, uri, n_shards=3)
+    assert sum(e["rows"] for e in m["shards"]) == 120
+    assert os.path.exists(str(tmp_path / "uri" / "_MANIFEST.json"))
+    back = read_training_shards(spark, uri)
+    assert back.count() == 120

@@ -68,6 +68,22 @@ def main() -> None:
         t0 = time.perf_counter()
         n = with_blocked_domain(docs, bl).filter("blocked_domain is not null").count()
         print(f"list=1,000,000 corpus={n_docs:>9,}  {time.perf_counter()-t0:6.2f}s  blocked={n:,}")
+
+    # the beyond-broadcast escape hatch (broadcast=False): a 20M-entry
+    # merged multi-category list against a 1M-doc corpus, vs the
+    # broadcast path at the same size where it still fits
+    for n_list, mode in ((4_000_000, False), (20_000_000, False)):
+        bl, docs = _blocklist(spark, n_list), _corpus(spark, 1_000_000)
+        t0 = time.perf_counter()
+        n = (
+            with_blocked_domain(docs, bl, broadcast=mode)
+            .filter("blocked_domain is not null")
+            .count()
+        )
+        print(
+            f"list={n_list:>10,} corpus=1,000,000 broadcast={mode}  "
+            f"{time.perf_counter()-t0:6.2f}s  blocked={n:,}"
+        )
     spark.stop()
 
 

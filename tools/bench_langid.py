@@ -49,6 +49,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=5000)
     ap.add_argument("--chars", type=int, default=2000)
+    ap.add_argument(
+        "--para",
+        action="store_true",
+        help="measure classify_language_paragraphs over a docs x "
+        "paragraphs grid instead of the document-level curve",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
@@ -58,6 +64,40 @@ def main() -> None:
     )
     profiles = langid.train_language_profiles(train, top_k=300).cache()
     profiles.count()
+
+    if args.para:
+        from binancedatapipeline_spark.textops.langid import (
+            classify_language_paragraphs,
+        )
+
+        res = {"docs": args.docs, "mode": "paragraphs"}
+        for n_para in (4, 16, 64):
+            rows = [
+                (
+                    i,
+                    "\n\n".join(
+                        (_STOCK[langs[(i + j) % len(langs)]] + " ") * 5
+                        for j in range(n_para)
+                    ),
+                )
+                for i in range(args.docs)
+            ]
+            docs = spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+            docs.count()
+            res[f"para{n_para}_sec"] = round(
+                timed(
+                    lambda: classify_language_paragraphs(docs, profiles)
+                    .agg(
+                        F.sum(F.length("lang_majority")),
+                        F.sum("n_paragraphs_classified"),
+                    )
+                    .first()
+                ),
+                3,
+            )
+            docs.unpersist()
+        print(json.dumps(res))
+        return
 
     res = {"docs": args.docs, "chars": args.chars}
     for factor, tag in ((1, ""), (4, "_4x_chars")):
