@@ -226,29 +226,43 @@ def classify_language(
     the difference between a bounded and an unbounded shuffle at
     100 TB. ``max_chars=None`` reads everything.
 
-    Plan shape (the round-9 replan): the language LIST is collected
-    driver-side up front — the profile relation is a bounded fitted
-    dim (≤ languages × top_k rows), the same bounded-collect
-    discipline as the SQ codebook — which lets the whole score fold
-    into ONE ``groupBy(doc)`` with per-language conditional
-    aggregates and a row-local ``array_min`` argmin. The expensive
-    per-row gram top-k is therefore evaluated exactly ONCE (the
-    round-8 form fed it to two join branches, and Catalyst does not
-    dedupe common subtrees across branches — the corpus was scanned
-    and the top-k computed twice), and the shuffle count drops from
-    three (distance fold + argmin window + size×lang join) to one."""
+    Plan shape (the round-9 replan): the WHOLE profile relation is
+    collected driver-side up front — it is a bounded fitted dim
+    (≤ languages × top_k rows) by construction, the same
+    bounded-collect discipline as the SQ codebook and the DSIR
+    literal-array fit — so its lineage (often a full training
+    aggregation) evaluates exactly once per call, the broadcast side
+    is a local relation, and the language list falls out for free.
+    That lets the whole score fold into ONE ``groupBy(doc)`` with
+    per-language conditional aggregates and a row-local ``array_min``
+    argmin. The expensive per-row gram top-k is therefore evaluated
+    exactly ONCE (the round-8 form fed it to two join branches, and
+    Catalyst does not dedupe common subtrees across branches — the
+    corpus was scanned and the top-k computed twice), and the shuffle
+    count drops from three (distance fold + argmin window + size×lang
+    join) to one. Sizing note: the fold carries 2 aggregate columns
+    per language; past ~50 languages that exceeds
+    ``spark.sql.codegen.maxFields`` (100) and the aggregate falls out
+    of whole-stage codegen — still correct and still one shuffle,
+    just interpreted; language-ID deployments (CCNet ships 40-ish
+    profiles, this package's fits are smaller) sit inside the bound."""
     if miss_penalty is None:
         miss_penalty = top_k
     text = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
-    langs = sorted(
-        r[0] for r in profiles.select("lang").distinct().collect()
-        if r[0] is not None
-    )
+    prof_rows = [
+        (r["lang"], r["gram"], int(r["rank"]))
+        for r in profiles.select("lang", "gram", "rank").collect()
+        if r["lang"] is not None
+    ]
+    langs = sorted({lang for lang, _, _ in prof_rows})
     if not langs:
         return df.withColumn(output_col, F.lit(None).cast("string")) \
                  .withColumn(f"{output_col}_dist", F.lit(None).cast("bigint"))
+    profiles = df.sparkSession.createDataFrame(
+        prof_rows, "lang string, gram string, rank int"
+    )
     # the document profile is computed INSIDE each row (run-length +
     # comparator sort over the bound gram array): zero shuffles until
     # the BOUNDED top_k-per-doc explode below — and the doc's gram

@@ -27,11 +27,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # queries whose results depend on timestamp semantics — fingerprinted
 # across TZ environments
 TS_SENSITIVE = [
-    "scalar_datemath",
+    # scalar_datemath retired from the registry in round 9 (rotation
+    # for doc_langid); its epoch/interval/trunc conversions stay
+    # TZ-fingerprinted through the rows below, and the retired query
+    # itself stays DuckDB-diff-tested in test_retired_queries.py
     "sessionize",
     "events_hourly_rollup",
     "window_lead_gaps",
     "join_theta",
+    "window_range_frame",
 ]
 
 _SCRIPT = """
