@@ -984,7 +984,17 @@ def parse_blocklist_text(
         if dom:
             rows.append((dom,) if category is None else (dom, category))
     schema = "domain string" if category is None else "domain string, category string"
-    return spark.createDataFrame(rows, schema)
+    # size the slice count to the list, don't default to one slice per
+    # core: a bare createDataFrame parallelizes even a 2-row list over
+    # defaultParallelism slices, and every slice is a Python-worker
+    # round trip — three small lists unioned made 96-task dim stages,
+    # and a coalesce(1) over them was WORSE (one task draining all 96
+    # pickled slices sequentially, ~16 s for six rows). ~50k rows per
+    # slice keeps even a 4M-entry UT1 list reasonably parallel.
+    n_slices = max(1, min(len(rows) // 50_000 + 1, 32))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema
+    )
 
 
 def with_blocked_domain(

@@ -15,11 +15,13 @@ distributed and both pure DataFrame ops:
    profile: explode the document's ranked grams, broadcast-join the
    profile table, and fold ``|doc_rank − profile_rank|`` per language
    (``miss_penalty`` for grams absent from a profile) in ONE
-   groupBy(doc) with per-language conditional aggregates — the
-   language list is collected driver-side first (the profile dim is
-   bounded by construction, same discipline as the SQ codebook
-   collect). One corpus scan, one shuffle, no window, no cross join;
-   the argmin is a row-local ``array_min`` over per-language structs.
+   groupBy(doc) with per-language conditional aggregates — the whole
+   profile relation is collected driver-side first and planned as a
+   literal local relation (it is bounded by construction, same
+   discipline as the SQ codebook collect), so its lineage evaluates
+   exactly once. One corpus scan, one shuffle, no window, no cross
+   join; the argmin is a row-local ``array_min`` over per-language
+   structs.
 
 Scale shape at 100 TB: the corpus is touched once per half; nothing
 ever materializes per-language corpora; the only joined relation is
