@@ -110,12 +110,28 @@ def connected_components(
     Raises ``RuntimeError`` if the edge set has not reached a fixpoint
     after ``max_iterations`` alternating rounds (log₂-ish convergence
     means real graphs finish in < 10)."""
+    from binancedatapipeline_spark.operators.pagerank import (
+        _persistent_rdd_ids,
+        _unpersist_rdd_ids,
+    )
+
+    spark = edges.sparkSession
     e = _canonical(edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
+    before = _persistent_rdd_ids(spark)
     e = e.localCheckpoint(eager=True)
+    prev_ids = _persistent_rdd_ids(spark) - before
     prev = _signature(e)
     converged = False
     for _ in range(max_iterations):
+        # free the superseded round's checkpoint blocks once the new
+        # round is materialized (same O(2 x edges) loop-storage
+        # discipline as pagerank — without it a k-round run holds k
+        # edge-sized block sets)
+        before = _persistent_rdd_ids(spark)
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_ids = _persistent_rdd_ids(spark) - before
+        _unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = new_ids
         sig = _signature(e)
         if sig == prev:
             converged = True

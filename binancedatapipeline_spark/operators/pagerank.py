@@ -31,6 +31,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of the context's currently-persisted RDDs (the registry
+    that backs `localCheckpoint` blocks). Used to find — and later
+    free — the blocks a superseded iteration left behind; the public
+    DataFrame API exposes no handle to a checkpoint's storage."""
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for k in list(jmap.keySet().toArray()):
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 20,
@@ -68,17 +86,26 @@ def pagerank(
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
         raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
+    spark = edges.sparkSession
+
+    def tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
+        # eager checkpoint + the persistent-RDD ids it added, so the
+        # blocks can be freed once nothing returned depends on them
+        before = _persistent_rdd_ids(spark)
+        out = df.localCheckpoint(eager=True)
+        return out, _persistent_rdd_ids(spark) - before
+
+    invariant_ids: set[int] = set()
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    nodes = (
+    nodes, nodes_ids = tracked(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -86,44 +113,58 @@ def pagerank(
 
     # the teleport distribution: uniform over all nodes, or uniform
     # over the seed set (personalized). `__t` sums to 1 either way.
+    invariant_ids |= nodes_ids
     if seeds is not None:
         if not isinstance(seeds, DataFrame):
-            spark = edges.sparkSession
             seeds = spark.createDataFrame(
                 [(s,) for s in seeds], nodes.select("node").schema
             )
-        seed_nodes = (
+        seed_nodes, sn_ids = tracked(
             nodes.join(
                 seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
                 "node",
                 "left_semi",
-            ).localCheckpoint(eager=True)
+            )
         )
+        invariant_ids |= sn_ids
         n_seeds = seed_nodes.count()
         if n_seeds == 0:
+            _unpersist_rdd_ids(spark, invariant_ids)
             raise ValueError("pagerank: no seed appears in the graph")
         tvec = nodes.join(
             seed_nodes.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
         ).select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
     else:
         tvec = nodes.withColumn("__t", F.lit(1.0 / n_nodes))
-    tvec = tvec.localCheckpoint(eager=True)
+    tvec, tvec_ids = tracked(tvec)
+    invariant_ids |= tvec_ids
 
     # out-degree-normalized edge weights, fixed across iterations
     out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    w = (
+    w, w_ids = tracked(
         e.join(out, "src")
         .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
-        .localCheckpoint(eager=True)
     )
+    invariant_ids |= w_ids
     # the dangling node SET (no outlinks) is invariant across
     # iterations: precompute + checkpoint it once, so the per-round
     # dangling-mass term is node-sized work (semi-join + sum) and no
     # edge lineage is ever evaluated inside the loop
-    dangling_nodes = nodes.join(
-        w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
-    ).localCheckpoint(eager=True)
+    dangling_nodes, dn_ids = tracked(
+        nodes.join(
+            w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+        )
+    )
+    invariant_ids |= dn_ids
     ranks = tvec.select("node", F.col("__t").alias("rank"))
+    # each round's localCheckpoint persists a node-sized block set;
+    # without cleanup a 20-iteration run holds 20 of them
+    # (O(iterations x nodes) memory/disk — measured as creeping GC
+    # pressure across long runs). Track the ids each checkpoint adds
+    # and free the SUPERSEDED round's blocks once the new ranks are
+    # materialized and the delta (which reads the old ranks) is done —
+    # loop storage stays O(2 x nodes) at any iteration count.
+    prev_ids: set[int] = set()
     for _ in range(iterations):
         contribs = (
             w.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -139,6 +180,7 @@ def pagerank(
             .first()[0]
             or 0.0
         )
+        before = _persistent_rdd_ids(spark)
         nxt = (
             tvec.join(contribs, "node", "left")
             .select(
@@ -150,6 +192,8 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        nxt_ids = _persistent_rdd_ids(spark) - before
+        stop = False
         if tol is not None:
             delta = (
                 nxt.join(
@@ -158,9 +202,16 @@ def pagerank(
                 .agg(F.max(F.abs(F.col("rank") - F.coalesce("__prev", F.lit(0.0)))))
                 .first()[0]
             )
-            ranks = nxt
-            if delta is not None and delta < tol:
-                break
-        else:
-            ranks = nxt
+            stop = delta is not None and delta < tol
+        _unpersist_rdd_ids(spark, prev_ids)
+        prev_ids = nxt_ids
+        ranks = nxt
+        if stop:
+            break
+    # the returned ranks are an eagerly-materialized checkpoint with
+    # truncated lineage — nothing the caller can do re-reads the loop
+    # invariants, so their edge/node-sized blocks are freed here (a
+    # caller ranking many graphs in one session would otherwise
+    # accumulate every graph's weight relation)
+    _unpersist_rdd_ids(spark, invariant_ids)
     return ranks

@@ -134,3 +134,31 @@ def test_tolerance_early_stop_converges(spark):
     for v in exact:
         assert early[v] == pytest.approx(exact[v], abs=1e-5), v
     assert sum(early.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_loop_storage_stays_bounded_across_iterations(spark):
+    """Round 9: each iteration's localCheckpoint must FREE the
+    superseded round's blocks — a 12-iteration run may add only the
+    loop invariants (weights, teleport, nodes, dangling set) plus the
+    final ranks to the persistent-RDD registry, not one block set per
+    iteration (O(iterations x nodes) storage was measurable GC
+    pressure on long runs)."""
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.operators.pagerank import (
+        _persistent_rdd_ids,
+        pagerank,
+    )
+
+    edges = spark.range(3000).select(
+        F.pmod(F.xxhash64("id"), 300).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), 300).alias("dst"),
+    )
+    before = _persistent_rdd_ids(spark)
+    ranks = pagerank(edges, iterations=12)
+    added = _persistent_rdd_ids(spark) - before
+    # invariants: nodes, tvec, w, dangling_nodes (+ final ranks);
+    # anything near 12 means per-iteration blocks leaked again
+    assert len(added) <= 6, f"{len(added)} persistent RDD sets leaked"
+    # the returned ranks are still readable after the cleanup
+    assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
