@@ -1038,8 +1038,12 @@ def with_blocked_domain(
     each host's ≤ |label shapes| candidate suffixes, shuffle-join the
     per-domain aggregated list, keep the longest hit per host
     (``max_by`` on label count — no window), then one host-keyed
-    shuffle join back onto the corpus. Both paths return identical
-    results (randomized differential in tests/test_corpus_io.py).
+    shuffle join back onto the corpus. Cost shape vs the default: the
+    corpus is read twice (the host-distinct lineage prunes to the one
+    host/url column; the final join reads the full rows) and shuffles
+    once on host — the price of never building the list broadcast.
+    Both paths return identical results (randomized differential in
+    tests/test_corpus_io.py).
 
     ``host_col`` skips URL parsing when the host was already extracted
     (e.g. by :func:`with_url_parts`); hosts compare lowercased; rows

@@ -113,6 +113,7 @@ def write_training_shards(
     file_format: str = "parquet",
     compression: str | None = None,
     hash_method: str = "xxhash64",
+    manifest_writer=None,
 ) -> dict:
     """Write ``df`` as ``path/shard=K/*.parquet`` plus an atomic
     ``_MANIFEST.json``; returns the manifest dict.
@@ -143,7 +144,15 @@ def write_training_shards(
     of (id, seed); md5 exists so ANY SQL engine can reproduce shard
     assignment and within-shard order bit-identically (the DuckDB
     differential in tests/test_export.py) at ~equal cost — placement
-    hashing is never the export's bottleneck."""
+    hashing is never the export's bottleneck.
+
+    ``manifest_writer``: optional ``callable(path, manifest_dict)``
+    that replaces the default create-temp-then-rename commit — the
+    injection point for a store's own conditional-put primitive
+    (S3 If-None-Match, GCS generation preconditions) when
+    rename-as-commit is not strong enough for the deployment. The
+    default stays correct on POSIX/HDFS and on object stores whose
+    Hadoop committers emulate rename."""
     modes = [n_shards is not None, rows_per_shard is not None,
              tokens_per_shard is not None]
     if sum(modes) != 1:
@@ -273,7 +282,10 @@ def write_training_shards(
         # totals also describe the WRITTEN export (same rationale as
         # written_rows), not the pre-write sizing pass
         manifest["total_tokens"] = sum(e["tokens"] for e in shards)
-    _write_manifest(spark, path, manifest)
+    if manifest_writer is not None:
+        manifest_writer(path, manifest)
+    else:
+        _write_manifest(spark, path, manifest)
     return manifest
 
 

@@ -231,3 +231,25 @@ def test_export_roundtrip_through_file_uri(spark, tmp_path):
     assert os.path.exists(str(tmp_path / "uri" / "_MANIFEST.json"))
     back = read_training_shards(spark, uri)
     assert back.count() == 120
+
+
+def test_manifest_writer_injection_point(spark, tmp_path):
+    """manifest_writer replaces the rename commit — the seam for a
+    store's own conditional-put. The callback receives the final
+    manifest dict; writing it through the callback must produce an
+    export read_training_shards accepts."""
+    import json as _json
+
+    docs = _docs(spark, 90)
+    path = str(tmp_path / "cp")
+    calls = []
+
+    def put(p, manifest):
+        calls.append(p)
+        with open(os.path.join(p, "_MANIFEST.json"), "w") as f:
+            _json.dump(manifest, f)
+
+    m = write_training_shards(docs, path, n_shards=2, manifest_writer=put)
+    assert calls == [path]
+    assert read_training_shards(spark, path).count() == 90
+    assert m["total_rows"] == 90
