@@ -246,7 +246,16 @@ def write_training_shards(
     # one bounded aggregate over what was just written and makes the
     # manifest describe the export, by construction.
     spark = df.sparkSession
-    written = spark.read.format(file_format).load(path)
+    # pin the declared schema instead of inferring: JSON shards OMIT
+    # null keys, so an all-null token column would vanish from an
+    # inferred schema and crash the stats aggregate (types also stay
+    # exactly the writer's). `__shard` resolves from the directory
+    # names as the partition column.
+    written = (
+        spark.read.format(file_format)
+        .schema(out.drop("__ord").schema)
+        .load(path)
+    )
     stat_aggs = [F.count(F.lit(1)).alias("rows")]
     if token_col is not None:
         stat_aggs.append(F.sum(token_col).alias("tokens"))

@@ -253,3 +253,16 @@ def test_manifest_writer_injection_point(spark, tmp_path):
     assert calls == [path]
     assert read_training_shards(spark, path).count() == 90
     assert m["total_rows"] == 90
+
+
+def test_jsonl_all_null_tokens_manifest(spark, tmp_path):
+    """JSON shards omit null keys entirely — the written-stats read
+    must use the declared schema (an inferred one would lack the
+    all-null token column and crash the stats aggregate)."""
+    docs = _docs(spark, 80).withColumn("n_tokens", F.lit(None).cast("long"))
+    m = write_training_shards(
+        docs, str(tmp_path / "jn"), tokens_per_shard=1000,
+        token_col="n_tokens", file_format="json",
+    )
+    assert m["total_tokens"] == 0 and m["total_rows"] == 80
+    assert read_training_shards(spark, str(tmp_path / "jn")).count() == 80
