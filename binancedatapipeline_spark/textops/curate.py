@@ -1,7 +1,8 @@
 """End-to-end corpus curation: the training-data prep chain as ONE
 composed lazy plan.
 
-raw docs → PII redaction → C4 line cleaning → Gopher shape filter →
+raw docs → [domain blocklist] → [trained language gate] →
+PII redaction → C4 line cleaning → Gopher shape filter →
 exact dedup (keep canonical copy) → benchmark decontamination →
 stable split assignment.
 
@@ -44,6 +45,42 @@ from binancedatapipeline_spark.textops.decontam import contamination_hits
 from binancedatapipeline_spark.textops.sampling import stable_split
 
 
+def _with_lang_verdict(
+    docs: DataFrame,
+    profiles: DataFrame,
+    allow,
+    min_fraction,
+    kwargs,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Paragraph-level classification + the ``is_lang_rejected``
+    verdict (see curation_flags). Rejection fires only on explicit
+    criteria; with none given the columns are annotation-only."""
+    from binancedatapipeline_spark.textops.langid import (
+        classify_language_paragraphs,
+    )
+
+    docs = classify_language_paragraphs(
+        docs, profiles, id_col=id_col, text_col=text_col, **(kwargs or {})
+    )
+    rejected = F.lit(False)
+    if allow is not None:
+        # NULL majority (nothing classified) is a reject under an
+        # allow-list — no-language pages are CCNet drops
+        rejected = (
+            rejected
+            | ~F.col("lang_majority").isin(*sorted(allow))
+            | F.col("lang_majority").isNull()
+        )
+    if min_fraction is not None:
+        rejected = rejected | (
+            F.coalesce(F.col("lang_fraction"), F.lit(0.0))
+            < F.lit(float(min_fraction))
+        )
+    return docs.withColumn("is_lang_rejected", rejected)
+
+
 def curation_flags(
     docs: DataFrame,
     bench: DataFrame | None = None,
@@ -58,6 +95,10 @@ def curation_flags(
     blocklist: DataFrame | None = None,
     url_col: str = "url",
     blocklist_kwargs: dict | None = None,
+    lang_profiles: DataFrame | None = None,
+    lang_allow: set[str] | list[str] | None = None,
+    lang_min_fraction: float | None = None,
+    lang_kwargs: dict | None = None,
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
@@ -82,13 +123,32 @@ def curation_flags(
     through every later stage — the histogram should show what each
     gate would discard independently; :func:`curate` applies the
     blocklist BEFORE the cleaning kernels instead, so blocked rows
-    never pay them."""
+    never pay them.
+
+    ``lang_profiles`` (a fitted ``(lang, gram, rank)`` dim from
+    :func:`textops.langid.train_language_profiles`) adds the CCNet
+    language gate — paragraph-level classification on the RAW text
+    (CCNet classifies before any cleaning): ``lang_majority``,
+    ``lang_fraction``, ``n_paragraphs_classified`` and the verdict
+    ``is_lang_rejected``. Rejection fires only on explicit criteria:
+    ``lang_allow`` (majority must be in the set; unclassifiable
+    documents reject too — no-language pages are CCNet drops) and/or
+    ``lang_min_fraction`` (the mixed-language purity gate). With
+    profiles but neither criterion the columns are annotation-only
+    (``is_lang_rejected`` false everywhere). ``lang_kwargs`` passes
+    through to :func:`classify_language_paragraphs` (``min_chars``,
+    ``max_paragraphs``, ``max_chars``, ``top_k``...)."""
     if blocklist is not None:
         docs = with_blocked_domain(
             docs, blocklist, url_col=url_col, **(blocklist_kwargs or {})
         )
         docs = docs.withColumn(
             "is_blocked", F.col("blocked_domain").isNotNull()
+        )
+    if lang_profiles is not None:
+        docs = _with_lang_verdict(
+            docs, lang_profiles, lang_allow, lang_min_fraction,
+            lang_kwargs, id_col, text_col,
         )
     out = redact_pii(docs, text_col=text_col, out_col="__pii_clean")
     out = clean_lines(out, text_col="__pii_clean", min_words=min_line_words)
@@ -163,22 +223,38 @@ def curate(
     blocklist: DataFrame | None = None,
     url_col: str = "url",
     blocklist_kwargs: dict | None = None,
+    lang_profiles: DataFrame | None = None,
+    lang_allow: set[str] | list[str] | None = None,
+    lang_min_fraction: float | None = None,
+    lang_kwargs: dict | None = None,
     **kwargs,
 ) -> DataFrame:
     """The curated corpus: cleaned text, Gopher-passing, one copy per
     digest, benchmark-clean, split-assigned. Returns the original
     columns with ``text_col`` replaced by the cleaned text, plus
-    ``split``.
+    ``split`` (and the language columns when the language gate runs).
 
     ``blocklist`` drops listed-domain rows BEFORE the cleaning
     kernels (RefinedWeb's stage order — the URL filter is the cheap
     gate, so blocked rows never pay regex cleaning, dedup hashing or
-    the decontamination probe). For the per-stage audit of what the
-    list alone would discard, use :func:`curation_flags` with the
-    same blocklist."""
+    the decontamination probe). ``lang_profiles`` + ``lang_allow`` /
+    ``lang_min_fraction`` run the CCNet language gate next, on the
+    RAW text, so rejected-language rows skip the cleaning kernels too
+    (the gate's own cost is the bounded paragraph classification).
+    For the per-stage audit of what each gate alone would discard,
+    use :func:`curation_flags` with the same arguments."""
     if blocklist is not None:
         docs = blocklist_filter(
             docs, blocklist, url_col=url_col, **(blocklist_kwargs or {})
+        )
+    if lang_profiles is not None:
+        docs = (
+            _with_lang_verdict(
+                docs, lang_profiles, lang_allow, lang_min_fraction,
+                lang_kwargs, id_col, text_col,
+            )
+            .filter(~F.col("is_lang_rejected"))
+            .drop("is_lang_rejected")
         )
     flagged = curation_flags(docs, bench, id_col=id_col, text_col=text_col, **kwargs)
     kept = flagged.filter(
@@ -209,6 +285,11 @@ def curation_report(flags: DataFrame) -> DataFrame:
         if "is_blocked" in flags.columns
         else []
     )
+    lang = (
+        [F.sum(F.col("is_lang_rejected").cast("long")).alias("lang_rejected")]
+        if "is_lang_rejected" in flags.columns
+        else []
+    )
     keep = (
         F.col("keep_shape")
         & ~F.col("is_exact_dup")
@@ -216,9 +297,12 @@ def curation_report(flags: DataFrame) -> DataFrame:
     )
     if "is_blocked" in flags.columns:
         keep = keep & ~F.col("is_blocked")
+    if "is_lang_rejected" in flags.columns:
+        keep = keep & ~F.col("is_lang_rejected")
     return flags.agg(
         F.count(F.lit(1)).alias("n_docs"),
         *blocked,
+        *lang,
         F.sum(F.col("n_pii")).alias("pii_spans"),
         F.sum((F.col("n_lines") - F.col("n_lines_kept")).cast("long")).alias(
             "boilerplate_lines_dropped"

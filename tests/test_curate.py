@@ -138,3 +138,100 @@ def test_blocklist_kwargs_carry_category_into_audit(spark):
         blocklist_kwargs={"category_col": "category"},
     )
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
+def _lang_corpus(spark):
+    en = (
+        "this long paragraph talks about the weather and the seasons "
+        "of the year in the most ordinary english words available today"
+    )
+    en2 = (
+        "another passage describes how people walked to the house in "
+        "the morning while the quick brown fox jumped over a lazy dog"
+    )
+    es = (
+        "este parrafo largo habla sobre el tiempo y las estaciones "
+        "del ano con las palabras espanolas mas comunes posibles hoy"
+    )
+    es2 = (
+        "ella dijo que vendrian a la casa por la manana temprano con "
+        "el perro perezoso y el zorro marron que salta sobre la mesa"
+    )
+    en3 = (
+        "the committee agreed that the river near the village would "
+        "flood again during the spring unless the old stone bridge and "
+        "the earthen banks were repaired before the heavy rains arrived"
+    )
+    rows = [
+        (1, f"{en}\n\n{en2}\n\n{en3}"),        # pure en, shape-passing
+        (2, f"{es}\n\n{es2}"),                 # pure es
+        (3, f"{en}\n\n{en2}\n\n{es}"),         # mixed, 2/3 en
+        (4, "hi"),                              # unclassifiable
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _lang_profiles(spark):
+    from binancedatapipeline_spark.textops.langid import train_language_profiles
+
+    train = spark.createDataFrame(
+        [
+            ("en", "the quick brown fox jumps over the lazy dog and the "
+                   "weather of the year was ordinary in the morning house"),
+            ("es", "el rapido zorro marron salta sobre el perro perezoso y "
+                   "el tiempo del ano era comun por la manana en la casa"),
+        ],
+        ["lang", "text"],
+    )
+    return train_language_profiles(train, top_k=300)
+
+
+def test_language_gate_audit_and_filter(spark):
+    """The CCNet language gate (round 9): audit mode annotates
+    majority/purity and the verdict without dropping; filter mode
+    drops rejected-language rows before the cleaning kernels; the
+    report counts the gate and excludes rejections from survivors."""
+    docs = _lang_corpus(spark)
+    profiles = _lang_profiles(spark)
+
+    flags = curation_flags(
+        docs, materialize=False, lang_profiles=profiles,
+        lang_allow={"en"}, lang_min_fraction=0.9,
+        lang_kwargs={"min_chars": 40},
+    )
+    got = {
+        r["doc_id"]: (r["lang_majority"], r["is_lang_rejected"])
+        for r in flags.collect()
+    }
+    assert got[1] == ("en", False)
+    assert got[2] == ("es", True)          # not in the allow set
+    assert got[3][0] == "en" and got[3][1]  # majority ok, purity 2/3 < 0.9
+    assert got[4] == (None, True)           # unclassifiable rejects
+
+    rep = curation_report(flags).first()
+    assert rep["lang_rejected"] == 3
+    assert rep["survivors"] == 1
+
+    kept = curate(
+        docs, materialize=False, lang_profiles=profiles,
+        lang_allow={"en"}, lang_min_fraction=0.9,
+        lang_kwargs={"min_chars": 40},
+    )
+    rows = kept.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    # the language columns survive as output annotation
+    assert rows[0]["lang_majority"] == "en"
+    assert rows[0]["lang_fraction"] == 1.0
+    assert "is_lang_rejected" not in kept.columns
+
+
+def test_language_gate_annotation_only_without_criteria(spark):
+    """Profiles without allow/min_fraction: columns appear, nothing
+    is rejected, survivors unaffected."""
+    docs = _lang_corpus(spark)
+    flags = curation_flags(
+        docs, materialize=False, lang_profiles=_lang_profiles(spark),
+        lang_kwargs={"min_chars": 40},
+    )
+    assert flags.filter(F.col("is_lang_rejected")).count() == 0
+    assert {r["doc_id"]: r["lang_majority"] for r in flags.collect()}[2] == "es"
