@@ -92,3 +92,56 @@ def test_stream_curate_upsert_end_to_end(spark, tmp_path):
     out2 = {r["doc_id"]: r for r in wh.read(DOCS_SPEC).collect()}
     assert set(out2) == {1, 3, 4}
     assert out2[3]["text"] == out[3]["text"]
+
+
+def test_stream_curate_language_gate_composes(spark, tmp_path):
+    """The round-9 trained language gate rides curate_kwargs into the
+    streaming sink unchanged: off-list-language documents never reach
+    the warehouse, and the gate's extra columns are dropped by the
+    spec alignment on upsert."""
+    from binancedatapipeline_spark.textops.langid import train_language_profiles
+
+    base = datetime(2024, 6, 1)
+    en = GOOD + " the weather of the year was ordinary in the morning house"
+    es = (
+        "el rapido zorro marron salta sobre el perro perezoso junto al rio "
+        "y el tiempo del ano era comun por la manana en la casa grande "
+        "mientras ella dijo que vendrian temprano con las palabras comunes"
+    )
+    stage = str(tmp_path / "docs_in")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    spark.createDataFrame(
+        [(1, en, base), (2, es, base), (3, en + " again today", base)], schema
+    ).coalesce(1).write.mode("append").parquet(stage)
+
+    profiles = train_language_profiles(
+        spark.createDataFrame(
+            [("en", "the quick brown fox jumps over the lazy dog near the "
+                    "river bank and the weather of the year was ordinary"),
+             ("es", "el rapido zorro marron salta sobre el perro perezoso "
+                    "junto al rio y el tiempo del ano era comun en la casa")],
+            ["lang", "text"],
+        ),
+        top_k=300,
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .parquet(stage)
+    )
+    q = stream_curate_upsert(
+        stream,
+        wh,
+        DOCS_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        curate_kwargs={
+            "min_line_words": 1,
+            "gopher_overrides": {"min_words": 10},
+            "lang_profiles": profiles,
+            "lang_allow": {"en"},
+            "lang_kwargs": {"min_chars": 20},
+        },
+    )
+    q.awaitTermination(180)
+    out = {r["doc_id"] for r in wh.read(DOCS_SPEC).collect()}
+    assert out == {1, 3}
