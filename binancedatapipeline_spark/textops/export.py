@@ -243,8 +243,10 @@ def write_training_shards(
     # (rand, limit, unstable sampling) would make a recomputed stats
     # job disagree with the files on disk, and read_training_shards
     # would then reject a perfectly valid export. Reading back costs
-    # one bounded aggregate over what was just written and makes the
-    # manifest describe the export, by construction.
+    # one aggregate over what was just written — column-pruned to the
+    # token column for parquet shards (cheap), a full decompress+parse
+    # pass for JSON shards (the price of a manifest that describes the
+    # export by construction).
     spark = df.sparkSession
     # pin the declared schema instead of inferring: JSON shards OMIT
     # null keys, so an all-null token column would vanish from an
