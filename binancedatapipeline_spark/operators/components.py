@@ -110,37 +110,47 @@ def connected_components(
     Raises ``RuntimeError`` if the edge set has not reached a fixpoint
     after ``max_iterations`` alternating rounds (log₂-ish convergence
     means real graphs finish in < 10)."""
-    from binancedatapipeline_spark.operators.pagerank import (
-        _persistent_rdd_ids,
-        _unpersist_rdd_ids,
+    from binancedatapipeline_spark.operators._checkpoint import (
+        local_checkpoint,
+        unpersist_ids,
     )
 
     spark = edges.sparkSession
-    e = _canonical(edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")))
-    before = _persistent_rdd_ids(spark)
-    e = e.localCheckpoint(eager=True)
-    prev_ids = _persistent_rdd_ids(spark) - before
-    prev = _signature(e)
-    converged = False
-    for _ in range(max_iterations):
-        # free the superseded round's checkpoint blocks once the new
-        # round is materialized (same O(2 x edges) loop-storage
-        # discipline as pagerank — without it a k-round run holds k
-        # edge-sized block sets)
-        before = _persistent_rdd_ids(spark)
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        new_ids = _persistent_rdd_ids(spark) - before
-        _unpersist_rdd_ids(spark, prev_ids)
-        prev_ids = new_ids
-        sig = _signature(e)
-        if sig == prev:
-            converged = True
-            break
-        prev = sig
-    if not converged:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} rounds"
+    # ids are taken from each checkpointed DataFrame's own plan (see
+    # _checkpoint.py) so a concurrent job's blocks can never be freed
+    # by this loop, and the except path releases ours on any failure
+    # (including the non-convergence RuntimeError)
+    live_ids: set[int] = set()
+    try:
+        e = _canonical(
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         )
+        e, prev_ids = local_checkpoint(e)
+        live_ids |= prev_ids
+        prev = _signature(e)
+        converged = False
+        for _ in range(max_iterations):
+            # free the superseded round's checkpoint blocks once the new
+            # round is materialized (same O(2 x edges) loop-storage
+            # discipline as pagerank — without it a k-round run holds k
+            # edge-sized block sets)
+            e, new_ids = local_checkpoint(_small_star(_large_star(e)))
+            live_ids |= new_ids
+            unpersist_ids(spark, prev_ids)
+            live_ids -= prev_ids
+            prev_ids = new_ids
+            sig = _signature(e)
+            if sig == prev:
+                converged = True
+                break
+            prev = sig
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} rounds"
+            )
+    except BaseException:
+        unpersist_ids(spark, live_ids)
+        raise
     # fixpoint edges are star edges (node → component min); roots and
     # isolated nodes label themselves
     labels = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))

@@ -30,23 +30,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _persistent_rdd_ids(spark) -> set[int]:
-    """Ids of the context's currently-persisted RDDs (the registry
-    that backs `localCheckpoint` blocks). Used to find — and later
-    free — the blocks a superseded iteration left behind; the public
-    DataFrame API exposes no handle to a checkpoint's storage."""
-    return {
-        int(k)
-        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    }
-
-
-def _unpersist_rdd_ids(spark, ids: set[int]) -> None:
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for k in list(jmap.keySet().toArray()):
-        if int(k) in ids:
-            jmap.get(k).unpersist(False)
+from binancedatapipeline_spark.operators._checkpoint import (
+    local_checkpoint as _local_checkpoint,
+    persistent_rdd_ids as _persistent_rdd_ids,  # tests' storage-bound pin
+    unpersist_ids as _unpersist_rdd_ids,
+)
 
 
 def pagerank(
@@ -88,130 +76,137 @@ def pagerank(
         raise ValueError(f"pagerank: damping must be in (0, 1), got {damping}")
     spark = edges.sparkSession
 
+    # every block set THIS call created and has not yet freed; ids come
+    # from the checkpointed DataFrames' own plans (never a registry
+    # diff), so concurrent jobs' blocks can never land here — and the
+    # except path below frees exactly ours on any failure
+    live_ids: set[int] = set()
+
     def tracked(df: DataFrame) -> tuple[DataFrame, set[int]]:
-        # eager checkpoint + the persistent-RDD ids it added, so the
-        # blocks can be freed once nothing returned depends on them
-        before = _persistent_rdd_ids(spark)
-        out = df.localCheckpoint(eager=True)
-        return out, _persistent_rdd_ids(spark) - before
+        out, ids = _local_checkpoint(df)
+        live_ids.update(ids)
+        return out, ids
 
-    invariant_ids: set[int] = set()
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    nodes, nodes_ids = tracked(
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n_nodes = nodes.count()
-    if n_nodes == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+    def free(ids: set[int]) -> None:
+        _unpersist_rdd_ids(spark, ids)
+        live_ids.difference_update(ids)
 
-    # the teleport distribution: uniform over all nodes, or uniform
-    # over the seed set (personalized). `__t` sums to 1 either way.
-    invariant_ids |= nodes_ids
-    if seeds is not None:
-        if not isinstance(seeds, DataFrame):
-            seeds = spark.createDataFrame(
-                [(s,) for s in seeds], nodes.select("node").schema
-            )
-        seed_nodes, sn_ids = tracked(
-            nodes.join(
-                seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
-                "node",
-                "left_semi",
-            )
+    try:
+        e = (
+            edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
         )
-        invariant_ids |= sn_ids
-        n_seeds = seed_nodes.count()
-        if n_seeds == 0:
-            _unpersist_rdd_ids(spark, invariant_ids)
-            raise ValueError("pagerank: no seed appears in the graph")
-        tvec = nodes.join(
-            seed_nodes.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
-        ).select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
-    else:
-        tvec = nodes.withColumn("__t", F.lit(1.0 / n_nodes))
-    tvec, tvec_ids = tracked(tvec)
-    invariant_ids |= tvec_ids
+        nodes, nodes_ids = tracked(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        n_nodes = nodes.count()
+        if n_nodes == 0:
+            # rebuild the empty result off-checkpoint so the nodes
+            # blocks can be freed before returning
+            schema = nodes.withColumn("rank", F.lit(0.0)).schema
+            free(nodes_ids)
+            return spark.createDataFrame([], schema)
 
-    # out-degree-normalized edge weights, fixed across iterations
-    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    w, w_ids = tracked(
-        e.join(out, "src")
-        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
-    )
-    invariant_ids |= w_ids
-    # the dangling node SET (no outlinks) is invariant across
-    # iterations: precompute + checkpoint it once, so the per-round
-    # dangling-mass term is node-sized work (semi-join + sum) and no
-    # edge lineage is ever evaluated inside the loop
-    dangling_nodes, dn_ids = tracked(
-        nodes.join(
-            w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
-        )
-    )
-    invariant_ids |= dn_ids
-    ranks = tvec.select("node", F.col("__t").alias("rank"))
-    # each round's localCheckpoint persists a node-sized block set;
-    # without cleanup a 20-iteration run holds 20 of them
-    # (O(iterations x nodes) memory/disk — measured as creeping GC
-    # pressure across long runs). Track the ids each checkpoint adds
-    # and free the SUPERSEDED round's blocks once the new ranks are
-    # materialized and the delta (which reads the old ranks) is done —
-    # loop storage stays O(2 x nodes) at any iteration count.
-    prev_ids: set[int] = set()
-    for _ in range(iterations):
-        contribs = (
-            w.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
-        )
-        # dangling mass: rank held by nodes with no outlinks — spread
-        # along the teleport vector (one scalar per round, a bounded
-        # driver value)
-        dangling = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
-        )
-        before = _persistent_rdd_ids(spark)
-        nxt = (
-            tvec.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.col("__t") * F.lit((1.0 - damping) + damping * dangling)
-                    + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        nxt_ids = _persistent_rdd_ids(spark) - before
-        stop = False
-        if tol is not None:
-            delta = (
-                nxt.join(
-                    ranks.withColumnRenamed("rank", "__prev"), "node", "left"
+        # the teleport distribution: uniform over all nodes, or uniform
+        # over the seed set (personalized). `__t` sums to 1 either way.
+        if seeds is not None:
+            if not isinstance(seeds, DataFrame):
+                seeds = spark.createDataFrame(
+                    [(s,) for s in seeds], nodes.select("node").schema
                 )
-                .agg(F.max(F.abs(F.col("rank") - F.coalesce("__prev", F.lit(0.0)))))
-                .first()[0]
+            seed_nodes, _ = tracked(
+                nodes.join(
+                    seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+                    "node",
+                    "left_semi",
+                )
             )
-            stop = delta is not None and delta < tol
-        _unpersist_rdd_ids(spark, prev_ids)
-        prev_ids = nxt_ids
-        ranks = nxt
-        if stop:
-            break
+            n_seeds = seed_nodes.count()
+            if n_seeds == 0:
+                raise ValueError("pagerank: no seed appears in the graph")
+            tvec = nodes.join(
+                seed_nodes.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
+            ).select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
+        else:
+            tvec = nodes.withColumn("__t", F.lit(1.0 / n_nodes))
+        tvec, _ = tracked(tvec)
+
+        # out-degree-normalized edge weights, fixed across iterations
+        out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        w, _ = tracked(
+            e.join(out, "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
+        )
+        # the dangling node SET (no outlinks) is invariant across
+        # iterations: precompute + checkpoint it once, so the per-round
+        # dangling-mass term is node-sized work (semi-join + sum) and no
+        # edge lineage is ever evaluated inside the loop
+        dangling_nodes, _ = tracked(
+            nodes.join(
+                w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+            )
+        )
+        ranks = tvec.select("node", F.col("__t").alias("rank"))
+        # each round's localCheckpoint persists a node-sized block set;
+        # without cleanup a 20-iteration run holds 20 of them
+        # (O(iterations x nodes) memory/disk — measured as creeping GC
+        # pressure across long runs). Free the SUPERSEDED round's blocks
+        # once the new ranks are materialized and the delta (which reads
+        # the old ranks) is done — loop storage stays O(2 x nodes) at
+        # any iteration count.
+        prev_ids: set[int] = set()
+        for _ in range(iterations):
+            contribs = (
+                w.join(ranks.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
+            )
+            # dangling mass: rank held by nodes with no outlinks —
+            # spread along the teleport vector (one scalar per round,
+            # a bounded driver value)
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
+            nxt, nxt_ids = tracked(
+                tvec.join(contribs, "node", "left").select(
+                    "node",
+                    (
+                        F.col("__t") * F.lit((1.0 - damping) + damping * dangling)
+                        + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+            stop = False
+            if tol is not None:
+                delta = (
+                    nxt.join(
+                        ranks.withColumnRenamed("rank", "__prev"), "node", "left"
+                    )
+                    .agg(F.max(F.abs(F.col("rank") - F.coalesce("__prev", F.lit(0.0)))))
+                    .first()[0]
+                )
+                stop = delta is not None and delta < tol
+            free(prev_ids)
+            prev_ids = nxt_ids
+            ranks = nxt
+            if stop:
+                break
+    except BaseException:
+        # exception-safe: any exit path (the no-seed ValueError, a
+        # mid-loop job failure) frees every block this call persisted
+        _unpersist_rdd_ids(spark, live_ids)
+        raise
     # the returned ranks are an eagerly-materialized checkpoint with
     # truncated lineage — nothing the caller can do re-reads the loop
-    # invariants, so their edge/node-sized blocks are freed here (a
-    # caller ranking many graphs in one session would otherwise
-    # accumulate every graph's weight relation)
-    _unpersist_rdd_ids(spark, invariant_ids)
+    # invariants, so everything except the final ranks' own blocks is
+    # freed here (a caller ranking many graphs in one session would
+    # otherwise accumulate every graph's weight relation)
+    free(live_ids - prev_ids)
     return ranks

@@ -162,3 +162,110 @@ def test_loop_storage_stays_bounded_across_iterations(spark):
     assert len(added) <= 6, f"{len(added)} persistent RDD sets leaked"
     # the returned ranks are still readable after the cleanup
     assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+
+
+def test_concurrent_checkpoints_survive_pagerank(spark):
+    """Round 10: loop storage hygiene must be scoped to the loop's OWN
+    blocks. The round-9 form diffed the session-global persistent-RDD
+    registry around each localCheckpoint, so any RDD another thread
+    persisted inside that window was captured and later force-freed —
+    a silent recompute for a cache, an UNRECOVERABLE failure for a
+    foreign localCheckpoint (lineage already truncated). This runs
+    pagerank AND connected_components concurrently with a third thread
+    that keeps localCheckpointing + caching DataFrames; every foreign
+    block set must survive both loops."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.operators.components import connected_components
+    from binancedatapipeline_spark.operators.pagerank import pagerank
+
+    edges = spark.range(6000).select(
+        F.pmod(F.xxhash64("id"), 500).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), 500).alias("dst"),
+    )
+    results: dict = {}
+    errors: list = []
+    done = threading.Event()
+
+    def run(name, fn):
+        try:
+            results[name] = fn()
+        except Exception as exc:  # surfaced below
+            errors.append((name, exc))
+
+    t_pr = threading.Thread(
+        target=run, args=("pr", lambda: pagerank(edges, iterations=15).collect())
+    )
+    t_cc = threading.Thread(
+        target=run,
+        args=("cc", lambda: connected_components(edges).collect()),
+    )
+    t_pr.start()
+    t_cc.start()
+
+    # bystander thread: checkpoint + cache DataFrames while both loops
+    # run; under the registry-diff scheme these ids land inside a
+    # loop's diff window and get unpersisted
+    bystanders = []
+    i = 0
+    while (t_pr.is_alive() or t_cc.is_alive()) and i < 200:
+        df = spark.range(i * 10, i * 10 + 50).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        )
+        ck = df.localCheckpoint(eager=True)
+        bystanders.append((ck, {int(ck._jdf.queryExecution().analyzed().rdd().id())}))
+        i += 1
+    t_pr.join(timeout=300)
+    t_cc.join(timeout=300)
+    done.set()
+    assert not errors, errors
+    assert len(bystanders) >= 3, "loops finished before any overlap happened"
+
+    from binancedatapipeline_spark.operators._checkpoint import persistent_rdd_ids
+
+    still = persistent_rdd_ids(spark)
+    try:
+        for ck, ids in bystanders:
+            # the foreign checkpoint's blocks were not freed by either
+            # loop, and the data is still readable
+            assert ids <= still, f"bystander blocks {ids} were unpersisted"
+            assert ck.count() == 50
+        assert abs(sum(r["rank"] for r in results["pr"]) - 1.0) < 1e-9
+        assert len(results["cc"]) == len({r["node"] for r in results["cc"]})
+    finally:
+        for ck, _ in bystanders:
+            ck.unpersist()
+
+
+def test_failure_paths_free_all_blocks(spark):
+    """Round 10 (ADVICE): every exit path — the no-seed ValueError,
+    connected_components' non-convergence RuntimeError — must release
+    the blocks the call persisted (round 9 leaked the pre-raise
+    checkpoints)."""
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.operators._checkpoint import persistent_rdd_ids
+    from binancedatapipeline_spark.operators.components import connected_components
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    before = persistent_rdd_ids(spark)
+    with pytest.raises(ValueError, match="no seed"):
+        pagerank(df, iterations=3, seeds=["not-a-node"])
+    assert persistent_rdd_ids(spark) - before == set()
+
+    # a chain graph cannot converge in zero star rounds
+    chain = spark.range(20).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    before = persistent_rdd_ids(spark)
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iterations=0)
+    assert persistent_rdd_ids(spark) - before == set()
+
+    # the empty-graph early return leaves nothing persisted either
+    empty = spark.createDataFrame([], "src string, dst string")
+    before = persistent_rdd_ids(spark)
+    assert pagerank(empty, iterations=2).count() == 0
+    assert persistent_rdd_ids(spark) - before == set()
