@@ -472,8 +472,33 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L70 host-authority PageRank (operators/pagerank.py),
+    oracle-gated per the round-9 verdict: rank a host-level link
+    graph deterministically synthesized from documents (29 source
+    hosts linking into 37 targets, so hosts 29–36 are DANGLING —
+    inbound links only — and their mass redistributes along the
+    teleport vector; duplicate doc-level links collapse to one host
+    edge; self-links drop). Fixed damping 0.85 × 12 power iterations
+    makes the result a pure function of the edge set, so DuckDB
+    reproduces it with a recursive CTE running the same iteration
+    (ranks rounded to 6dp on both sides; float noise is ~1e-15)."""
+    from binancedatapipeline_spark.operators.pagerank import pagerank
+
+    d = F.col("doc_id")
+    edges = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("host"), (d % 29).cast("string")).alias("src"),
+        F.concat(F.lit("host"), ((d * 13 + 7) % 37).cast("string")).alias("dst"),
+    )
+    return pagerank(edges, iterations=12, damping=0.85).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
+
+
 def q_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING: filter on aggregate output."""
+    """HAVING: filter on aggregate output. RETIRED from the driver
+    registry in round 10 (rotation for host_pagerank) — stays
+    DuckDB-diff-tested verbatim in tests/test_retired_queries.py."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", "event_type")
@@ -1321,9 +1346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # grid end to end; and doc_rep_map (exact-collapse rep map — the
     # identical md5-digest machinery stays oracle-gated through
     # doc_exact_dedup) for hist_quantiles, gating the mergeable-
-    # sketch family's histogram fit→quantile pipeline. All retired
-    # queries stay DuckDB-diff-tested verbatim in
-    # tests/test_retired_queries.py.
+    # sketch family's histogram fit→quantile pipeline. Round 10
+    # swapped groupby_having (HAVING on a grouped aggregate — the
+    # same aggregate-then-filter machinery stays oracle-gated through
+    # conditional_agg + cte_margin_shape, and HAVING-shaped post-agg
+    # predicates through full_outer's day-count filter-free variant)
+    # for host_pagerank, gating the iterative graph family (damped
+    # power iteration with dangling-mass redistribution) end to end
+    # against a DuckDB recursive-CTE oracle. All retired queries stay
+    # DuckDB-diff-tested verbatim in tests/test_retired_queries.py.
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -1342,7 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cte_margin_shape": q_cte_margin_shape,
         "doc_langid": q_doc_langid,
         "conditional_agg": q_conditional_agg,
-        "groupby_having": q_groupby_having,
+        "host_pagerank": q_host_pagerank,
         "full_outer": q_full_outer,
         "events_hourly_rollup": q_events_hourly_rollup,
         "asof_join": q_asof_join,
@@ -1659,10 +1690,48 @@ SELECT user_id,
        count(*) AS n_events
 FROM events GROUP BY user_id
 """,
-        "groupby_having": """
-SELECT user_id, event_type, count(*) AS n,
-       round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
-FROM events GROUP BY user_id, event_type HAVING count(*) >= 10
+        # host_pagerank: the same damped power iteration pagerank()
+        # runs, as a recursive CTE. Per-step state is the previous
+        # iteration's 37 rank rows; each step cross-joins them to the
+        # node list once, so contributions (LEFT JOIN on the weighted
+        # edge) and the dangling-mass scalar (CASE over the same
+        # cross product) come from a SINGLE reference to the
+        # recursive table, as required. NOTE: `nodes` must be
+        # DISTINCT-over-UNION-ALL — inside a WITH RECURSIVE clause
+        # DuckDB 1.0 treats a plain `A UNION B` CTE with recursive
+        # machinery and skips the dedup.
+        "host_pagerank": """
+WITH RECURSIVE
+base AS (
+  SELECT doc_id % 29 AS s, (doc_id * 13 + 7) % 37 AS t FROM documents
+),
+edges AS (
+  SELECT DISTINCT 'host' || CAST(s AS VARCHAR) AS src,
+                  'host' || CAST(t AS VARCHAR) AS dst
+  FROM base WHERE s <> t
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+w AS (SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS w FROM edges),
+dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT DISTINCT src FROM edges)),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+ranks(iter, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT r.iter + 1, n.node,
+         (1.0 / (SELECT n FROM nn)) *
+           (0.15 + 0.85 * SUM(CASE WHEN r.node IN (SELECT node FROM dang) THEN r.rank ELSE 0 END))
+         + 0.85 * SUM(COALESCE(w.w, 0) * r.rank)
+  FROM ranks r
+  CROSS JOIN nodes n
+  LEFT JOIN w ON w.src = r.node AND w.dst = n.node
+  WHERE r.iter < 12
+  GROUP BY r.iter, n.node
+)
+SELECT node, ROUND(rank, 6) AS rank FROM ranks WHERE iter = 12
 """,
         "events_hourly_rollup": """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,

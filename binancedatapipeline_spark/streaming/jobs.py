@@ -425,8 +425,22 @@ def stream_curate_upsert(
     than appends."""
     from binancedatapipeline_spark.textops.curate import curate
 
+    curate_kwargs = dict(curate_kwargs or {})
+    if isinstance(curate_kwargs.get("lang_profiles"), DataFrame):
+        # materialize the fitted language profiles ONCE at stream
+        # start: a DataFrame handed into the foreachBatch closure
+        # would re-run its whole training lineage (a corpus-wide
+        # aggregation) on every micro-batch — the collected rows are
+        # a bounded dim (≤ languages × top_k) and classify accepts
+        # them directly
+        from binancedatapipeline_spark.textops.langid import collect_profiles
+
+        curate_kwargs["lang_profiles"] = collect_profiles(
+            curate_kwargs["lang_profiles"]
+        )
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        curated = curate(batch_df, bench, **(curate_kwargs or {}))
+        curated = curate(batch_df, bench, **curate_kwargs)
         n = curated.count()
         if n:
             warehouse.upsert(spec, curated)

@@ -662,117 +662,35 @@ def read_warc_binary(
     return files.mapInPandas(kernel, schema)
 
 
-# Curated snapshot of the (public) Mozilla Public Suffix List
-# (publicsuffix.org, ICANN section; snapshot curated 2026-08): the
-# multi-label suffixes a crawl corpus actually hits at volume, ALL
-# published wildcard TLD rules with their exceptions, and the JP
-# geographic second-levels. This is a hand-maintained subset, not the
-# verbatim ~10k-line file — pass the real file via ``psl=`` +
-# :func:`parse_psl_text` for exhaustive coverage of exotic/private
-# suffixes. Single-label TLDs need no entry — "not in the list"
-# already means "suffix = last label".
-_PSL_MULTI_LABEL = (
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
-    "ac.uk", "gov.uk", "nhs.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
-    "gr.jp", "lg.jp",
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
-    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
-    "com.mx", "org.mx", "net.mx", "edu.mx", "gob.mx",
-    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
-    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
-    "gen.nz", "geek.nz", "maori.nz", "iwi.nz",
-    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
-    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
-    "com.hk", "org.hk", "net.hk", "edu.hk", "gov.hk", "idv.hk",
-    "com.sg", "org.sg", "net.sg", "edu.sg", "gov.sg", "per.sg",
-    "com.my", "org.my", "net.my", "edu.my", "gov.my",
-    "com.tr", "org.tr", "net.tr", "edu.tr", "gov.tr", "gen.tr", "web.tr",
-    "com.ar", "org.ar", "net.ar", "edu.ar", "gob.ar",
-    "com.co", "org.co", "net.co", "edu.co", "gov.co", "nom.co",
-    "com.pe", "com.ve", "com.ua", "in.ua", "kiev.ua",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
-    "co.th", "or.th", "ac.th", "go.th", "in.th",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
-    "com.ph", "net.ph", "org.ph",
-    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
-    "com.eg", "com.sa", "com.ng", "com.gh",
-    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke",
-    "co.id", "or.id", "web.id", "ac.id", "sch.id", "go.id", "my.id",
-    # JP geographic second-levels (prefecture-type domains from the
-    # published list; the seven designated-city names appear below as
-    # wildcard rules instead, per the list)
-    "hokkaido.jp", "aomori.jp", "iwate.jp", "miyagi.jp", "akita.jp",
-    "yamagata.jp", "fukushima.jp", "ibaraki.jp", "tochigi.jp",
-    "gunma.jp", "saitama.jp", "chiba.jp", "tokyo.jp", "kanagawa.jp",
-    "niigata.jp", "toyama.jp", "ishikawa.jp", "fukui.jp",
-    "yamanashi.jp", "nagano.jp", "gifu.jp", "shizuoka.jp", "aichi.jp",
-    "mie.jp", "shiga.jp", "kyoto.jp", "osaka.jp", "hyogo.jp",
-    "nara.jp", "wakayama.jp", "tottori.jp", "shimane.jp",
-    "okayama.jp", "hiroshima.jp", "yamaguchi.jp", "tokushima.jp",
-    "kagawa.jp", "ehime.jp", "kochi.jp", "fukuoka.jp", "saga.jp",
-    "nagasaki.jp", "kumamoto.jp", "oita.jp", "miyazaki.jp",
-    "kagoshima.jp", "okinawa.jp",
-    # European ccTLD second-levels crawls hit at volume
-    "co.at", "or.at", "ac.at", "gv.at",
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
-    "com.pt", "org.pt", "edu.pt", "gov.pt",
-    "com.gr", "org.gr", "net.gr", "edu.gr", "gov.gr",
-    "com.ro", "org.ro", "nt.ro", "tm.ro",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    "co.hu", "org.hu", "info.hu", "priv.hu",
-    "com.es", "org.es", "nom.es", "edu.es", "gob.es",
-)
-
-# Wildcard rules ("*.ck": EVERY 2-label suffix under .ck is a public
-# suffix) and their exceptions ("!www.ck": www.ck is registrable
-# despite the wildcard) — the complete wildcard set of the published
-# ICANN section: the legacy no-second-level-registration ccTLDs plus
-# the seven JP designated-city geographic domains (each with its
-# "!city.*.jp" municipal exception). Stored as the part after
-# "*." / "!".
-_PSL_WILDCARD = (
-    "ck", "bd", "er", "fk", "jm", "kh", "mm", "np", "pg",
-    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
-    "sapporo.jp", "sendai.jp", "yokohama.jp",
-)
-_PSL_EXCEPTION = (
-    "www.ck",
-    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
-    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
-    "city.yokohama.jp",
-)
+# Bundled verbatim snapshot of the (public, MPL-2.0) Mozilla Public
+# Suffix List — publicsuffix.org/list/public_suffix_list.dat, dated
+# snapshot 2023-02-09 (Debian publicsuffix 20230209.2326; the MPL
+# header rides inside the file itself). Parsed lazily, ICANN section
+# by default; ``include_private=True`` adds the PRIVATE section
+# (github.io-style operator suffixes). Replaces the hand-curated
+# subset of rounds 8–9 — the full list covers it outright.
+_PSL_SNAPSHOT_DATE = "2023-02-09"
+_PSL_DATA_FILE = "data/public_suffix_list.dat"
+_psl_rows_cache: dict[bool, list] = {}
 
 
-def psl_table(spark: SparkSession) -> DataFrame:
-    """The bundled public-suffix dim as a DataFrame: ``suffix``, its
-    label count, and the rule ``kind`` (``rule`` | ``wildcard`` |
-    ``exception`` — wildcard/exception rows store the part after the
-    ``*.``/``!`` marker). Tiny (thousands of rows even for the full
-    PSL) — always the broadcast side of the domain join. Swap in the
-    complete Mozilla list via :func:`parse_psl_text`."""
-    rows = (
-        [(s, s.count(".") + 1, "rule") for s in _PSL_MULTI_LABEL]
-        + [(s, s.count(".") + 1, "wildcard") for s in _PSL_WILDCARD]
-        + [(s, s.count(".") + 1, "exception") for s in _PSL_EXCEPTION]
-    )
-    return spark.createDataFrame(rows, "suffix string, labels int, kind string")
+def _bundled_psl_rows(include_private: bool) -> list:
+    """(suffix, labels, kind) rows parsed from the packaged snapshot,
+    cached per process — the file is ~240 KB / ~9.5k rules, so the
+    parse is driver-trivial and never worth a Spark job."""
+    if include_private not in _psl_rows_cache:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), _PSL_DATA_FILE)
+        with open(path, encoding="utf-8") as fh:
+            text = fh.read()
+        if not include_private:
+            text = text.split("===BEGIN PRIVATE DOMAINS===", 1)[0]
+        _psl_rows_cache[include_private] = _parse_psl_rows(text)
+    return _psl_rows_cache[include_private]
 
 
-def parse_psl_text(spark: SparkSession, text: str) -> DataFrame:
-    """Build the :func:`psl_table` shape from the RAW Mozilla list
-    file (https://publicsuffix.org/list/public_suffix_list.dat): skip
-    blank/comment lines, classify ``!``-prefixed lines as exception
-    rules and ``*.``-prefixed lines as wildcard rules, everything else
-    plain — the full-list swap-in path. Per the published format,
-    anything after the first whitespace on a line is ignored and a
-    rule's wildcard appears only as the leading label. Unicode entries
-    are kept verbatim (hosts compare lowercased; punycode hosts need
-    the list's punycode twin entries, which the published file
-    carries)."""
+def _parse_psl_rows(text: str) -> list:
     rows = []
     for line in text.splitlines():
         line = line.strip()
@@ -787,7 +705,47 @@ def parse_psl_text(spark: SparkSession, text: str) -> DataFrame:
             kind, s = "rule", line
         if s:
             rows.append((s, s.count(".") + 1, kind))
-    return spark.createDataFrame(rows, "suffix string, labels int, kind string")
+    return rows
+
+
+def psl_table(spark: SparkSession, include_private: bool = False) -> DataFrame:
+    """The COMPLETE bundled Mozilla Public Suffix List (verbatim
+    snapshot %s) as a DataFrame: ``suffix``, its label count, and the
+    rule ``kind`` (``rule`` | ``wildcard`` | ``exception`` —
+    wildcard/exception rows store the part after the ``*.``/``!``
+    marker). ICANN section by default (~7.4k rules, 8 distinct
+    (labels, kind) shapes); ``include_private=True`` adds the PRIVATE
+    section (github.io-style operator suffixes — use it when
+    per-domain caps should treat each operator subdomain as its own
+    registrable domain). Tiny either way — always the broadcast side
+    of the domain join. A newer list file swaps in via
+    :func:`parse_psl_text`.
+
+    Caveat the list itself imposes: IDN entries are unicode-only, so
+    punycode (``xn--``) hosts fall through to the 2-label fallback
+    unless the caller pre-decodes hosts or augments the dim with
+    punycode twins.""" % _PSL_SNAPSHOT_DATE
+    return spark.createDataFrame(
+        _bundled_psl_rows(include_private),
+        "suffix string, labels int, kind string",
+    )
+
+
+def parse_psl_text(spark: SparkSession, text: str) -> DataFrame:
+    """Build the :func:`psl_table` shape from a RAW Mozilla list
+    file (https://publicsuffix.org/list/public_suffix_list.dat): skip
+    blank/comment lines, classify ``!``-prefixed lines as exception
+    rules and ``*.``-prefixed lines as wildcard rules, everything else
+    plain — the newer-snapshot swap-in path (both ICANN and PRIVATE
+    sections are kept; pre-split on the section marker to drop one).
+    Per the published format, anything after the first whitespace on a
+    line is ignored and a rule's wildcard appears only as the leading
+    label. Unicode entries are kept verbatim (hosts compare
+    lowercased; punycode hosts need punycode twin entries, which the
+    published file does NOT carry — see :func:`psl_table`)."""
+    return spark.createDataFrame(
+        _parse_psl_rows(text), "suffix string, labels int, kind string"
+    )
 
 
 def with_url_parts(
@@ -1007,6 +965,7 @@ def with_blocked_domain(
     category_col: str | None = None,
     output_category_col: str = "blocked_category",
     broadcast: bool = True,
+    host_dim: DataFrame | None = None,
 ) -> DataFrame:
     """Add ``output_col``: the blocklist entry the row's host falls
     under (host == entry, or host ends with ``"." + entry`` — i.e.
@@ -1044,6 +1003,19 @@ def with_blocked_domain(
     once on host — the price of never building the list broadcast.
     Both paths return identical results (randomized differential in
     tests/test_corpus_io.py).
+
+    ``host_dim`` (fallback path only) makes that a ONE-corpus-read
+    plan: a one-column relation of every host appearing in ``df`` —
+    the host dimension a warehouse deployment already maintains, or
+    the output of a prior ``with_url_parts`` materialization — is
+    probed against the list INSTEAD of re-deriving distinct hosts
+    from the corpus, so the corpus is scanned exactly once (the final
+    host-keyed join). Hosts are normalized the same way (lowercase,
+    root-dot strip, distinct), so a raw un-deduped column relation is
+    fine. CONTRACT: a corpus host missing from ``host_dim`` is
+    silently NOT blocked — completeness is the caller's promise.
+    Ignored under ``broadcast=True`` (that plan already reads the
+    corpus once and never builds a host relation at all).
 
     ``host_col`` skips URL parsing when the host was already extracted
     (e.g. by :func:`with_url_parts`); hosts compare lowercased; rows
@@ -1092,12 +1064,30 @@ def with_blocked_domain(
                     output_category_col, F.lit(None).cast("string")
                 )
             return out.drop("__bl_host")
-        # distinct HOSTS — one narrow-column shuffle — not corpus rows
-        hosts = (
-            out.select("__bl_host")
-            .filter(F.col("__bl_host").isNotNull())
-            .distinct()
-        )
+        if host_dim is not None:
+            # the one-corpus-read plan: probe the caller's host
+            # dimension (normalized identically — a raw un-deduped
+            # column is fine) instead of re-deriving hosts from the
+            # corpus; the only corpus scan left is the final join
+            hosts = (
+                host_dim.select(
+                    F.nullif(
+                        F.regexp_replace(
+                            F.lower(F.col(host_dim.columns[0])), r"\.+$", ""
+                        ),
+                        F.lit(""),
+                    ).alias("__bl_host")
+                )
+                .filter(F.col("__bl_host").isNotNull())
+                .distinct()
+            )
+        else:
+            # distinct HOSTS — one narrow-column shuffle — not corpus rows
+            hosts = (
+                out.select("__bl_host")
+                .filter(F.col("__bl_host").isNotNull())
+                .distinct()
+            )
         cand = (
             hosts.select(
                 "__bl_host",

@@ -47,7 +47,7 @@ from binancedatapipeline_spark.textops.sampling import stable_split
 
 def _with_lang_verdict(
     docs: DataFrame,
-    profiles: DataFrame,
+    profiles,
     allow,
     min_fraction,
     kwargs,
@@ -95,7 +95,7 @@ def curation_flags(
     blocklist: DataFrame | None = None,
     url_col: str = "url",
     blocklist_kwargs: dict | None = None,
-    lang_profiles: DataFrame | None = None,
+    lang_profiles: DataFrame | list | None = None,
     lang_allow: set[str] | list[str] | None = None,
     lang_min_fraction: float | None = None,
     lang_kwargs: dict | None = None,
@@ -137,7 +137,12 @@ def curation_flags(
     profiles but neither criterion the columns are annotation-only
     (``is_lang_rejected`` false everywhere). ``lang_kwargs`` passes
     through to :func:`classify_language_paragraphs` (``min_chars``,
-    ``max_paragraphs``, ``max_chars``, ``top_k``...)."""
+    ``max_paragraphs``, ``max_chars``, ``top_k``...). A DataFrame
+    profile's training lineage re-runs on EVERY curate call — fine
+    once, wrong in a per-micro-batch loop; repeated callers should
+    pass the pre-collected rows from
+    :func:`textops.langid.collect_profiles` instead (the streaming
+    sink does this automatically)."""
     if blocklist is not None:
         docs = with_blocked_domain(
             docs, blocklist, url_col=url_col, **(blocklist_kwargs or {})
@@ -223,7 +228,7 @@ def curate(
     blocklist: DataFrame | None = None,
     url_col: str = "url",
     blocklist_kwargs: dict | None = None,
-    lang_profiles: DataFrame | None = None,
+    lang_profiles: DataFrame | list | None = None,
     lang_allow: set[str] | list[str] | None = None,
     lang_min_fraction: float | None = None,
     lang_kwargs: dict | None = None,

@@ -101,6 +101,82 @@ def _read_manifest(spark: SparkSession, path: str) -> dict:
     return json.loads(data.decode("utf-8"))
 
 
+class InMemoryConditionalStore:
+    """In-repo fake of an object store exposing the conditional-put
+    primitive (S3 ``PUT`` + ``If-None-Match: *``, GCS
+    ``ifGenerationMatch=0``, Azure ``If-None-Match: *``): create the
+    key atomically ONLY if it does not exist. Exists so the
+    ``manifest_writer`` seam is tested against the real protocol
+    (reject-on-existing), not a stub that always succeeds — swap a
+    boto3/google-cloud client with the same one method for a real
+    deployment."""
+
+    def __init__(self):
+        self.objects: dict[str, bytes] = {}
+        self.put_attempts: int = 0
+
+    def put_if_none_match(self, key: str, data: bytes) -> bool:
+        """Atomic create-if-absent. False = precondition failed (the
+        key already exists — the store's 412), never an overwrite."""
+        self.put_attempts += 1
+        if key in self.objects:
+            return False
+        self.objects[key] = bytes(data)
+        return True
+
+    def get(self, key: str) -> bytes | None:
+        return self.objects.get(key)
+
+
+def conditional_put_manifest_writer(store, key_for_path=None):
+    """Reference ``manifest_writer`` for stores with a conditional-put
+    primitive — the commit is ONE atomic create of the manifest key,
+    so two concurrent exporters of the same path cannot both win and
+    a reader can never observe a torn manifest (the two guarantees
+    rename-as-commit only approximates on object stores).
+
+    ``store`` needs one method: ``put_if_none_match(key, bytes) ->
+    bool`` (False when the key exists — S3 If-None-Match / GCS
+    generation-0 semantics; :class:`InMemoryConditionalStore` is the
+    in-repo fake). ``key_for_path`` maps the export path to the
+    manifest key (default: ``<path>/_MANIFEST.json``).
+
+    Crash-window semantics, both tested in tests/test_export.py:
+
+    * crash BEFORE the put (or the put itself fails): no manifest
+      exists — the export is invisible to readers (read-side
+      validation requires the manifest), and the retry that re-runs
+      the whole export commits normally.
+    * crash AFTER the put, before the caller observed success: the
+      retry re-puts the SAME bytes; the precondition fails, the
+      content comparison recognizes the writer's own earlier commit,
+      and the retry returns success (idempotent replay).
+    * a DIFFERENT manifest at the key (another exporter won the
+      race, or the path was reused for a different corpus) raises —
+      never silently overwritten.
+
+    The serialization is canonical (sorted keys) so byte equality is
+    content equality across replays."""
+
+    def write(path: str, manifest: dict) -> None:
+        key = (
+            key_for_path(path)
+            if key_for_path is not None
+            else f"{path.rstrip('/')}/{MANIFEST}"
+        )
+        data = json.dumps(manifest, sort_keys=True).encode("utf-8")
+        if store.put_if_none_match(key, data):
+            return
+        if store.get(key) == data:
+            return  # our own earlier commit — idempotent replay
+        raise FileExistsError(
+            f"write_training_shards: a DIFFERENT manifest is already "
+            f"committed at {key}; refusing to overwrite"
+        )
+
+    return write
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,
@@ -150,9 +226,11 @@ def write_training_shards(
     that replaces the default create-temp-then-rename commit — the
     injection point for a store's own conditional-put primitive
     (S3 If-None-Match, GCS generation preconditions) when
-    rename-as-commit is not strong enough for the deployment. The
-    default stays correct on POSIX/HDFS and on object stores whose
-    Hadoop committers emulate rename."""
+    rename-as-commit is not strong enough for the deployment;
+    :func:`conditional_put_manifest_writer` is the reference
+    implementation of that protocol (idempotent replay, loud
+    conflict). The default stays correct on POSIX/HDFS and on object
+    stores whose Hadoop committers emulate rename."""
     modes = [n_shards is not None, rows_per_shard is not None,
              tokens_per_shard is not None]
     if sum(modes) != 1:

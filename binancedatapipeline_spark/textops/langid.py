@@ -200,9 +200,28 @@ def train_language_profiles(
     )
 
 
+def collect_profiles(profiles) -> list:
+    """Materialize a fitted profile relation to local ``(lang, gram,
+    rank)`` rows — the pre-collected form every classify entry point
+    accepts in place of the DataFrame. Collect ONCE and reuse when the
+    same fit drives many classify calls (the streaming curation sink:
+    a DataFrame profile handed to ``curate(lang_profiles=...)`` inside
+    ``foreachBatch`` would re-run its whole training lineage — a
+    corpus-wide aggregation — on EVERY micro-batch; the collected rows
+    are a bounded dim, ≤ languages × top_k). A list passes through
+    unchanged, so callers can normalize unconditionally."""
+    if isinstance(profiles, DataFrame):
+        return [
+            (r["lang"], r["gram"], int(r["rank"]))
+            for r in profiles.select("lang", "gram", "rank").collect()
+            if r["lang"] is not None
+        ]
+    return [(lang, gram, int(rank)) for lang, gram, rank in profiles]
+
+
 def classify_language(
     df: DataFrame,
-    profiles: DataFrame,
+    profiles: DataFrame | list,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = DEFAULT_TOP_K,
@@ -253,11 +272,11 @@ def classify_language(
     text = F.col(text_col)
     if max_chars is not None:
         text = F.substring(text, 1, max_chars)
-    prof_rows = [
-        (r["lang"], r["gram"], int(r["rank"]))
-        for r in profiles.select("lang", "gram", "rank").collect()
-        if r["lang"] is not None
-    ]
+    # ``profiles`` may be the fitted DataFrame (collected here — its
+    # lineage runs exactly once per CALL) or the pre-collected rows
+    # from :func:`collect_profiles` (zero jobs here — the repeated-
+    # classify form, e.g. one fit driving every streaming micro-batch)
+    prof_rows = collect_profiles(profiles)
     langs = sorted({lang for lang, _, _ in prof_rows})
     if not langs:
         return df.withColumn(output_col, F.lit(None).cast("string")) \
@@ -331,7 +350,7 @@ def classify_language(
 
 def classify_language_paragraphs(
     df: DataFrame,
-    profiles: DataFrame,
+    profiles: DataFrame | list,
     id_col: str = "doc_id",
     text_col: str = "text",
     top_k: int = DEFAULT_TOP_K,

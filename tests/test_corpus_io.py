@@ -337,6 +337,70 @@ def test_bundled_psl_covers_jp_geographic_and_wildcard_tlds(spark):
     assert got[9] == "a.b.yokohama.jp"
 
 
+def test_bundled_psl_is_the_complete_mozilla_snapshot(spark):
+    """Round-10 verdict ask #4: the packaged PSL is the VERBATIM dated
+    Mozilla snapshot, so exotic plain-rule entries the old curated
+    subset never carried resolve out of the box — including unicode
+    IDN rules, 4-label US school-district rules, and wildcards the
+    subset plain-ruled incorrectly (*.sch.uk)."""
+    from binancedatapipeline_spark.textops.corpus_io import (
+        _PSL_SNAPSHOT_DATE,
+        psl_table,
+        with_url_parts,
+    )
+
+    assert _PSL_SNAPSHOT_DATE == "2023-02-09"
+    dim = psl_table(spark)
+    rules = {(r["suffix"], r["kind"]) for r in dim.collect()}
+    # exotic ICANN plain rules, none of which the round-9 curated
+    # subset had (incl. a unicode IDN rule and a 4-label US
+    # school-district rule)
+    for s in ("sch.qa", "lib.ee", "gouv.fr", "pvt.k12.ma.us",
+              "aéroport.ci", "health.nz"):
+        assert (s, "rule") in rules, s
+    # the real list makes sch.uk a WILDCARD (the subset had it plain)
+    assert ("sch.uk", "wildcard") in rules
+    assert ("sch.uk", "rule") not in rules
+    # ICANN-only by default: PRIVATE-section suffixes excluded...
+    assert ("blogspot.com", "rule") not in rules
+    assert ("gov.scot", "rule") not in rules  # gov.scot is PRIVATE
+    # ...and opt-in via include_private
+    priv = {
+        (r["suffix"], r["kind"]) for r in psl_table(spark, include_private=True).collect()
+    }
+    for s in ("blogspot.com", "gov.scot", "edu.krd"):
+        assert (s, "rule") in priv, s
+    assert rules < priv
+
+    rows = [
+        (1, "https://stats.gov.scot/x"),            # ICANN: scot rule
+        (2, "https://school.pvt.k12.ma.us/x"),      # 4-label rule
+        (3, "https://myschool.sch.uk/x"),           # *.sch.uk: host IS suffix
+        (4, "https://www.myschool.sch.uk/x"),       # → www.myschool.sch.uk
+        (5, "https://blog.foo.blogspot.com/x"),     # ICANN: → blogspot.com
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["domain"]
+        for r in with_url_parts(df, domain_mode="psl").collect()
+    }
+    assert got[1] == "gov.scot"  # ICANN suffix is just `scot`
+    assert got[2] == "school.pvt.k12.ma.us"
+    assert got[3] is None
+    assert got[4] == "www.myschool.sch.uk"
+    assert got[5] == "blogspot.com"
+    # PRIVATE section changes the registrable unit for operator hosts
+    # (blogspot.com and gov.scot both become suffixes there)
+    got_p = {
+        r["doc_id"]: r["domain"]
+        for r in with_url_parts(
+            df, domain_mode="psl", psl=psl_table(spark, include_private=True)
+        ).collect()
+    }
+    assert got_p[5] == "foo.blogspot.com"
+    assert got_p[1] == "stats.gov.scot"
+
+
 def test_url_parts_and_canonicalization(spark):
     from binancedatapipeline_spark.textops.corpus_io import with_url_parts
 
@@ -642,6 +706,46 @@ def test_blocklist_shuffle_fallback_matches_broadcast_path(spark):
     assert fast == fallback
     assert sum(v is not None for _, v, _ in fast) > 80  # non-trivial
     assert any(c is not None and "," in c for _, _, c in fast)  # multi-cat hit
+
+    # host_dim (round-10 verdict ask #6): probing a caller-supplied
+    # host dimension instead of re-deriving from the corpus must be
+    # result-identical — here a RAW un-deduped, un-normalized column
+    # relation (mixed case + duplicates) covering every corpus host
+    dim = spark.createDataFrame(
+        [(h.upper() if i % 2 else h,) for i, h in enumerate(hosts) if h is not None]
+        + [(h,) for h in hosts if h is not None][:50],
+        "anyname string",
+    )
+    with_dim = sorted(
+        (r["doc_id"], r["blocked_domain"], r["blocked_category"])
+        for r in with_blocked_domain(
+            df, bl, host_col="host", category_col="category",
+            broadcast=False, host_dim=dim,
+        ).collect()
+    )
+    assert with_dim == fast
+    # the caller's completeness contract: a host absent from host_dim
+    # is silently unblocked
+    blocked_host = next(
+        h for (i, v, _), h in zip(fast, hosts) if v is not None and h
+    )
+    norm = lambda h: h.lower().rstrip(".")  # noqa: E731
+    partial = spark.createDataFrame(
+        [(h,) for h in hosts if h is not None and norm(h) != norm(blocked_host)],
+        "host string",
+    )
+    part_rows = {
+        r["doc_id"]: r["blocked_domain"]
+        for r in with_blocked_domain(
+            df, bl, host_col="host", category_col="category",
+            broadcast=False, host_dim=partial,
+        ).collect()
+    }
+    missing_ids = [
+        i for i, h in enumerate(hosts)
+        if h is not None and norm(h) == norm(blocked_host)
+    ]
+    assert missing_ids and all(part_rows[i] is None for i in missing_ids)
 
     # empty blocklist: both paths block nothing, same output schema
     empty = spark.createDataFrame([], "domain string, category string")

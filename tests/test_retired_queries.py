@@ -163,3 +163,24 @@ FROM lineitem GROUP BY l_returnflag
         )
     )
     assert got == exp and len(got) > 0
+
+
+def test_retired_groupby_having_matches_duckdb(spark, con):
+    # retired in round 10 (rotation for host_pagerank); oracle SQL
+    # kept verbatim from the round-9 registry. The aggregate-then-
+    # filter machinery stays oracle-gated through conditional_agg and
+    # cte_margin_shape
+    got = _rows(entry_mod.q_groupby_having(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+SELECT user_id, event_type, count(*) AS n,
+       round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
+FROM events GROUP BY user_id, event_type HAVING count(*) >= 10
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0

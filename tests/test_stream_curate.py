@@ -145,3 +145,72 @@ def test_stream_curate_language_gate_composes(spark, tmp_path):
     q.awaitTermination(180)
     out = {r["doc_id"] for r in wh.read(DOCS_SPEC).collect()}
     assert out == {1, 3}
+
+
+def test_stream_lang_profiles_materialize_once(spark, tmp_path):
+    """Round-10 ADVICE fix: a DataFrame ``lang_profiles`` handed to
+    the streaming sink is collected ONCE at stream start — its
+    training lineage (a corpus-wide aggregation) must NOT re-execute
+    per micro-batch. Pinned with an accumulator-bumping UDF inside
+    the training lineage: a 3-micro-batch run charges exactly the
+    same number of UDF evaluations as one direct materialization."""
+    from pyspark.sql.types import StringType
+
+    from binancedatapipeline_spark.textops.langid import (
+        collect_profiles,
+        train_language_profiles,
+    )
+
+    train_rows = [
+        ("en", "the quick brown fox jumps over the lazy dog near the river"),
+        ("es", "el rapido zorro marron salta sobre el perro perezoso junto"),
+    ]
+
+    def tracked_profiles(acc):
+        bump = F.udf(lambda s: (acc.add(1), s)[1], StringType())
+        return train_language_profiles(
+            spark.createDataFrame(train_rows, ["lang", "text"]).select(
+                "lang", bump("text").alias("text")
+            ),
+            top_k=50,
+        )
+
+    baseline_acc = spark.sparkContext.accumulator(0)
+    assert len(collect_profiles(tracked_profiles(baseline_acc))) > 0
+    baseline = baseline_acc.value
+    assert baseline > 0
+
+    stream_acc = spark.sparkContext.accumulator(0)
+    base = datetime(2024, 6, 1)
+    stage = str(tmp_path / "docs_in")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    for i in range(3):  # three files → three micro-batches
+        spark.createDataFrame(
+            [(i, GOOD + f" batch {i}", base + timedelta(hours=i))], schema
+        ).coalesce(1).write.mode("append").parquet(stage)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    n_batches = []
+    q = stream_curate_upsert(
+        stream,
+        wh,
+        DOCS_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        curate_kwargs={
+            "min_line_words": 1,
+            "gopher_overrides": {"min_words": 10},
+            "lang_profiles": tracked_profiles(stream_acc),
+            "lang_kwargs": {"min_chars": 20},
+        },
+        on_batch=lambda bid, n: n_batches.append(bid),
+    )
+    q.awaitTermination(180)
+    assert len(n_batches) == 3
+    assert stream_acc.value == baseline, (
+        f"training lineage ran {stream_acc.value / baseline:.1f}x "
+        f"(expected once: {baseline} UDF evals, got {stream_acc.value})"
+    )

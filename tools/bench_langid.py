@@ -55,9 +55,77 @@ def main() -> None:
         help="measure classify_language_paragraphs over a docs x "
         "paragraphs grid instead of the document-level curve",
     )
+    ap.add_argument(
+        "--many-langs",
+        action="store_true",
+        help="measure the >50-language codegen fallback: the classify "
+        "fold carries 2 aggregate columns per language, so past "
+        "~spark.sql.codegen.maxFields/2 languages the aggregate drops "
+        "out of whole-stage codegen — time the SAME corpus at "
+        "language counts straddling the bound",
+    )
     args = ap.parse_args()
 
     spark = get_session(shuffle_partitions=32)
+
+    if args.many_langs:
+        import random
+
+        rng = random.Random(7)
+        stocks = {}
+        for i in range(80):
+            letters = rng.sample("abcdefghijklmnopqrstuvwxyz", 8)
+            stocks[f"l{i:02d}"] = " ".join(
+                "".join(rng.choices(letters, k=rng.randint(3, 8)))
+                for _ in range(40)
+            )
+        all_langs = sorted(stocks)
+        rows = [
+            (i, (stocks[all_langs[i % 10]] + " ") * (args.chars // 200 + 1))
+            for i in range(args.docs)
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+        docs.count()
+        res = {"docs": args.docs, "mode": "many_langs"}
+        for n_langs in (10, 40, 60, 80):
+            train = spark.createDataFrame(
+                [(lg, stocks[lg] * 8) for lg in all_langs[:n_langs]],
+                ["lang", "text"],
+            )
+            prof = langid.collect_profiles(
+                langid.train_language_profiles(train, top_k=200)
+            )
+            out = langid.classify_language(docs, prof)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            # is the conditional-aggregate fold still codegen'd? the
+            # fallback is HashAggregate outside any WholeStageCodegen
+            res[f"langs{n_langs}_sec"] = round(
+                timed(
+                    lambda out=out: out.agg(
+                        F.sum(F.length("lang_id")), F.sum("lang_id_dist")
+                    ).first()
+                ),
+                3,
+            )
+            # codegen'd operators print as "*(N) HashAggregate"; an
+            # interpreted fallback line has no "*(" stage marker
+            res[f"langs{n_langs}_agg_codegen"] = not any(
+                "HashAggregate" in ln and "*(" not in ln
+                for ln in plan.splitlines()
+            )
+            # sanity: the classifier still classifies (majority of the
+            # 10 source languages recovered)
+            if n_langs == 60:
+                ok = out.filter(
+                    F.col("lang_id") == F.concat(
+                        F.lit("l"),
+                        F.lpad((F.col("doc_id") % 10).cast("string"), 2, "0"),
+                    )
+                ).count()
+                res["langs60_accuracy"] = round(ok / args.docs, 3)
+        docs.unpersist()
+        print(json.dumps(res))
+        return
     langs = sorted(_STOCK)
     train = spark.createDataFrame(
         [(lang, _STOCK[lang] * 8) for lang in langs], ["lang", "text"]
