@@ -39,14 +39,6 @@ def main() -> None:
     # picks different physical plans per scale, so warming at a tiny
     # SF leaves the real plans cold; standard JIT exclusion; disable
     # with SPARK_GRAFT_WARMUP=0).
-    do_warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
-    if do_warmup:
-        for name, fn in entry_mod.queries().items():
-            try:
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
-
     # 3 repeats by default: best-of-2 proved unable to reject sustained
     # co-located load (round-2 bench recorded 7x outliers on single
     # queries vs a quiet re-run). Repeats are interleaved ROUND-ROBIN
@@ -59,6 +51,25 @@ def main() -> None:
     # alongside so a noisy run is self-evident from best<<median.
     repeats = max(int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")), 1)
     queries = entry_mod.queries()
+    # A/B isolation knobs (diagnosing session-churn effects): run only
+    # a comma-separated subset, or everything but one. The composite is
+    # then NOT comparable across rounds — for bisection, not headlines.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    skip = os.environ.get("SPARK_GRAFT_BENCH_SKIP")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        queries = {k: v for k, v in queries.items() if k in keep}
+    if skip:
+        drop = {s.strip() for s in skip.split(",")}
+        queries = {k: v for k, v in queries.items() if k not in drop}
+
+    do_warmup = os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0"
+    if do_warmup:
+        for name, fn in queries.items():
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
     samples: dict[str, list[float]] = {name: [] for name in queries}
     for _ in range(repeats):
         for name, fn in queries.items():

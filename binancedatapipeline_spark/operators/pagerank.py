@@ -18,11 +18,13 @@ per round — 2 edge-sized exchanges × iterations. Everything else in
 the loop is NODE-sized: the dangling node set (pages with no
 outlinks) is invariant across iterations, so it is precomputed once
 and checkpointed, and the per-round dangling-mass term is a semi-join
-of the current ranks against it plus a one-row sum — no edge lineage
-is ever re-evaluated inside the loop (the round-8 form re-derived the
-out-degree relation from raw edges every round: one extra full
-edge-distinct shuffle + aggregation per iteration). Ranks are one row
-per node; nothing corpus-sized ever reaches the driver.
+of the current ranks against it plus a one-row aggregate BROADCAST
+into the update plan — no edge lineage is ever re-evaluated inside
+the loop (the round-8 form re-derived the out-degree relation from
+raw edges every round), and each round is a single Spark action (the
+checkpoint materialization; round 10 removed the per-round collected
+scalar, halving scheduler round trips). Ranks are one row per node;
+nothing corpus-sized ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -61,9 +63,9 @@ def pagerank(
 
     ``tol`` enables early stopping: iteration ends once the L∞ rank
     change falls below it (``iterations`` becomes the cap). The check
-    is one node-sized aggregate per round next to the dangling-mass
-    aggregate the loop already runs — convergence detection costs a
-    second bounded scalar, not a corpus pass.
+    is one node-sized aggregate per round — the only per-round driver
+    action besides the checkpoint itself; convergence detection costs
+    a bounded scalar, not a corpus pass.
 
     Deterministic: the result is a pure function of the edge SET
     (duplicate edges are collapsed — a page linking the same target
@@ -166,19 +168,29 @@ def pagerank(
                 .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
             )
             # dangling mass: rank held by nodes with no outlinks —
-            # spread along the teleport vector (one scalar per round,
-            # a bounded driver value)
-            dangling = (
+            # spread along the teleport vector. A one-row aggregate
+            # broadcast INTO the update plan (not collected): the
+            # whole round is then a single action (the checkpoint's
+            # eager materialization) — no per-round driver sync point,
+            # and on a small-job workload half the scheduler round
+            # trips (round 10; the arithmetic is the same IEEE double
+            # expression the collected-scalar form folded, so results
+            # are bit-identical)
+            dang_mass = (
                 ranks.join(dangling_nodes, "node", "left_semi")
-                .agg(F.sum("rank"))
-                .first()[0]
-                or 0.0
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
             nxt, nxt_ids = tracked(
-                tvec.join(contribs, "node", "left").select(
+                tvec.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang_mass))
+                .select(
                     "node",
                     (
-                        F.col("__t") * F.lit((1.0 - damping) + damping * dangling)
+                        F.col("__t")
+                        * (
+                            F.lit(1.0 - damping)
+                            + F.lit(damping) * F.col("__dm")
+                        )
                         + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
                     ).alias("rank"),
                 )

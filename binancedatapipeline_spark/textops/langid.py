@@ -261,12 +261,17 @@ def classify_language(
     Catalyst does not dedupe common subtrees across branches — the
     corpus was scanned and the top-k computed twice), and the shuffle
     count drops from three (distance fold + argmin window + size×lang
-    join) to one. Sizing note: the fold carries 2 aggregate columns
-    per language; past ~50 languages that exceeds
-    ``spark.sql.codegen.maxFields`` (100) and the aggregate falls out
-    of whole-stage codegen — still correct and still one shuffle,
-    just interpreted; language-ID deployments (CCNet ships 40-ish
-    profiles, this package's fits are smaller) sit inside the bound."""
+    join) to one. Sizing note, MEASURED (round 10,
+    ``tools/bench_langid.py --many-langs``): the fold carries 2
+    aggregate columns per language, and on Spark 4.1 the aggregate
+    runs OUTSIDE whole-stage codegen at every language count tried
+    (10/40/60/80 — the plan's HashAggregates carry no codegen stage
+    marker even well under ``codegen.maxFields``), so there is no
+    cliff to fall off: end-to-end wall is FLAT in language count
+    (19.1 s at 10 langs → 20.7 s at 80 langs, 20k docs × 2k chars —
+    +8% for 8× languages, accuracy 1.0 on held-out synthetic docs at
+    60). The cost lives in the per-row gram top-k (interpreted
+    higher-order array functions), not the per-language fold."""
     if miss_penalty is None:
         miss_penalty = top_k
     text = F.col(text_col)
