@@ -47,6 +47,8 @@ def pagerank(
     dst_col: str = "dst",
     seeds: DataFrame | list | None = None,
     tol: float | None = None,
+    init_ranks: DataFrame | None = None,
+    on_iteration=None,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges``: returns
     ``(node, rank)`` with ranks summing to 1 (damped power iteration,
@@ -66,6 +68,26 @@ def pagerank(
     is one node-sized aggregate per round — the only per-round driver
     action besides the checkpoint itself; convergence detection costs
     a bounded scalar, not a corpus pass.
+
+    ``init_ranks`` WARM-STARTS the iteration from a previous run's
+    ``(node, rank)`` output — the recurring-crawl pattern: this
+    month's graph differs from last month's by a few percent, and the
+    damped iteration contracts toward its unique fixpoint at rate
+    ``damping^k`` FROM ANY START, so starting near the answer with
+    ``tol`` set converges in a handful of rounds instead of ~20
+    (measured in tools/bench_pagerank.py --warm). Ranks are matched
+    by node; nodes NEW to this graph fall back to their teleport
+    share; ranks of departed nodes drop; the vector is renormalized
+    to sum 1 (so any positive scaling of a stored rank vector is a
+    valid start). The FIXPOINT is unchanged — warm-starting affects
+    rounds-to-converge, never the answer; with a fixed ``iterations``
+    and no ``tol`` the result differs from cold-start only by the
+    (smaller) residual error.
+
+    ``on_iteration`` (callable ``(round_index, linf_delta | None)``)
+    fires after each round — progress logging for long runs;
+    ``linf_delta`` is populated only when ``tol`` is set (without
+    ``tol`` the loop deliberately runs no per-round delta aggregate).
 
     Deterministic: the result is a pure function of the edge SET
     (duplicate edges are collapsed — a page linking the same target
@@ -152,7 +174,43 @@ def pagerank(
                 w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
             )
         )
-        ranks = tvec.select("node", F.col("__t").alias("rank"))
+        if init_ranks is not None:
+            # warm start: previous ranks matched by node, teleport
+            # share for nodes new to this graph (departed nodes drop
+            # via the inner semantics of the left join on the CURRENT
+            # node set), renormalized to sum 1 by a one-row broadcast
+            # aggregate — no collect, same discipline as the
+            # dangling-mass term. Non-positive/NULL stored ranks fall
+            # back to the teleport share too (a rank vector is
+            # positive by construction; anything else is corruption,
+            # and the teleport share is the safe neutral start).
+            ir = init_ranks.select(
+                F.col(init_ranks.columns[0]).alias("node"),
+                F.col(init_ranks.columns[1]).cast("double").alias("__r0"),
+            )
+            r0 = tvec.join(ir, "node", "left").select(
+                "node",
+                "__t",
+                F.when(F.col("__r0") > 0, F.col("__r0"))
+                .otherwise(F.col("__t"))
+                .alias("__r0"),
+            )
+            tot = r0.agg(
+                F.coalesce(F.sum("__r0"), F.lit(0.0)).alias("__tot")
+            )
+            ranks = (
+                r0.crossJoin(F.broadcast(tot))
+                .select(
+                    "node",
+                    F.when(
+                        F.col("__tot") > 0, F.col("__r0") / F.col("__tot")
+                    )
+                    .otherwise(F.col("__t"))
+                    .alias("rank"),
+                )
+            )
+        else:
+            ranks = tvec.select("node", F.col("__t").alias("rank"))
         # each round's localCheckpoint persists a node-sized block set;
         # without cleanup a 20-iteration run holds 20 of them
         # (O(iterations x nodes) memory/disk — measured as creeping GC
@@ -161,7 +219,7 @@ def pagerank(
         # the old ranks) is done — loop storage stays O(2 x nodes) at
         # any iteration count.
         prev_ids: set[int] = set()
-        for _ in range(iterations):
+        for it in range(iterations):
             contribs = (
                 w.join(ranks.withColumnRenamed("node", "src"), "src")
                 .groupBy(F.col("dst").alias("node"))
@@ -196,6 +254,7 @@ def pagerank(
                 )
             )
             stop = False
+            delta = None
             if tol is not None:
                 delta = (
                     nxt.join(
@@ -205,6 +264,8 @@ def pagerank(
                     .first()[0]
                 )
                 stop = delta is not None and delta < tol
+            if on_iteration is not None:
+                on_iteration(it, delta)
             free(prev_ids)
             prev_ids = nxt_ids
             ranks = nxt

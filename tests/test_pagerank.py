@@ -269,3 +269,74 @@ def test_failure_paths_free_all_blocks(spark):
     before = persistent_rdd_ids(spark)
     assert pagerank(empty, iterations=2).count() == 0
     assert persistent_rdd_ids(spark) - before == set()
+
+
+def test_warm_start_same_fixpoint_fewer_rounds(spark):
+    """Round 10: init_ranks warm-starts the iteration — same fixpoint
+    (the damped iteration contracts from any start), far fewer rounds
+    under tol when started from a previous answer, counted via the
+    on_iteration callback."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    cold_rounds = []
+    fixpoint = pagerank(
+        df, iterations=80, tol=1e-11,
+        on_iteration=lambda i, d: cold_rounds.append(d),
+    )
+    fp = {r["node"]: r["rank"] for r in fixpoint.collect()}
+    assert len(cold_rounds) > 10  # cold start genuinely iterates
+
+    warm_rounds = []
+    warm = pagerank(
+        df, iterations=80, tol=1e-11, init_ranks=fixpoint,
+        on_iteration=lambda i, d: warm_rounds.append(d),
+    )
+    wp = {r["node"]: r["rank"] for r in warm.collect()}
+    assert len(warm_rounds) <= 2, warm_rounds  # starts at the answer
+    for v in fp:
+        assert wp[v] == pytest.approx(fp[v], abs=1e-9), v
+    assert sum(wp.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # any positive SCALING of a stored vector is a valid start
+    # (renormalization), and the result still converges to the fixpoint
+    from pyspark.sql import functions as F
+
+    scaled = fixpoint.select("node", (F.col("rank") * 1000.0).alias("rank"))
+    ws = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=80, tol=1e-11, init_ranks=scaled).collect()
+    }
+    for v in fp:
+        assert ws[v] == pytest.approx(fp[v], abs=1e-8), v
+
+
+def test_warm_start_handles_graph_deltas_and_garbage(spark):
+    """Nodes NEW to the graph (absent from init_ranks) start at their
+    teleport share; departed nodes drop; non-positive stored ranks
+    fall back to teleport — and the answer matches the cold run of
+    the CURRENT graph regardless."""
+    from pyspark.sql import functions as F
+
+    old = spark.createDataFrame(EDGES, "src string, dst string")
+    prev = pagerank(old, iterations=30)
+    # current graph: adds nodes x,y; keeps the core
+    cur_edges = EDGES + [("x", "c"), ("c", "y"), ("x", "y")]
+    cur = spark.createDataFrame(cur_edges, "src string, dst string")
+    cold = {r["node"]: r["rank"] for r in pagerank(cur, iterations=60).collect()}
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(cur, iterations=60, init_ranks=prev).collect()
+    }
+    assert set(warm) == set(cold)  # x,y present, nothing lost
+    for v in cold:
+        # after 60 damped rounds both starts sit on the fixpoint
+        assert warm[v] == pytest.approx(cold[v], abs=1e-6), v
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # corrupted init (zeros/negatives/NULL-producing join misses)
+    garbage = prev.select("node", (F.col("rank") * -1.0).alias("rank"))
+    g = {
+        r["node"]: r["rank"]
+        for r in pagerank(cur, iterations=60, init_ranks=garbage).collect()
+    }
+    for v in cold:
+        assert g[v] == pytest.approx(cold[v], abs=1e-6), v
