@@ -595,17 +595,15 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 characteristic terms per document by smoothed TF-IDF
     (L50, textops/analysis.py:tfidf_top_terms) — rotated into the
-    oracle-gated registry in round 6 per the round-5 verdict.
-
-    ``materialize_tf=False``: the registry contract is a pure lazy
-    plan per call (the persist variant is for repeated consumers and
-    would leak a cache handle across driver runs); the double-kernel
-    cost is acceptable at gate scale and plan-documented in the
-    operator. tfidf is rounded to 6 decimals on BOTH sides (same
+    oracle-gated registry in round 6 per the round-5 verdict. Since
+    round 10 the operator is a pure single-pass plan (document
+    frequency as a window count over the tf relation — one tokenize,
+    no diamond, no persist side effect), so the registry call needs
+    no mode flag. tfidf is rounded to 6 decimals on BOTH sides (same
     discipline as quality_score) so ln() ulp drift between engines
     cannot flip the value hash."""
     d = _t(spark, sf_dir, "documents")
-    out = tfidf_top_terms(d, k=3, materialize_tf=False)
+    out = tfidf_top_terms(d, k=3)
     return out.select(
         "doc_id", "term", "tf", _r6("tfidf").alias("tfidf"), "term_rank"
     )
