@@ -194,3 +194,75 @@ def test_near_dedup_score_col_keeps_best_scored_member(spark):
         r["doc_id"] for r in near_dedup(base, k=16, bands=8).collect()
     )
     assert kept_const == kept_default == [1, 10, 20, 21]
+
+
+def test_connected_components_matches_duckdb_label_propagation(spark):
+    """Cross-ENGINE oracle (round 10; the in-suite Python differential
+    is same-process — this one is not): Spark's alternating-star
+    components vs DuckDB running recursive min-label propagation over
+    the same deterministic 8-cluster graph synthesized from the
+    documents table. 16 propagation rounds ≥ the worst possible
+    diameter of a ≤13-node component, so the oracle is at its fixpoint
+    for ANY document subset; both sides label a component with its
+    minimum node id, so the outputs must be row-identical."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.operators.components import connected_components
+
+    sf = "/root/testdata/sf0.001"
+    d = F.col("doc_id")
+    g = (d % 8) * 100
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    edges = docs.select(
+        (g + d % 13).alias("src"), (g + (d * 7 + 3) % 13).alias("dst")
+    )
+    got = sorted(
+        tuple(r)
+        for r in connected_components(edges).select("node", "component").collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH RECURSIVE
+base AS (
+  SELECT (doc_id % 8) * 100 + (doc_id % 13) AS a,
+         (doc_id % 8) * 100 + ((doc_id * 7 + 3) % 13) AS b
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM base WHERE a <> b
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges
+  )
+),
+adjself AS (
+  SELECT u AS x, v AS y FROM edges
+  UNION ALL SELECT v AS x, u AS y FROM edges
+  UNION ALL SELECT node AS x, node AS y FROM nodes
+),
+lab(iter, node, comp) AS (
+  SELECT 0, node, node FROM nodes
+  UNION ALL
+  SELECT l.iter + 1, a.y AS node, MIN(l.comp)
+  FROM lab l JOIN adjself a ON a.x = l.node
+  WHERE l.iter < 16
+  GROUP BY l.iter, a.y
+)
+SELECT node, comp AS component FROM lab WHERE iter = 16
+"""
+            ).fetchall(),
+        )
+    )
+    con.close()
+    assert len(got) > 50 and got == exp
