@@ -198,9 +198,12 @@ def pagerank(
             tot = r0.agg(
                 F.coalesce(F.sum("__r0"), F.lit(0.0)).alias("__tot")
             )
-            ranks = (
-                r0.crossJoin(F.broadcast(tot))
-                .select(
+            # checkpoint the normalized start: the caller's init_ranks
+            # lineage is arbitrary (a warehouse read, a previous run)
+            # and round 1 reads `ranks` from two subtrees — without a
+            # materialization it would evaluate twice
+            ranks, init_ids = tracked(
+                r0.crossJoin(F.broadcast(tot)).select(
                     "node",
                     F.when(
                         F.col("__tot") > 0, F.col("__r0") / F.col("__tot")
@@ -211,6 +214,7 @@ def pagerank(
             )
         else:
             ranks = tvec.select("node", F.col("__t").alias("rank"))
+            init_ids = set()
         # each round's localCheckpoint persists a node-sized block set;
         # without cleanup a 20-iteration run holds 20 of them
         # (O(iterations x nodes) memory/disk — measured as creeping GC
@@ -218,7 +222,9 @@ def pagerank(
         # once the new ranks are materialized and the delta (which reads
         # the old ranks) is done — loop storage stays O(2 x nodes) at
         # any iteration count.
-        prev_ids: set[int] = set()
+        # seed the freeing chain with the warm-start checkpoint (if
+        # any): round 1's free(prev_ids) releases it once superseded
+        prev_ids: set[int] = init_ids
         for it in range(iterations):
             contribs = (
                 w.join(ranks.withColumnRenamed("node", "src"), "src")
