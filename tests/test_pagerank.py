@@ -187,7 +187,6 @@ def test_concurrent_checkpoints_survive_pagerank(spark):
     )
     results: dict = {}
     errors: list = []
-    done = threading.Event()
 
     def run(name, fn):
         try:
@@ -219,7 +218,6 @@ def test_concurrent_checkpoints_survive_pagerank(spark):
         i += 1
     t_pr.join(timeout=300)
     t_cc.join(timeout=300)
-    done.set()
     assert not errors, errors
     assert len(bystanders) >= 3, "loops finished before any overlap happened"
 
