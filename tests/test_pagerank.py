@@ -338,3 +338,29 @@ def test_warm_start_handles_graph_deltas_and_garbage(spark):
     }
     for v in cold:
         assert g[v] == pytest.approx(cold[v], abs=1e-6), v
+
+
+def test_warm_start_composes_with_personalized_mode(spark):
+    """init_ranks + seeds: the personalized fixpoint is also unique,
+    so a warm start must land on the same answer — including nodes
+    with ZERO teleport share (non-seeds) missing from the init, which
+    start at 0 rather than a uniform share."""
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    cold = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=60, seeds=["a", "e"]).collect()
+    }
+    prev = pagerank(df, iterations=10, seeds=["a", "e"])
+    # drop one non-seed node from the stored vector (simulates a
+    # node that joined the graph since the last run)
+    partial = prev.filter(prev.node != "b")
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, iterations=60, seeds=["a", "e"], init_ranks=partial
+        ).collect()
+    }
+    assert set(warm) == set(cold)
+    for v in cold:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-7), v
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
