@@ -69,11 +69,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Keyed on applicationId (not id(spark)): CPython recycles object
     ids after GC, which could resurrect DataFrames bound to a dead
-    session."""
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    session. Entries keyed to any OTHER applicationId are evicted on
+    insert — only one SparkContext can be live per process, so a
+    different appId always means a stopped session whose DataFrame
+    handles are dead weight (a long-lived process cycling sessions
+    would otherwise grow the cache without bound)."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    for k in [k for k in _TABLE_CACHE if k[0] != app_id]:
+        del _TABLE_CACHE[k]
     df = _load(spark, sf_dir, name)
     _TABLE_CACHE[key] = df
     return df
@@ -95,11 +102,21 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # older driver builds stored TIMESTAMP(NANOS), which Spark's
         # reader rejects; read nanos as long and convert (floor-truncate
-        # to micros, matching DuckDB's read behavior)
+        # to micros, matching DuckDB's read behavior). The conf is
+        # needed at SCAN time too (the vectorized reader maps the
+        # physical type through it), so it can only be restored when
+        # the footer turns out NOT to be nanos — on current testdata
+        # (micros) the session conf is left exactly as found instead
+        # of being flipped permanently for every later parquet read.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     else:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]

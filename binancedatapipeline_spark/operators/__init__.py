@@ -12,6 +12,7 @@ from binancedatapipeline_spark.operators.wma import with_wma
 from binancedatapipeline_spark.operators.asof import asof_join
 from binancedatapipeline_spark.operators.components import connected_components
 from binancedatapipeline_spark.operators.pagerank import pagerank
+from binancedatapipeline_spark.operators._checkpoint import release
 from binancedatapipeline_spark.operators.layout import (
     compact_small_files,
     sorted_write,
@@ -27,6 +28,7 @@ __all__ = [
     "pagerank",
     "asof_join",
     "connected_components",
+    "release",
     "compact_small_files",
     "sorted_write",
     "zorder_write",

@@ -56,6 +56,56 @@ def local_checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     return out, checkpointed_rdd_ids(out)
 
 
+def checkpoint_leaf_ids(df: DataFrame) -> set[int]:
+    """Ids of every persisted ``LogicalRDD`` LEAF in ``df``'s analyzed
+    plan — unlike :func:`checkpointed_rdd_ids` (root-only, used inside
+    the loops) this finds checkpoints a result was DERIVED from
+    (``connected_components`` returns selects/joins over its fixpoint
+    checkpoint, so the root is not a ``LogicalRDD``). Empty set on any
+    plan-shape drift: skip, never mis-free."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        ids: set[int] = set()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName() == _LOGICAL_RDD:
+                ids.add(int(leaf.rdd().id()))
+        return ids
+    except Exception:  # pragma: no cover - py4j reflection drift
+        return set()
+
+
+def release(df: DataFrame) -> int:
+    """Free the ``localCheckpoint`` blocks backing a result returned by
+    :func:`~binancedatapipeline_spark.operators.pagerank.pagerank` or
+    :func:`~binancedatapipeline_spark.operators.components.connected_components`.
+
+    Those operators return eagerly-checkpointed DataFrames (truncated
+    lineage, node-sized block sets) — a session that ranks many graphs
+    accumulates one block set per call unless each result is released
+    once consumed. Call this AFTER the result has been written/collected:
+    a localCheckpoint's lineage is gone, so any action on the DataFrame
+    (or anything derived from it) after release fails — release is the
+    end of the result's life, not a cache hint.
+
+    Safe by construction: only ``LogicalRDD`` leaves of THIS DataFrame's
+    own plan are freed (never a registry diff), so concurrent jobs'
+    blocks cannot be touched. Returns the number of RDDs unpersisted
+    (0 when the plan shape is unrecognized — bounded leak over wrong
+    free, same contract as the in-loop cleanup)."""
+    ids = checkpoint_leaf_ids(df)
+    if not ids:
+        return 0
+    spark = df.sparkSession
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    freed = 0
+    for k in list(jmap.keySet().toArray()):
+        if int(k) in ids:
+            jmap.get(k).unpersist(False)
+            freed += 1
+    return freed
+
+
 def persistent_rdd_ids(spark) -> set[int]:
     """Snapshot of the context's persistent-RDD registry ids. For
     TESTS and diagnostics only (storage-bound pins) — never used to

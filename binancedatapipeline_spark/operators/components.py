@@ -109,7 +109,12 @@ def connected_components(
 
     Raises ``RuntimeError`` if the edge set has not reached a fixpoint
     after ``max_iterations`` alternating rounds (log₂-ish convergence
-    means real graphs finish in < 10)."""
+    means real graphs finish in < 10).
+
+    Storage: the result is derived from a persisted ``localCheckpoint``
+    of the fixpoint edges. Pass the returned DataFrame to
+    :func:`~binancedatapipeline_spark.operators.release` once consumed
+    to free those blocks (the DataFrame is unusable afterwards)."""
     from binancedatapipeline_spark.operators._checkpoint import (
         local_checkpoint,
         unpersist_ids,

@@ -82,7 +82,10 @@ def pagerank(
     valid start). The FIXPOINT is unchanged — warm-starting affects
     rounds-to-converge, never the answer; with a fixed ``iterations``
     and no ``tol`` the result differs from cold-start only by the
-    (smaller) residual error.
+    (smaller) residual error. Duplicate node rows in ``init_ranks``
+    are collapsed (max per node) before use, so a corrupted stored
+    vector can slow the warm start but never distort round 1's mass
+    accounting.
 
     ``on_iteration`` (callable ``(round_index, linf_delta | None)``)
     fires after each round — progress logging for long runs;
@@ -93,7 +96,13 @@ def pagerank(
     (duplicate edges are collapsed — a page linking the same target
     twice is one endorsement, the convention host-graph builders use).
     Nodes appearing only as targets (no outlinks) are ranked too;
-    their whole rank is dangling mass."""
+    their whole rank is dangling mass.
+
+    Storage: the returned ranks are a persisted ``localCheckpoint``
+    (node-sized block set). A session ranking many graphs should pass
+    each result to :func:`~binancedatapipeline_spark.operators.release`
+    once consumed — after which the DataFrame is dead (lineage
+    truncated; no further actions)."""
     if iterations < 1:
         raise ValueError(f"pagerank: iterations must be >= 1, got {iterations}")
     if not (0.0 < damping < 1.0):
@@ -184,9 +193,21 @@ def pagerank(
             # back to the teleport share too (a rank vector is
             # positive by construction; anything else is corruption,
             # and the teleport share is the safe neutral start).
-            ir = init_ranks.select(
-                F.col(init_ranks.columns[0]).alias("node"),
-                F.col(init_ranks.columns[1]).cast("double").alias("__r0"),
+            # collapse duplicate node rows BEFORE the join: a stored
+            # vector with repeated nodes (a botched upsert, a union of
+            # two snapshots) would otherwise fan out the tvec left
+            # join — double-counting that node in the normalization
+            # sum and in round 1's contributions/dangling mass (benign
+            # under tol, a silently-larger residual under fixed
+            # iterations). max() keeps one deterministic value; the
+            # renormalization below absorbs any scale.
+            ir = (
+                init_ranks.select(
+                    F.col(init_ranks.columns[0]).alias("node"),
+                    F.col(init_ranks.columns[1]).cast("double").alias("__r0"),
+                )
+                .groupBy("node")
+                .agg(F.max("__r0").alias("__r0"))
             )
             r0 = tvec.join(ir, "node", "left").select(
                 "node",
@@ -286,6 +307,8 @@ def pagerank(
     # truncated lineage — nothing the caller can do re-reads the loop
     # invariants, so everything except the final ranks' own blocks is
     # freed here (a caller ranking many graphs in one session would
-    # otherwise accumulate every graph's weight relation)
+    # otherwise accumulate every graph's weight relation). The final
+    # ranks' own blocks live until the caller passes the result to
+    # operators.release() once it is consumed.
     free(live_ids - prev_ids)
     return ranks

@@ -141,19 +141,32 @@ def conditional_put_manifest_writer(store, key_for_path=None):
     in-repo fake). ``key_for_path`` maps the export path to the
     manifest key (default: ``<path>/_MANIFEST.json``).
 
-    Crash-window semantics, both tested in tests/test_export.py:
+    Crash-window semantics, all tested in tests/test_export.py:
 
     * crash BEFORE the put (or the put itself fails): no manifest
       exists — the export is invisible to readers (read-side
       validation requires the manifest), and the retry that re-runs
       the whole export commits normally.
-    * crash AFTER the put, before the caller observed success: the
-      retry re-puts the SAME bytes; the precondition fails, the
-      content comparison recognizes the writer's own earlier commit,
-      and the retry returns success (idempotent replay).
-    * a DIFFERENT manifest at the key (another exporter won the
-      race, or the path was reused for a different corpus) raises —
-      never silently overwritten.
+    * crash AFTER the put, before the caller observed success, where
+      the retry re-puts the SAME bytes (the manifest dict survived in
+      memory, or a deterministic pipeline reproduced it exactly): the
+      precondition fails, the content comparison recognizes the
+      writer's own earlier commit, and the retry returns success
+      (idempotent replay).
+    * a manifest with DIFFERENT bytes at the key raises — never a
+      silent overwrite. NOTE this includes a retry that RE-RAN
+      ``write_training_shards`` after a post-commit crash: the
+      manifest embeds Spark part-file NAMES (task UUIDs differ per
+      attempt), so re-written bytes never match the committed ones
+      even when the corpus is identical. A full re-run after a
+      post-commit crash is therefore NOT a supported replay — the
+      first commit already won, and the raise says so: when the
+      committed manifest agrees with the retry on every
+      content-stable field (seed, shard count, per-shard rows/tokens)
+      the error message identifies it as an earlier commit of the
+      same export and points at ``read_training_shards`` for
+      verification; genuinely different content (another exporter, a
+      reused path) raises the plain conflict.
 
     The serialization is canonical (sorted keys) so byte equality is
     content equality across replays."""
@@ -167,14 +180,50 @@ def conditional_put_manifest_writer(store, key_for_path=None):
         data = json.dumps(manifest, sort_keys=True).encode("utf-8")
         if store.put_if_none_match(key, data):
             return
-        if store.get(key) == data:
+        existing = store.get(key)
+        if existing == data:
             return  # our own earlier commit — idempotent replay
+        if _stable_manifest_fields(existing) == _stable_manifest_fields(data):
+            # same seed/shards/rows/tokens, different file names: an
+            # earlier attempt of THIS export already committed and a
+            # re-run re-wrote the data under fresh task UUIDs. The
+            # COMMITTED manifest stays authoritative (returning
+            # success here would bless a manifest whose file lists no
+            # longer match the re-written directory) — fail loudly
+            # with the recovery route.
+            raise FileExistsError(
+                f"write_training_shards: {key} already holds a manifest "
+                f"for this same export (identical seed/shard/row/token "
+                f"content; only file names differ — a post-commit retry "
+                f"re-ran the writer). The first commit is authoritative; "
+                f"do not re-run the export against this path — verify it "
+                f"with read_training_shards instead"
+            )
         raise FileExistsError(
             f"write_training_shards: a DIFFERENT manifest is already "
             f"committed at {key}; refusing to overwrite"
         )
 
     return write
+
+
+def _stable_manifest_fields(data: bytes | None):
+    """Content-stable projection of a serialized manifest — everything
+    that identifies WHAT was exported (seed, sizing, per-shard
+    rows/tokens, totals) minus the per-attempt artifacts (part-file
+    names, which embed Spark task UUIDs). Two attempts of the same
+    export agree on this projection and on nothing finer."""
+    if data is None:
+        return None
+    try:
+        m = json.loads(data)
+    except ValueError:
+        return ("unparseable", data)
+    shards = [
+        {k: v for k, v in e.items() if k != "files"}
+        for e in m.get("shards", [])
+    ]
+    return {**{k: v for k, v in m.items() if k != "shards"}, "shards": shards}
 
 
 def write_training_shards(

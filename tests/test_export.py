@@ -322,3 +322,41 @@ def test_conditional_put_manifest_writer_protocol(spark, tmp_path):
     # the store's put really is create-if-absent, not overwrite
     assert store.put_if_none_match(key, b"x") is False
     assert store.get(key) != b"x"
+
+
+def test_conditional_put_rerun_after_commit_is_diagnosed(spark, tmp_path):
+    """Round 11 (ADVICE): a retry that RE-RAN write_training_shards
+    after a post-commit crash produces a manifest whose content-stable
+    fields match the committed one but whose part-file names differ
+    (fresh task UUIDs). The writer must not bless it (the committed
+    file lists are authoritative) — it raises the DIAGNOSED error
+    pointing at read_training_shards, distinct from the plain
+    different-manifest conflict."""
+    from binancedatapipeline_spark.textops.export import (
+        InMemoryConditionalStore,
+        conditional_put_manifest_writer,
+    )
+
+    docs = _docs(spark, 100)
+    store = InMemoryConditionalStore()
+    writer = conditional_put_manifest_writer(store)
+
+    path = str(tmp_path / "rerun")
+    m1 = write_training_shards(docs, path, n_shards=2, manifest_writer=writer)
+    key = f"{path}/_MANIFEST.json"
+
+    # simulate the post-commit retry: same corpus re-exported to a
+    # scratch dir (same seed/shards/rows, new part-file UUIDs), then
+    # its manifest re-put at the committed key
+    m2 = write_training_shards(
+        docs, str(tmp_path / "rerun_attempt2"), n_shards=2,
+        manifest_writer=lambda p, m: None,
+    )
+    stable = lambda m: {  # noqa: E731
+        **{k: v for k, v in m.items() if k != "shards"},
+        "shards": [{k: v for k, v in e.items() if k != "files"} for e in m["shards"]],
+    }
+    assert stable(m1) == stable(m2) and m1 != m2  # the exact ADVICE window
+    with pytest.raises(FileExistsError, match="read_training_shards"):
+        writer(path, m2)
+    assert json.loads(store.get(key).decode()) == m1  # first commit stands

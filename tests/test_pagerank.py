@@ -340,6 +340,120 @@ def test_warm_start_handles_graph_deltas_and_garbage(spark):
         assert g[v] == pytest.approx(cold[v], abs=1e-6), v
 
 
+def test_warm_start_duplicate_node_rows_collapse(spark):
+    """Round 11 (ADVICE): duplicate node rows in a stored init vector
+    must not fan out the warm-start join (double-counting that node in
+    the normalization and in round 1's mass). The guard collapses
+    duplicates by max-per-node BEFORE the join, so a duplicated vector
+    is bit-identical to its collapsed form even under FIXED iterations
+    (where the old fan-out silently inflated the residual)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    prev = pagerank(df, iterations=10)
+    # corrupt the stored vector: every node twice, once at 3x the value
+    dup = prev.unionByName(prev.select("node", (F.col("rank") * 3.0).alias("rank")))
+    clean = dup.groupBy("node").agg(F.max("rank").alias("rank"))
+    # fixed iterations, no tol — the regime where the fan-out used to
+    # distort the answer rather than just slow convergence
+    got_dup = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, init_ranks=dup).collect()
+    }
+    got_clean = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iterations=3, init_ranks=clean).collect()
+    }
+    assert got_dup == got_clean  # bit-identical, not approx
+    assert sum(got_dup.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_warm_start_warehouse_recrawl_roundtrip(spark, tmp_path):
+    """Round 11: the end-to-end recrawl pattern the warm start was
+    built for — rank this crawl's graph, upsert the ranks into a
+    warehouse table, and next tick warm-start from ``wh.read`` of that
+    table. The stored-vector path (real parquet round-trip through the
+    manifest-committed warehouse, PK upsert keeping one row per node)
+    must land on the current graph's fixpoint in a handful of rounds."""
+    from pyspark.sql import functions as F, types as T
+
+    from binancedatapipeline_spark.catalog import TableSpec
+    from binancedatapipeline_spark.warehouse import Warehouse
+
+    spec = TableSpec(
+        name="host_ranks",
+        primary_keys=("node",),
+        schema=T.StructType([
+            T.StructField("node", T.StringType()),
+            T.StructField("rank", T.DoubleType()),
+        ]),
+        kind="derived",
+        needs_incremental=False,
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_ranks"))
+
+    # tick 1: cold rank, store
+    wh.overwrite(spec, pagerank(spark.createDataFrame(EDGES, "src string, dst string"),
+                                iterations=40, tol=1e-10))
+    # tick 2: the graph grew a little (the recrawl delta)
+    cur = spark.createDataFrame(
+        EDGES + [("x", "c"), ("c", "y"), ("x", "y")], "src string, dst string"
+    )
+    rounds: list = []
+    warm = pagerank(
+        cur, iterations=80, tol=1e-10,
+        init_ranks=wh.read(spec).select("node", "rank"),
+        on_iteration=lambda i, d: rounds.append(d),
+    )
+    cold = {r["node"]: r["rank"] for r in pagerank(cur, iterations=80, tol=1e-10).collect()}
+    wp = {r["node"]: r["rank"] for r in warm.collect()}
+    assert set(wp) == set(cold)
+    for v in cold:
+        assert wp[v] == pytest.approx(cold[v], abs=1e-7), v
+    # store tick 2's ranks back (PK upsert: existing nodes replaced,
+    # new nodes x/y inserted) and verify one row per node survives
+    wh.upsert(spec, warm)
+    stored = wh.read(spec)
+    assert stored.count() == stored.select("node").distinct().count() == len(cold)
+    assert {r["node"] for r in stored.collect()} == set(cold)
+
+
+def test_release_frees_result_blocks_across_many_graphs(spark):
+    """Round 11: operators.release(df) is the public unpersist path for
+    returned checkpoints — a session ranking many graphs frees each
+    result once consumed, so the persistent-RDD registry returns to its
+    baseline instead of accumulating one node-sized block set per call
+    (pagerank) / per fixpoint (connected_components)."""
+    from pyspark.sql import functions as F
+
+    from binancedatapipeline_spark.operators import release
+    from binancedatapipeline_spark.operators._checkpoint import persistent_rdd_ids
+    from binancedatapipeline_spark.operators.components import connected_components
+
+    before = persistent_rdd_ids(spark)
+    results = []
+    for g in range(3):
+        edges = spark.range(1000).select(
+            F.pmod(F.xxhash64("id", F.lit(g)), 120).alias("src"),
+            F.pmod(F.xxhash64("id", F.lit(g + 100)), 120).alias("dst"),
+        )
+        ranks = pagerank(edges, iterations=5)
+        assert abs(sum(r["rank"] for r in ranks.collect()) - 1.0) < 1e-9
+        results.append(ranks)
+    comps = connected_components(
+        spark.range(50).select(F.col("id").alias("src"), (F.col("id") % 7).alias("dst"))
+    )
+    comps.collect()
+    results.append(comps)
+
+    assert persistent_rdd_ids(spark) - before != set()  # results do pin blocks
+    freed = sum(release(df) for df in results)
+    assert freed >= len(results)  # every result had blocks to free
+    assert persistent_rdd_ids(spark) - before == set()  # registry back to baseline
+    # releasing an already-released / checkpoint-free DataFrame is a no-op
+    assert release(spark.range(3)) == 0
+
+
 def test_warm_start_composes_with_personalized_mode(spark):
     """init_ranks + seeds: the personalized fixpoint is also unique,
     so a warm start must land on the same answer — including nodes
