@@ -26,6 +26,35 @@ import __spark_entry__ as entry_mod
 from binancedatapipeline_spark.session import get_session
 
 
+def host_calibration(repeats: int = 3) -> float:
+    """Pinned CPU-bound probe (seconds, best of ``repeats``): a fixed
+    sha256 keystream + a fixed numpy matmul, no Spark anywhere. Round
+    10 proved ±24% day-to-day CPU-delivery swings on this microVM host
+    by hand-re-benching an old tree; this bakes the denominator into
+    every sample — compare composites across rounds as
+    value/host_calibration, not raw seconds. The workload is
+    deterministic (fixed bytes, fixed seed), single-threaded, and
+    sized ~1s on the reference host day."""
+    import hashlib
+
+    import numpy as np
+
+    best = float("inf")
+    rng_mat = np.random.default_rng(42).standard_normal((512, 512))
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        block = b"\x5a" * (1 << 20)
+        for _ in range(576):  # 576 MiB of sha256
+            h.update(block)
+        acc = rng_mat
+        for _ in range(72):
+            acc = acc @ rng_mat
+            acc = acc / np.abs(acc).max()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -107,6 +136,10 @@ def main() -> None:
                 runs.append(time.perf_counter() - t0)
             isolated[name] = round(min(runs), 4)
 
+    # calibration measured AFTER the timed passes (same host window as
+    # the samples it normalizes; measuring before would still be fine,
+    # but after avoids pre-warming the page cache the first queries use)
+    calib = host_calibration()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "total_query_sec",
@@ -116,6 +149,10 @@ def main() -> None:
         "queries_median": medians,
         "value_median": round(sum(medians.values()), 4),
         "sf": sf,
+        # host-speed denominator: cross-round composites should be
+        # compared as value / host_calibration (round-10 finding:
+        # ±24% day swings in the microVM's CPU delivery)
+        "host_calibration": calib,
     }
     if isolated:
         out["queries_isolated"] = isolated

@@ -103,11 +103,43 @@ def test_multimodal_decode_plumbing(spark):
     )
 
 
-def test_multimodal_real_decode_raises(spark):
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="with Pillow installed the real decoder runs")
+def test_multimodal_real_decode_raises_without_pillow(spark):
+    """Where Pillow is absent, fake=False must fail loudly at the
+    documented plug point — never silently fall back to the fake."""
     media = spark.createDataFrame([(0, b"xx", None)],
                                   "media_id long, content binary, meta string")
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         decode_and_featurize(media.drop("meta"), fake=False).collect()
+
+
+@pytest.mark.skipif(not _pil_available(), reason="Pillow not installed in this env")
+def test_multimodal_real_decode_with_pillow(spark):
+    """Round 11: the optional-dependency REAL decoder, exercised where
+    Pillow exists — a synthesized solid-color PNG decodes through the
+    same Arrow kernel to the expected constant pixel tensor, with the
+    same schema/shape contract as the fake."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (16, 16), (200, 100, 50)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame([(0, png)], "media_id long, content binary")
+    feats = decode_and_featurize(media, out_hw=(4, 4), fake=False).toPandas()
+    assert len(feats) == 1 and len(feats["feature"].iloc[0]) == 4 * 4 * 3
+    vec = np.array(feats["feature"].iloc[0]).reshape(4, 4, 3) * 255.0
+    assert np.allclose(vec[..., 0], 200, atol=1) and np.allclose(vec[..., 1], 100, atol=1)
+    assert feats["mean_intensity"].iloc[0] == pytest.approx((200 + 100 + 50) / 3, abs=1.0)
 
 
 def test_frame_sampling(spark):

@@ -45,6 +45,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
 
+    from bench import host_calibration
+
     out = {
         "metric": "duckdb_total_query_sec",
         "value": round(sum(timings.values()), 4),
@@ -53,9 +55,15 @@ def main() -> None:
         "sf": sf,
         "duckdb_version": duckdb.__version__,
         "n_queries": len(timings),
+        # same pinned CPU probe as bench.py: cross-day ratios should
+        # divide through by each sample's own host_calibration
+        "host_calibration": host_calibration(),
     }
     print(json.dumps(out))
-    if "--write" in sys.argv:
+    if "--out" in sys.argv:
+        with open(sys.argv[sys.argv.index("--out") + 1], "w") as f:
+            json.dump(out, f, indent=1)
+    elif "--write" in sys.argv:
         root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         with open(os.path.join(root, "BASELINE_duckdb.json"), "w") as f:
             json.dump(out, f, indent=1)
