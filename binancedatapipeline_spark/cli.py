@@ -148,6 +148,19 @@ def build_parser() -> argparse.ArgumentParser:
         "run again to redo)",
     )
     rb.add_argument("--table", required=True)
+
+    fl = sub.add_parser(
+        "fit-langid",
+        help="fit language-ID n-gram profiles from a labeled corpus and "
+        "persist them as a model table (models.save_language_profiles) — "
+        "downstream jobs and the streaming curation sink then LOAD the "
+        "stored profiles instead of refitting per run",
+    )
+    fl.add_argument("--corpus", required=True,
+                    help="parquet path with (lang, text) columns")
+    fl.add_argument("--out", required=True, help="model directory to create")
+    fl.add_argument("--top-k", type=int, default=300)
+    fl.add_argument("--overwrite", action="store_true")
     return p
 
 
@@ -198,4 +211,17 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
     elif args.command == "rollback":
         pipe.warehouse.rollback(args.table)
         out(f"{args.table}: rolled back to the previous version")
+    elif args.command == "fit-langid":
+        from binancedatapipeline_spark import models
+        from binancedatapipeline_spark.textops.langid import (
+            train_language_profiles,
+        )
+
+        corpus = spark.read.parquet(args.corpus)
+        profiles = train_language_profiles(corpus, top_k=args.top_k)
+        models.save_language_profiles(
+            profiles, args.out, overwrite=args.overwrite
+        )
+        n = spark.read.parquet(f"{args.out.rstrip('/')}/data").count()
+        out(f"fit-langid: {n} profile rows saved to {args.out}")
     return 0

@@ -112,3 +112,44 @@ def test_rollback_verb_restores_previous_version(spark, wh_root):
     )
     assert rc == 0
     assert sorted(tuple(r) for r in wh.read(spec).collect()) == before
+
+
+def test_fit_langid_verb_persists_loadable_model(spark, wh_root, tmp_path):
+    """Round 11: the fit-langid verb fits profiles from a labeled
+    corpus and persists them through the models seam; the saved model
+    loads back and classifies."""
+    from binancedatapipeline_spark import models
+    from binancedatapipeline_spark.textops.langid import classify_language
+
+    corpus = str(tmp_path / "labeled")
+    spark.createDataFrame(
+        [("en", "the quick brown fox jumps over the lazy dog near the river"),
+         ("es", "el rapido zorro marron salta sobre el perro perezoso junto")],
+        ["lang", "text"],
+    ).write.parquet(corpus)
+    model_dir = str(tmp_path / "langid_model")
+    lines = []
+    rc = cli.main(
+        ["--warehouse", wh_root, "fit-langid", "--corpus", corpus,
+         "--out", model_dir, "--top-k", "100"],
+        spark=spark,
+        out=lines.append,
+    )
+    assert rc == 0
+    assert any("profile rows saved" in l for l in lines)
+    lp = models.load_language_profiles(spark, model_dir, collected=True)
+    docs = spark.createDataFrame(
+        [(1, "the dog jumps over the brown fox"),
+         (2, "el perro salta sobre el zorro marron")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["lang_id"] for r in classify_language(docs, lp).collect()}
+    assert got == {1: "en", 2: "es"}
+    # immutable by default: a second fit without --overwrite fails
+    with pytest.raises(Exception):
+        cli.main(
+            ["--warehouse", wh_root, "fit-langid", "--corpus", corpus,
+             "--out", model_dir],
+            spark=spark,
+            out=lines.append,
+        )
