@@ -34,6 +34,12 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     oracles = entry_mod.oracle_sql()
+    # subset filter, mirroring bench.py's knob (trend probes at large
+    # SF run a curated subset; the composite is then not comparable)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        oracles = {k: v for k, v in oracles.items() if k in keep}
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name, sql in oracles.items():

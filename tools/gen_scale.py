@@ -172,9 +172,14 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", required=True)
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--threads", type=int, default=None,
+                    help="cap duckdb threads (polite generation next to "
+                    "other work; default: duckdb's own)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    if args.threads:
+        con.execute(f"PRAGMA threads={int(args.threads)}")
     counts = _counts(con, args.src)
     tile_relational(con, args.src, args.out, args.copies, counts)
     tile_documents(con, args.src, args.out, args.copies, counts)
