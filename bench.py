@@ -125,6 +125,11 @@ def main() -> None:
     # keep the min — this is the number plan-work should be judged
     # against; best<<isolated in the same file flags co-tenant noise
     # without prose. Disable with SPARK_GRAFT_BENCH_ISOLATED=0.
+    # Caveat at larger SF (round 11): these probes run AFTER the full
+    # round-robin, so on big-memory runs an early query's isolated
+    # sample can sit ABOVE its in-run best (populated GC regions /
+    # code cache). Per-query intrinsic cost = min(best, isolated);
+    # tools/compare_scales.py implements exactly that.
     isolated: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         for name, fn in queries.items():
