@@ -124,3 +124,27 @@ def test_all_queries_run_under_default_session_and_any_tz():
         "timestamp-sensitive results drift with the driver machine TZ: "
         f"{ {k: (utc['fp'].get(k), ny['fp'].get(k)) for k in set(utc['fp']) | set(ny['fp']) if utc['fp'].get(k) != ny['fp'].get(k)} }"
     )
+
+
+def test_table_cache_evicts_dead_sessions_and_restores_nanos_conf(spark):
+    """Round 11 hygiene pins: (a) `_t`'s memo evicts entries keyed to a
+    stopped session's applicationId on the next insert (a long-lived
+    process cycling sessions must not grow the cache without bound);
+    (b) loading `events` leaves the session-global nanosAsLong conf
+    exactly as found when the footer is NOT nanos (it used to flip it
+    permanently for every later parquet read)."""
+    import __spark_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    E._TABLE_CACHE[("dead-app-id", sf, "orders")] = E._t(spark, sf, "orders")
+    ev = E._t(spark, sf, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # conf restored (current testdata is micros, so the flag must not stick)
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) == prior
+    # the dead-session entry was evicted by the live session's insert
+    assert ("dead-app-id", sf, "orders") not in E._TABLE_CACHE
+    app_id = spark.sparkContext.applicationId
+    assert all(k[0] == app_id for k in E._TABLE_CACHE)
+    # events still executes end-to-end with the conf restored
+    assert ev.count() > 0
