@@ -531,7 +531,17 @@ def q_groupby_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: tumbling-window re-aggregation (1h bars from raw events)."""
+    """T5: tumbling-window re-aggregation (1h bars from raw events).
+
+    avg_value is rounded to 6dp ON THE INTEGER GRID — half-up in exact
+    integer arithmetic ((cents·2·10⁴ + n) div 2n), then one exact
+    division by 10⁶ — rather than round(double, 6): at sf1 group sizes
+    the double quotient lands exactly on 6dp rounding boundaries for a
+    few groups, where Spark's BigDecimal HALF_UP (on the double's full
+    binary expansion) and DuckDB's round disagree by 1 ulp of the 6th
+    decimal (caught by the round-11 sf1 differential: 2/3600 rows off
+    by 1e-6). Integer div is bit-identical across engines at any
+    scale."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
@@ -540,8 +550,13 @@ def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r6(_dsum("value", "decimal(18,2)")).alias("sum_value"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
-            _r6(_dsum("value", "decimal(18,2)") / F.count(F.lit(1))).alias("avg_value"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("__cents"),
         )
+        .withColumn(
+            "avg_value",
+            F.expr("(__cents * 20000 + n) div (2 * n)").cast("double") / F.lit(1e6),
+        )
+        .drop("__cents")
     )
 
 
@@ -1756,7 +1771,10 @@ SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        round((sum(value::DECIMAL(18,2)))::DOUBLE, 6) AS sum_value,
        min(value) AS min_value,
        max(value) AS max_value,
-       round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
+       -- 6dp half-up on the integer cent grid (matches the Spark
+       -- side's exact-integer rounding; see q_events_hourly_rollup)
+       ((sum(CAST(round(value * 100) AS BIGINT)) * 20000 + count(*))
+        // (2 * count(*)))::DOUBLE / 1e6 AS avg_value
 FROM events GROUP BY 1, 2
 """,
         "asof_join": """
