@@ -7,9 +7,12 @@ Before this seam every production job refit its models per run:
 language-ID profiles (a full corpus aggregation — about half of the
 heaviest registry query), BPE merge ranks (a corpus word-count +
 driver merge loop), the unigram LM, DSIR log-ratios, SQ min/scale
-params, IVF centroids, PQ/OPQ codebooks. Each of those is a bounded
-relation or small matrix by construction, so each round-trips through
-ONE parquet table plus a tiny JSON sidecar:
+params, IVF centroids, PQ/OPQ codebooks, and the trained quality
+classifier (whose data half is a pyspark.ml writer dir instead of a
+parquet relation — same sidecar, see the wrappers at the bottom).
+Each artifact is a bounded relation or small matrix by construction,
+so each round-trips through ONE parquet table plus a tiny JSON
+sidecar:
 
     <path>/model.json   kind, format version, fit params (the sidecar
                         a loader validates against before trusting
@@ -333,3 +336,20 @@ def load_opq_rotation(spark: SparkSession, path: str) -> np.ndarray:
     for r in df.collect():
         out[r["i"]] = r["vec"]
     return out
+
+
+# ----------------------------------------------- quality classifier
+
+def save_quality_classifier(model, path: str, overwrite: bool = False) -> dict:
+    """Persist a :func:`textops.quality_clf.train_quality_classifier`
+    fit. Same sidecar discipline as every other artifact; the data
+    half is the pyspark.ml writer dir (``<path>/lr``) rather than a
+    ``data/`` parquet relation — an ml model is already its own
+    storable form."""
+    return model.save(path, overwrite=overwrite)
+
+
+def load_quality_classifier(spark: SparkSession, path: str):
+    from binancedatapipeline_spark.textops.quality_clf import QualityClassifier
+
+    return QualityClassifier.load(spark, path)

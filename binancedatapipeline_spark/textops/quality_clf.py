@@ -49,29 +49,83 @@ class QualityClassifier:
     n_max: int
     text_col: str
 
-    def save(self, path: str) -> None:
-        self.model.write().overwrite().save(f"{path}/lr")
+    KIND = "quality_classifier"
+
+    def save(self, path: str, overwrite: bool = False) -> dict:
+        """Persist under the :mod:`binancedatapipeline_spark.models` seam layout:
+        ``<path>/lr`` (the pyspark.ml writer — this artifact's natural
+        form is an ml model dir, not a ``data/`` parquet relation) plus
+        the standard kind-checked ``model.json`` sidecar carrying the
+        featurization params. Sidecar is written LAST (manifest-last
+        commit order), and save is immutable-artifact like every other
+        ``save_*``: fails if the path already holds a model unless
+        ``overwrite=True``."""
+        from binancedatapipeline_spark import models
+
         # getActiveSession() can be None off the driver thread; fall
-        # back to the builder's singleton rather than letting an
-        # opaque AttributeError escape from createDataFrame
+        # back to the builder's singleton
         spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
-        meta = spark.createDataFrame(
-            [(int(self.num_features), int(self.n_max), self.text_col)],
-            "num_features long, n_max int, text_col string",
-        )
-        meta.coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+        fs, _ = models._fs(spark, path)
+        sidecar = spark._jvm.org.apache.hadoop.fs.Path(path, models.META)
+        if fs.exists(sidecar) and not overwrite:
+            raise FileExistsError(
+                f"QualityClassifier.save: {path} already holds a saved "
+                "model (pass overwrite=True to replace)"
+            )
+        writer = self.model.write()
+        if overwrite:
+            writer = writer.overwrite()
+        writer.save(f"{path}/lr")
+        meta = {
+            "format_version": models.FORMAT_VERSION,
+            "kind": self.KIND,
+            "params": {
+                "num_features": int(self.num_features),
+                "n_max": int(self.n_max),
+                "text_col": self.text_col,
+            },
+        }
+        models._write_meta(spark, path, meta)
+        return meta
 
     @classmethod
     def load(cls, spark: SparkSession, path: str) -> "QualityClassifier":
+        """Validates the sidecar's kind/format before trusting the ml
+        dir (loading e.g. a langid-profile path here fails loudly, not
+        as an opaque ml reader error). Artifacts saved by the pre-seam
+        layout (``meta/`` JSON dir, no sidecar) still load."""
         from pyspark.ml.classification import LogisticRegressionModel
 
+        from binancedatapipeline_spark import models
+
+        try:
+            meta = models._read_meta(spark, path)
+        except FileNotFoundError:
+            # pre-seam layout: params in a meta/ JSON relation
+            row = spark.read.json(f"{path}/meta").first()
+            params = {
+                "num_features": int(row["num_features"]),
+                "n_max": int(row["n_max"]),
+                "text_col": row["text_col"],
+            }
+        else:
+            if meta.get("kind") != cls.KIND:
+                raise ValueError(
+                    f"QualityClassifier.load: {path} holds a "
+                    f"{meta.get('kind')!r} model, expected {cls.KIND!r}"
+                )
+            if int(meta.get("format_version", -1)) > models.FORMAT_VERSION:
+                raise ValueError(
+                    f"QualityClassifier.load: {path} was written by a newer "
+                    f"format (v{meta['format_version']} > v{models.FORMAT_VERSION})"
+                )
+            params = meta["params"]
         model = LogisticRegressionModel.load(f"{path}/lr")
-        row = spark.read.json(f"{path}/meta").first()
         return cls(
             model=model,
-            num_features=int(row["num_features"]),
-            n_max=int(row["n_max"]),
-            text_col=row["text_col"],
+            num_features=int(params["num_features"]),
+            n_max=int(params["n_max"]),
+            text_col=params["text_col"],
         )
 
 

@@ -125,3 +125,57 @@ def test_save_load_roundtrip_scores_identically(spark, model_and_eval, tmp_path)
         for r in quality_clf.score_quality(hold, loaded).collect()
     }
     assert a == b
+
+
+def test_save_is_seam_aligned_kind_checked_and_immutable(spark, model_and_eval, tmp_path):
+    """Round 11: the classifier rides the models.py seam — standard
+    kind-checked model.json sidecar, immutable-artifact save, loud
+    cross-kind load failure in BOTH directions."""
+    from binancedatapipeline_spark import models
+
+    model, hold = model_and_eval
+    path = str(tmp_path / "clf")
+    meta = models.save_quality_classifier(model, path)
+    assert meta["kind"] == "quality_classifier"
+    # immutable unless overwrite=True — same contract as every save_*
+    with pytest.raises(FileExistsError):
+        model.save(path)
+    models.save_quality_classifier(model, path, overwrite=True)
+
+    loaded = models.load_quality_classifier(spark, path)
+    assert (loaded.num_features, loaded.n_max, loaded.text_col) == (
+        model.num_features, model.n_max, model.text_col
+    )
+    # wrong-kind loads fail at the sidecar, not as opaque reader errors
+    with pytest.raises(ValueError, match="quality_classifier"):
+        models.load_model(spark, path, "language_profiles")
+    prof_path = str(tmp_path / "not_a_clf")
+    models.save_model(
+        spark.range(1).selectExpr("'en' lang", "'th' gram", "1.0 freq"),
+        prof_path, kind="language_profiles",
+    )
+    with pytest.raises(ValueError, match="language_profiles"):
+        quality_clf.QualityClassifier.load(spark, prof_path)
+
+
+def test_load_accepts_pre_seam_layout(spark, model_and_eval, tmp_path):
+    """Artifacts saved by the pre-round-11 layout (meta/ JSON relation,
+    no model.json) still load and score identically."""
+    model, hold = model_and_eval
+    path = str(tmp_path / "legacy")
+    model.model.write().overwrite().save(f"{path}/lr")
+    spark.createDataFrame(
+        [(int(model.num_features), int(model.n_max), model.text_col)],
+        "num_features long, n_max int, text_col string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/meta")
+
+    loaded = quality_clf.QualityClassifier.load(spark, path)
+    a = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_clf.score_quality(hold, model).collect()
+    }
+    b = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_clf.score_quality(hold, loaded).collect()
+    }
+    assert a == b
