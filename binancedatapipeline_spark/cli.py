@@ -161,6 +161,36 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--out", required=True, help="model directory to create")
     fl.add_argument("--top-k", type=int, default=300)
     fl.add_argument("--overwrite", action="store_true")
+
+    fq = sub.add_parser(
+        "fit-quality",
+        help="fit the fastText-style quality classifier from labeled "
+        "parquet corpora and persist it through the model seam "
+        "(models.save_quality_classifier); scoring jobs then LOAD the "
+        "stored classifier instead of refitting per run",
+    )
+    fq.add_argument("--positive", required=True,
+                    help="parquet path of reference-quality documents (text column)")
+    fq.add_argument("--negative", required=True,
+                    help="parquet path of crawl-junk documents (text column)")
+    fq.add_argument("--out", required=True, help="model directory to create")
+    fq.add_argument("--text-col", default="text")
+    fq.add_argument("--num-features", type=int, default=1 << 18)
+    fq.add_argument("--max-iter", type=int, default=50)
+    fq.add_argument("--overwrite", action="store_true")
+
+    fb = sub.add_parser(
+        "fit-bpe",
+        help="learn BPE merges from a corpus and persist the ordered "
+        "merge list (models.save_bpe_merges) — tokenization jobs load "
+        "the stored merges instead of re-running the corpus word count",
+    )
+    fb.add_argument("--corpus", required=True,
+                    help="parquet path with a text column")
+    fb.add_argument("--out", required=True, help="model directory to create")
+    fb.add_argument("--text-col", default="text")
+    fb.add_argument("--num-merges", type=int, default=100)
+    fb.add_argument("--overwrite", action="store_true")
     return p
 
 
@@ -224,4 +254,32 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
         )
         n = spark.read.parquet(f"{args.out.rstrip('/')}/data").count()
         out(f"fit-langid: {n} profile rows saved to {args.out}")
+    elif args.command == "fit-quality":
+        from binancedatapipeline_spark import models
+        from binancedatapipeline_spark.textops.quality_clf import (
+            train_quality_classifier,
+        )
+
+        clf = train_quality_classifier(
+            spark.read.parquet(args.positive),
+            spark.read.parquet(args.negative),
+            text_col=args.text_col,
+            num_features=args.num_features,
+            max_iter=args.max_iter,
+        )
+        models.save_quality_classifier(clf, args.out, overwrite=args.overwrite)
+        out(f"fit-quality: classifier ({args.num_features} features, "
+            f"n_max={clf.n_max}) saved to {args.out}")
+    elif args.command == "fit-bpe":
+        from binancedatapipeline_spark import models
+        from binancedatapipeline_spark.textops.bpe import train_bpe
+
+        merges = train_bpe(
+            spark.read.parquet(args.corpus),
+            text_col=args.text_col,
+            num_merges=args.num_merges,
+        )
+        models.save_bpe_merges(spark, merges, args.out,
+                               overwrite=args.overwrite)
+        out(f"fit-bpe: {len(merges)} merges saved to {args.out}")
     return 0

@@ -153,3 +153,75 @@ def test_fit_langid_verb_persists_loadable_model(spark, wh_root, tmp_path):
             spark=spark,
             out=lines.append,
         )
+
+
+def test_fit_quality_verb_persists_loadable_classifier(spark, wh_root, tmp_path):
+    """Round 11: fit-quality trains the supervised filter from labeled
+    parquet corpora and persists it through the seam; the stored
+    classifier loads back and separates held-out docs."""
+    import random
+
+    from binancedatapipeline_spark import models
+    from binancedatapipeline_spark.textops.quality_clf import score_quality
+
+    rng = random.Random(7)
+    good = ["science", "method", "theory", "evidence", "study", "analysis"]
+    bad = ["click", "free", "winner", "casino", "pills", "offer"]
+    doc = lambda v: " ".join(rng.choice(v) for _ in range(20))
+    pos = str(tmp_path / "pos")
+    neg = str(tmp_path / "neg")
+    spark.createDataFrame(
+        [(f"p{i}", doc(good)) for i in range(60)], ["doc_id", "text"]
+    ).write.parquet(pos)
+    spark.createDataFrame(
+        [(f"n{i}", doc(bad)) for i in range(60)], ["doc_id", "text"]
+    ).write.parquet(neg)
+    model_dir = str(tmp_path / "clf_model")
+    lines = []
+    rc = cli.main(
+        ["--warehouse", wh_root, "fit-quality", "--positive", pos,
+         "--negative", neg, "--out", model_dir,
+         "--num-features", str(1 << 10), "--max-iter", "10"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0
+    assert any("saved to" in l for l in lines)
+    clf = models.load_quality_classifier(spark, model_dir)
+    hold = spark.createDataFrame(
+        [("g", doc(good)), ("b", doc(bad))], ["doc_id", "text"]
+    )
+    probs = {r["doc_id"]: r["quality_prob"]
+             for r in score_quality(hold, clf).collect()}
+    assert probs["g"] > 0.5 > probs["b"]
+    with pytest.raises(Exception):
+        cli.main(
+            ["--warehouse", wh_root, "fit-quality", "--positive", pos,
+             "--negative", neg, "--out", model_dir],
+            spark=spark, out=lines.append,
+        )
+
+
+def test_fit_bpe_verb_persists_ordered_merges(spark, wh_root, tmp_path):
+    """Round 11: fit-bpe learns merges once and persists the ordered
+    list; loading gives back the exact train_bpe result."""
+    from binancedatapipeline_spark import models
+    from binancedatapipeline_spark.textops.bpe import train_bpe
+
+    corpus = str(tmp_path / "bpe_corpus")
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide wider widest") for i in range(8)],
+        ["doc_id", "text"],
+    )
+    df.write.parquet(corpus)
+    model_dir = str(tmp_path / "bpe_model")
+    lines = []
+    rc = cli.main(
+        ["--warehouse", wh_root, "fit-bpe", "--corpus", corpus,
+         "--out", model_dir, "--num-merges", "20"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0
+    assert any("merges saved" in l for l in lines)
+    loaded = models.load_bpe_merges(spark, model_dir)
+    expected = train_bpe(df, num_merges=20)
+    assert loaded == expected
