@@ -15,10 +15,13 @@ Three strategies:
   The scale path: the bucket join prunes the scan to a small
   fraction of the corpus.
 - ``ivf_topk``: inverted-file index — k-means centroids trained on a
-  bounded driver-side sample (the standard IVF train step), corpus
-  vectors assigned to their nearest centroid by an Arrow-batched
-  pandas UDF (one numpy matmul per batch), queries probe only the
-  ``nprobe`` nearest cells, exact cosine re-rank inside probed cells.
+  bounded driver-side sample (the standard IVF train step; a
+  full-corpus pyspark.ml KMeans variant,
+  ``train_ivf_centroids_distributed``, is the 100 TB path when the
+  sample would misplace cells), corpus vectors assigned to their
+  nearest centroid by an Arrow-batched pandas UDF (one numpy matmul
+  per batch), queries probe only the ``nprobe`` nearest cells, exact
+  cosine re-rank inside probed cells.
 
 Hyperplanes/centroids derive from seeded generators — no state,
 reproducible anywhere.
@@ -335,6 +338,44 @@ def train_ivf_centroids(
             members = sample[assign == c]
             if len(members):
                 cent[c] = members.mean(axis=0)
+    return cent / np.linalg.norm(cent, axis=1, keepdims=True)
+
+
+def train_ivf_centroids_distributed(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Full-corpus k-means — the 100 TB IVF train path.
+
+    :func:`train_ivf_centroids` is the FAISS-style default (Lloyd's on
+    a bounded driver sample, O(sample) always); use THIS variant when
+    the corpus distribution is skewed enough that a 10k sample
+    misplaces cells. It runs Lloyd's over EVERY vector via pyspark.ml
+    KMeans: assignment and the per-cluster running sums are JVM-side
+    with map-side partial aggregation, so each iteration shuffles
+    n_cells × dim running sums per partition — never the corpus — and
+    the driver only ever holds the (n_cells, dim) centroid matrix.
+
+    Vectors are L2-normalized in the plan first, which makes Euclidean
+    Lloyd's equivalent to the spherical/cosine k-means the sampled
+    trainer runs (on the unit sphere argmin ‖x−c‖ == argmax x·c);
+    the returned centroids are re-normalized, so the output is a
+    drop-in for :func:`with_ivf_cell` / :func:`ivf_topk` /
+    ``models.save_ivf_centroids`` exactly like the sampled variant."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm(vec_col)
+    )
+    feats = corpus.select(array_to_vector(unit).alias("features"))
+    model = KMeans(
+        k=n_cells, maxIter=iters, seed=seed, featuresCol="features"
+    ).fit(feats)
+    cent = np.array(model.clusterCenters(), dtype=np.float64)
     return cent / np.linalg.norm(cent, axis=1, keepdims=True)
 
 

@@ -314,3 +314,74 @@ def test_ivfpq_opq_end_to_end_recall(spark):
         len(exact_sets[q] & approx_sets.get(q, set())) / 10 for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5
+
+
+# ------------------------------- distributed IVF training (round 11)
+
+
+def test_distributed_ivf_centroids_drop_in_and_separate_clusters(spark):
+    """Round 11: the full-corpus KMeans train path returns the same
+    artifact shape as the sampled trainer (unit-norm (n_cells, dim)),
+    separates planted clusters with purity 1, and is a drop-in for
+    ivf_topk — recall parity with the exact baseline on planted
+    near-neighbors."""
+    from binancedatapipeline_spark.similarity import (
+        train_ivf_centroids_distributed,
+        with_ivf_cell,
+    )
+
+    # orthogonal planted clusters: center c_j = 4·e_{4j} with small
+    # noise — separable enough that Lloyd's global optimum is the
+    # planted partition regardless of k-means|| init (a random-center
+    # corpus can legitimately converge to a merged-cell local optimum,
+    # which is an init property, not a trainer defect)
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(240):
+        c = i % 8
+        v = np.zeros(DIM)
+        v[4 * c] = 4.0
+        v += rng.standard_normal(DIM) * 0.2
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = train_ivf_centroids_distributed(corpus, n_cells=8, iters=8)
+    assert cent.shape[1] == DIM and cent.shape[0] == 8
+    assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+
+    # _corpus plants 8 clusters at vec_id % 8 — every planted cluster
+    # must land whole in one cell and no two clusters may share one
+    cells = with_ivf_cell(corpus, cent, "embedding").collect()
+    planted_to_cells = {}
+    for r in cells:
+        planted_to_cells.setdefault(r["vec_id"] % 8, set()).add(r["cell"])
+    assert all(len(s) == 1 for s in planted_to_cells.values())
+    assert len({next(iter(s)) for s in planted_to_cells.values()}) == 8
+
+    # drop-in to ivf_topk: top-1 matches the exact baseline per query
+    from binancedatapipeline_spark.similarity import ivf_topk
+
+    queries = _queries(spark, corpus.collect(), ids=(3, 57, 130))
+    got = ivf_topk(
+        corpus, queries, k=1, n_cells=8, nprobe=2, centroids=cent
+    ).collect()
+    exact = cosine_topk(corpus, queries, k=1).collect()
+    assert {r["query_id"]: r["vec_id"] for r in got} == {
+        r["query_id"]: r["vec_id"] for r in exact
+    }
+
+
+def test_distributed_ivf_centroids_roundtrip_models_seam(spark, tmp_path):
+    """The distributed trainer's output persists through the same
+    save_ivf_centroids/load_ivf_centroids seam, bit-identical."""
+    from binancedatapipeline_spark import models
+    from binancedatapipeline_spark.similarity import (
+        train_ivf_centroids_distributed,
+    )
+
+    corpus = _corpus(spark, n=120)
+    cent = train_ivf_centroids_distributed(corpus, n_cells=4, iters=5)
+    path = str(tmp_path / "ivf_dist")
+    models.save_ivf_centroids(spark, cent, path)
+    loaded = models.load_ivf_centroids(spark, path)
+    assert np.array_equal(loaded, cent)
