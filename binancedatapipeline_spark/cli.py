@@ -161,6 +161,9 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("--out", required=True, help="model directory to create")
     fl.add_argument("--top-k", type=int, default=300)
     fl.add_argument("--overwrite", action="store_true")
+    fl.add_argument("--register", metavar="NAME", default=None,
+                    help="also register the artifact in the warehouse "
+                    "model_registry under NAME (auto-incremented version)")
 
     fq = sub.add_parser(
         "fit-quality",
@@ -178,6 +181,8 @@ def build_parser() -> argparse.ArgumentParser:
     fq.add_argument("--num-features", type=int, default=1 << 18)
     fq.add_argument("--max-iter", type=int, default=50)
     fq.add_argument("--overwrite", action="store_true")
+    fq.add_argument("--register", metavar="NAME", default=None,
+                    help="also register in the warehouse model_registry")
 
     fb = sub.add_parser(
         "fit-bpe",
@@ -191,6 +196,17 @@ def build_parser() -> argparse.ArgumentParser:
     fb.add_argument("--text-col", default="text")
     fb.add_argument("--num-merges", type=int, default=100)
     fb.add_argument("--overwrite", action="store_true")
+    fb.add_argument("--register", metavar="NAME", default=None,
+                    help="also register in the warehouse model_registry")
+
+    mv = sub.add_parser(
+        "model",
+        help="resolve a registered model by name (latest or pinned "
+        "version), or list the whole registry",
+    )
+    mv.add_argument("--name", default=None,
+                    help="model name to resolve; omit to list all rows")
+    mv.add_argument("--version", type=int, default=None)
     return p
 
 
@@ -254,6 +270,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
         )
         n = spark.read.parquet(f"{args.out.rstrip('/')}/data").count()
         out(f"fit-langid: {n} profile rows saved to {args.out}")
+        if args.register:
+            row = models.register_model(pipe.warehouse, args.register, args.out)
+            out(f"registered {args.register} v{row['version']}")
     elif args.command == "fit-quality":
         from binancedatapipeline_spark import models
         from binancedatapipeline_spark.textops.quality_clf import (
@@ -270,6 +289,9 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
         models.save_quality_classifier(clf, args.out, overwrite=args.overwrite)
         out(f"fit-quality: classifier ({args.num_features} features, "
             f"n_max={clf.n_max}) saved to {args.out}")
+        if args.register:
+            row = models.register_model(pipe.warehouse, args.register, args.out)
+            out(f"registered {args.register} v{row['version']}")
     elif args.command == "fit-bpe":
         from binancedatapipeline_spark import models
         from binancedatapipeline_spark.textops.bpe import train_bpe
@@ -282,4 +304,26 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
         models.save_bpe_merges(spark, merges, args.out,
                                overwrite=args.overwrite)
         out(f"fit-bpe: {len(merges)} merges saved to {args.out}")
+        if args.register:
+            row = models.register_model(pipe.warehouse, args.register, args.out)
+            out(f"registered {args.register} v{row['version']}")
+    elif args.command == "model":
+        from binancedatapipeline_spark import models
+
+        if args.name:
+            row = models.resolve_model(pipe.warehouse, args.name,
+                                       version=args.version)
+            out(f"{row['model_name']} v{row['version']} "
+                f"kind={row['model_kind']} path={row['path']} "
+                f"params={row['params']}")
+        else:
+            if pipe.warehouse.exists(catalog.MODEL_REGISTRY.name):
+                rows = (pipe.warehouse.read(catalog.MODEL_REGISTRY)
+                        .orderBy("model_name", "version").collect())
+            else:
+                rows = []
+            for r in rows:
+                out(f"{r['model_name']} v{r['version']} "
+                    f"kind={r['model_kind']} path={r['path']}")
+            out(f"model: {len(rows)} registration(s)")
     return 0

@@ -338,6 +338,77 @@ def load_opq_rotation(spark: SparkSession, path: str) -> np.ndarray:
     return out
 
 
+# ------------------------------------------------- warehouse registry
+
+def register_model(wh, model_name: str, path: str, version: int | None = None):
+    """Record a saved artifact in the warehouse's ``model_registry``
+    table — the production glue over version-by-path: jobs resolve
+    "the current langid profiles" by NAME (:func:`resolve_model`)
+    instead of hardcoding paths, and every registration is a
+    PK-upserted row ((model_name, version) → path/kind/params), so
+    history stays queryable like any other derived table.
+
+    The artifact's ``model.json`` is read FIRST — registering a path
+    that does not hold a complete artifact fails here, never at some
+    later resolve. ``version=None`` assigns max(existing)+1; that
+    read-then-upsert is not serialized against other registrars of
+    the SAME name (the writer lease attaches at the upsert), so
+    concurrent registrars should pass explicit versions — same-
+    version re-registration is a PK replace, last writer wins.
+    Returns the registered row as a dict."""
+    from datetime import datetime, timezone
+
+    from binancedatapipeline_spark.catalog import MODEL_REGISTRY
+
+    spark = wh.spark
+    meta = _read_meta(spark, path)  # validates: sidecar present = complete
+    if version is None:
+        if wh.exists(MODEL_REGISTRY.name):
+            prev = (
+                wh.read(MODEL_REGISTRY)
+                .filter(F.col("model_name") == model_name)
+                .agg(F.max("version").alias("v"))
+                .first()["v"]
+            )
+            version = int(prev) + 1 if prev is not None else 1
+        else:
+            version = 1
+    row = {
+        "model_name": model_name,
+        "version": int(version),
+        "path": path,
+        "model_kind": meta.get("kind"),
+        "params_json": json.dumps(meta.get("params", {}), sort_keys=True),
+        "registered_at": datetime.now(timezone.utc).replace(tzinfo=None),
+    }
+    wh.upsert(MODEL_REGISTRY, spark.createDataFrame([row], MODEL_REGISTRY.schema))
+    return row
+
+
+def resolve_model(wh, model_name: str, version: int | None = None) -> dict:
+    """The registered row for ``model_name`` — highest version, or the
+    pinned one. Raises ``KeyError`` if the name (or pinned version) was
+    never registered. Feed ``row['path']`` to the typed ``load_*`` for
+    ``row['model_kind']``."""
+    from binancedatapipeline_spark.catalog import MODEL_REGISTRY
+
+    if not wh.exists(MODEL_REGISTRY.name):
+        raise KeyError(f"resolve_model: no models registered ({model_name!r})")
+    df = wh.read(MODEL_REGISTRY).filter(F.col("model_name") == model_name)
+    if version is not None:
+        df = df.filter(F.col("version") == int(version))
+    got = df.orderBy(F.col("version").desc()).limit(1).collect()
+    if not got:
+        raise KeyError(
+            f"resolve_model: {model_name!r}"
+            + (f" v{version}" if version is not None else "")
+            + " is not registered"
+        )
+    r = got[0].asDict()
+    r["params"] = json.loads(r.pop("params_json"))
+    return r
+
+
 # ----------------------------------------------- quality classifier
 
 def save_quality_classifier(model, path: str, overwrite: bool = False) -> dict:

@@ -225,3 +225,42 @@ def test_fit_bpe_verb_persists_ordered_merges(spark, wh_root, tmp_path):
     loaded = models.load_bpe_merges(spark, model_dir)
     expected = train_bpe(df, num_merges=20)
     assert loaded == expected
+
+
+def test_fit_register_and_model_verb_roundtrip(spark, wh_root, tmp_path):
+    """Round 11: --register records the fitted artifact in the
+    warehouse model_registry; the model verb resolves it by name
+    (latest version) and lists the registry."""
+    corpus = str(tmp_path / "labeled2")
+    spark.createDataFrame(
+        [("en", "the quick brown fox jumps over the lazy dog near the river"),
+         ("es", "el rapido zorro marron salta sobre el perro perezoso junto")],
+        ["lang", "text"],
+    ).write.parquet(corpus)
+    lines = []
+    rc = cli.main(
+        ["--warehouse", wh_root, "fit-langid", "--corpus", corpus,
+         "--out", str(tmp_path / "m1"), "--register", "langid"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0 and any("registered langid v1" in l for l in lines)
+    rc = cli.main(
+        ["--warehouse", wh_root, "fit-langid", "--corpus", corpus,
+         "--out", str(tmp_path / "m2"), "--register", "langid"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0 and any("registered langid v2" in l for l in lines)
+
+    lines.clear()
+    rc = cli.main(
+        ["--warehouse", wh_root, "model", "--name", "langid"],
+        spark=spark, out=lines.append,
+    )
+    assert rc == 0
+    assert any("langid v2" in l and str(tmp_path / "m2") in l for l in lines)
+
+    lines.clear()
+    rc = cli.main(["--warehouse", wh_root, "model"], spark=spark,
+                  out=lines.append)
+    assert rc == 0
+    assert any("2 registration(s)" in l for l in lines)

@@ -261,3 +261,62 @@ def test_stream_curate_starts_from_stored_profile_table(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert {r["doc_id"] for r in wh.read(spec).collect()} == {1, 3}
+
+
+# ------------------------------------------- warehouse model registry
+
+
+def test_model_registry_register_resolve_versions(spark, tmp_path):
+    """Round 11: the registry is the production glue over
+    version-by-path — register validates the sidecar first, versions
+    auto-increment per name, resolve returns the latest (or pinned)
+    row, and the registry is an ordinary warehouse table (queryable
+    history, PK replace on same version)."""
+    from binancedatapipeline_spark.catalog import MODEL_REGISTRY
+    from binancedatapipeline_spark.textops.langid import (
+        classify_language,
+        train_language_profiles,
+    )
+    from binancedatapipeline_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    labeled = spark.createDataFrame(
+        [("en", DOCS[0][1]), ("es", DOCS[1][1])], ["lang", "text"]
+    )
+    profiles = train_language_profiles(labeled, top_k=100)
+    p1 = str(tmp_path / "langid_v1")
+    p2 = str(tmp_path / "langid_v2")
+    models.save_language_profiles(profiles, p1)
+    models.save_language_profiles(profiles, p2)
+
+    # an unregistered name fails loudly
+    with pytest.raises(KeyError):
+        models.resolve_model(wh, "langid")
+
+    r1 = models.register_model(wh, "langid", p1)
+    assert (r1["version"], r1["model_kind"]) == (1, "langid_profiles")
+    r2 = models.register_model(wh, "langid", p2)
+    assert r2["version"] == 2
+
+    cur = models.resolve_model(wh, "langid")
+    assert (cur["version"], cur["path"]) == (2, p2)
+    pinned = models.resolve_model(wh, "langid", version=1)
+    assert pinned["path"] == p1
+    assert pinned["params"] == {}  # langid profiles carry no fit params
+    with pytest.raises(KeyError):
+        models.resolve_model(wh, "langid", version=9)
+
+    # the resolved path loads through the typed loader and classifies
+    lp = models.load_language_profiles(spark, cur["path"], collected=True)
+    got = classify_language(
+        spark.createDataFrame([(1, DOCS[0][1])], ["doc_id", "text"]), lp
+    ).first()
+    assert got["lang_id"] == "en"
+
+    # registering a path with no complete artifact fails at register
+    with pytest.raises(FileNotFoundError):
+        models.register_model(wh, "langid", str(tmp_path / "nothing"))
+
+    # history is an ordinary table: two rows for the name
+    hist = wh.read(MODEL_REGISTRY).filter(F.col("model_name") == "langid")
+    assert hist.count() == 2
