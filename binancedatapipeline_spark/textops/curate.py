@@ -99,6 +99,8 @@ def curation_flags(
     lang_allow: set[str] | list[str] | None = None,
     lang_min_fraction: float | None = None,
     lang_kwargs: dict | None = None,
+    quality_model=None,
+    quality_threshold: float | None = None,
 ) -> DataFrame:
     """Annotate every document with its full curation verdict without
     dropping anything. Columns added: ``text_clean``, ``n_pii``,
@@ -108,7 +110,11 @@ def curation_flags(
     everywhere when ``bench`` is None), ``split``; plus
     ``n_freq_lines_dropped`` when ``frequent_line_doc_frac`` enables
     the corpus-level frequent-line (cross-document boilerplate)
-    removal stage.
+    removal stage; plus ``quality_prob``/``is_low_quality`` when a
+    ``quality_model`` (a fitted
+    :func:`textops.quality_clf.train_quality_classifier`) scores the
+    cleaned text — ``is_low_quality`` fires only when
+    ``quality_threshold`` is set, annotation-only otherwise.
 
     ``cache_registry``: pass a list to receive the handle of the
     internal cleaned-corpus persist (when ``materialize``), so the
@@ -189,6 +195,27 @@ def curation_flags(
     out = gopher_filter(out, text_col="text_clean", **(gopher_overrides or {}))
     out = out.withColumnRenamed("keep", "keep_shape")
 
+    if quality_model is not None:
+        # supervised quality filter (the LLaMA/CCNet classifier stage)
+        # on the CLEANED text — the classifier judges what would be
+        # trained on; scoring is a pure JVM map (hash TF → dot →
+        # sigmoid), so placement after the heavy kernels costs one
+        # map over the persisted corpus. With a model but no
+        # threshold the columns are annotation-only (same contract as
+        # the language gate).
+        from binancedatapipeline_spark.textops.quality_clf import score_quality
+
+        out = score_quality(
+            out, quality_model, text_col="text_clean",
+            output_col="quality_prob",
+        )
+        out = out.withColumn(
+            "is_low_quality",
+            F.col("quality_prob") < F.lit(float(quality_threshold))
+            if quality_threshold is not None
+            else F.lit(False),
+        )
+
     # canonical copy per digest of the CLEANED text: aggregate to
     # (digest, min_id), join back; rows whose id isn't the canonical
     # one are duplicates. The agg side shuffles only (digest, id);
@@ -232,12 +259,22 @@ def curate(
     lang_allow: set[str] | list[str] | None = None,
     lang_min_fraction: float | None = None,
     lang_kwargs: dict | None = None,
+    quality_model=None,
+    quality_threshold: float | None = None,
     **kwargs,
 ) -> DataFrame:
     """The curated corpus: cleaned text, Gopher-passing, one copy per
     digest, benchmark-clean, split-assigned. Returns the original
     columns with ``text_col`` replaced by the cleaned text, plus
-    ``split`` (and the language columns when the language gate runs).
+    ``split`` (and the language columns when the language gate runs,
+    and ``quality_prob`` when a ``quality_model`` scores — load one
+    with ``models.load_quality_classifier`` / ``resolve_model``
+    instead of refitting per run).
+
+    ``quality_model`` + ``quality_threshold`` run the supervised
+    quality filter (the LLaMA/CCNet classifier stage) on the CLEANED
+    text: rows scoring below the threshold drop with the other
+    gates; with a model but no threshold the score is annotation-only.
 
     ``blocklist`` drops listed-domain rows BEFORE the cleaning
     kernels (RefinedWeb's stage order — the URL filter is the cheap
@@ -261,16 +298,22 @@ def curate(
             .filter(~F.col("is_lang_rejected"))
             .drop("is_lang_rejected")
         )
-    flagged = curation_flags(docs, bench, id_col=id_col, text_col=text_col, **kwargs)
+    flagged = curation_flags(
+        docs, bench, id_col=id_col, text_col=text_col,
+        quality_model=quality_model, quality_threshold=quality_threshold,
+        **kwargs,
+    )
     kept = flagged.filter(
         F.col("keep_shape")
         & ~F.col("is_exact_dup")
         & ~F.col("is_contaminated")
     )
+    if quality_model is not None and quality_threshold is not None:
+        kept = kept.filter(~F.col("is_low_quality"))
     drop = [
         "n_pii", "n_lines", "n_lines_kept", "drop_reasons", "keep_shape",
         "is_exact_dup", "is_contaminated", "text_clean",
-        "n_freq_lines_dropped",
+        "n_freq_lines_dropped", "is_low_quality",
     ]
     return kept.withColumn(text_col, F.col("text_clean")).drop(
         *[c for c in drop if c in kept.columns]

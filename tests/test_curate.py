@@ -235,3 +235,70 @@ def test_language_gate_annotation_only_without_criteria(spark):
     )
     assert flags.filter(F.col("is_lang_rejected")).count() == 0
     assert {r["doc_id"]: r["lang_majority"] for r in flags.collect()}[2] == "es"
+
+
+# --------------------------- supervised quality gate (round 11)
+
+
+def _quality_model(spark):
+    import random
+
+    from binancedatapipeline_spark.textops.quality_clf import (
+        train_quality_classifier,
+    )
+
+    rng = random.Random(13)
+    good_vocab = ["word0", "sentence", "continues", "naturally", "here",
+                  "study", "evidence"]
+    bad_vocab = ["casino", "pills", "winner", "click", "free", "offer"]
+    doc = lambda v: " ".join(rng.choice(v) for _ in range(25))
+    pos = spark.createDataFrame(
+        [(f"p{i}", doc(good_vocab)) for i in range(60)], ["doc_id", "text"]
+    )
+    neg = spark.createDataFrame(
+        [(f"n{i}", doc(bad_vocab)) for i in range(60)], ["doc_id", "text"]
+    )
+    return train_quality_classifier(pos, neg, num_features=1 << 10, max_iter=10)
+
+
+def test_quality_gate_audit_and_filter(spark):
+    """The supervised classifier stage: flags annotate every row with
+    quality_prob/is_low_quality; curate drops sub-threshold rows and
+    keeps the score column."""
+    clf = _quality_model(spark)
+    junk = ("casino pills winner click free offer casino pills winner "
+            "click free offer casino pills winner click free offer "
+            "casino pills winner click free offer casino pills winner "
+            "click free offer casino pills winner click free offer")
+    docs = _corpus(spark).union(
+        spark.createDataFrame([(6, junk)], "doc_id int, text string")
+    )
+    flags = curation_flags(
+        docs, _bench(spark), contamination_n=5,
+        quality_model=clf, quality_threshold=0.5,
+    )
+    rows = {r["doc_id"]: r for r in flags.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}  # audit mode still drops nothing
+    assert rows[6]["is_low_quality"] and rows[6]["quality_prob"] < 0.5
+    assert not rows[1]["is_low_quality"]
+
+    out = curate(
+        docs, _bench(spark), contamination_n=5,
+        quality_model=clf, quality_threshold=0.5,
+    )
+    kept = {r["doc_id"]: r for r in out.collect()}
+    assert set(kept) == {1, 3}  # junk doc dropped by the quality gate
+    assert "quality_prob" in out.columns
+    assert "is_low_quality" not in out.columns
+
+
+def test_quality_gate_annotation_only_without_threshold(spark):
+    """Model but no threshold: scores ride along, nothing drops —
+    the same contract as the language gate without criteria."""
+    clf = _quality_model(spark)
+    out = curate(
+        _corpus(spark), _bench(spark), contamination_n=5, quality_model=clf,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 3}  # only the standard gates dropped rows
+    assert all(r["quality_prob"] is not None for r in rows.values())
