@@ -214,3 +214,57 @@ def test_stream_lang_profiles_materialize_once(spark, tmp_path):
         f"training lineage ran {stream_acc.value / baseline:.1f}x "
         f"(expected once: {baseline} UDF evals, got {stream_acc.value})"
     )
+
+
+def test_stream_curate_quality_gate_composes(spark, tmp_path):
+    """Round 11: a FITTED quality classifier rides curate_kwargs into
+    the ingest sink — scoring is per-batch inference only (the model
+    is already fit; nothing retrains in the stream), sub-threshold
+    docs never reach the warehouse."""
+    import random
+
+    from binancedatapipeline_spark.textops.quality_clf import (
+        train_quality_classifier,
+    )
+
+    rng = random.Random(23)
+    gv = ["word0", "sentence", "continues", "naturally", "here", "study"]
+    bv = ["casino", "pills", "winner", "click", "free", "offer"]
+    doc = lambda v: " ".join(rng.choice(v) for _ in range(25))
+    clf = train_quality_classifier(
+        spark.createDataFrame([(f"p{i}", doc(gv)) for i in range(60)],
+                              ["doc_id", "text"]),
+        spark.createDataFrame([(f"n{i}", doc(bv)) for i in range(60)],
+                              ["doc_id", "text"]),
+        num_features=1 << 10, max_iter=10,
+    )
+
+    base = datetime(2024, 6, 1)
+    junk = " ".join(f"casino{i} pills winner{i} click free{i} offer" for i in range(12))
+    chunks = [
+        [(1, GOOD + " one", base)],
+        [(2, junk, base + timedelta(hours=1)),
+         (3, GOOD + " three", base + timedelta(hours=1))],
+    ]
+    stage = str(tmp_path / "docs_in_q")
+    schema = "doc_id long, text string, ingest_ts timestamp"
+    for rows in chunks:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(stage)
+
+    wh = Warehouse(spark, str(tmp_path / "wh_q"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(stage).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream_curate_upsert(
+        stream, wh, DOCS_SPEC,
+        checkpoint_dir=str(tmp_path / "ckpt_q"),
+        curate_kwargs={
+            "min_line_words": 1, "gopher_overrides": {"min_words": 10},
+            "quality_model": clf, "quality_threshold": 0.5,
+        },
+    )
+    q.awaitTermination(180)
+    out = {r["doc_id"] for r in wh.read(DOCS_SPEC).collect()}
+    assert out == {1, 3}  # the junk doc was gated at ingest
