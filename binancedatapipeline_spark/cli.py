@@ -199,6 +199,25 @@ def build_parser() -> argparse.ArgumentParser:
     fb.add_argument("--register", metavar="NAME", default=None,
                     help="also register in the warehouse model_registry")
 
+    fi = sub.add_parser(
+        "fit-ivf",
+        help="train IVF centroids over an embedding corpus and persist "
+        "them (models.save_ivf_centroids); --distributed runs "
+        "full-corpus pyspark.ml KMeans instead of the driver-sample "
+        "Lloyd's",
+    )
+    fi.add_argument("--corpus", required=True,
+                    help="parquet path with an embedding array column")
+    fi.add_argument("--out", required=True, help="model directory to create")
+    fi.add_argument("--vec-col", default="embedding")
+    fi.add_argument("--n-cells", type=int, default=16)
+    fi.add_argument("--iters", type=int, default=10)
+    fi.add_argument("--distributed", action="store_true",
+                    help="full-corpus KMeans (the 100 TB train path)")
+    fi.add_argument("--overwrite", action="store_true")
+    fi.add_argument("--register", metavar="NAME", default=None,
+                    help="also register in the warehouse model_registry")
+
     mv = sub.add_parser(
         "model",
         help="resolve a registered model by name (latest or pinned "
@@ -304,6 +323,32 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None,
         models.save_bpe_merges(spark, merges, args.out,
                                overwrite=args.overwrite)
         out(f"fit-bpe: {len(merges)} merges saved to {args.out}")
+        if args.register:
+            row = models.register_model(pipe.warehouse, args.register, args.out)
+            out(f"registered {args.register} v{row['version']}")
+    elif args.command == "fit-ivf":
+        from binancedatapipeline_spark import models
+        from binancedatapipeline_spark.similarity import (
+            train_ivf_centroids,
+            train_ivf_centroids_distributed,
+        )
+
+        corpus = spark.read.parquet(args.corpus)
+        if args.distributed:
+            cent = train_ivf_centroids_distributed(
+                corpus, n_cells=args.n_cells, vec_col=args.vec_col,
+                iters=args.iters,
+            )
+        else:
+            cent = train_ivf_centroids(
+                corpus, n_cells=args.n_cells, vec_col=args.vec_col,
+                iters=args.iters,
+            )
+        models.save_ivf_centroids(spark, cent, args.out,
+                                  overwrite=args.overwrite)
+        out(f"fit-ivf: {cent.shape[0]}x{cent.shape[1]} centroids "
+            f"({'distributed' if args.distributed else 'sampled'}) "
+            f"saved to {args.out}")
         if args.register:
             row = models.register_model(pipe.warehouse, args.register, args.out)
             out(f"registered {args.register} v{row['version']}")

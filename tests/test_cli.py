@@ -264,3 +264,41 @@ def test_fit_register_and_model_verb_roundtrip(spark, wh_root, tmp_path):
                   out=lines.append)
     assert rc == 0
     assert any("2 registration(s)" in l for l in lines)
+
+
+def test_fit_ivf_verb_sampled_and_distributed(spark, wh_root, tmp_path):
+    """Round 11: fit-ivf persists centroids from either trainer; the
+    loaded artifact is unit-norm with the requested geometry and
+    registers like every other model."""
+    import numpy as np
+
+    from binancedatapipeline_spark import models
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(120):
+        v = np.zeros(16)
+        v[4 * (i % 4)] = 4.0
+        v += rng.standard_normal(16) * 0.2
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    corpus = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(corpus)
+
+    lines = []
+    for flag, out_dir in ((False, "ivf_s"), (True, "ivf_d")):
+        argv = ["--warehouse", wh_root, "fit-ivf", "--corpus", corpus,
+                "--out", str(tmp_path / out_dir), "--n-cells", "4",
+                "--register", "ivf-main"]
+        if flag:
+            argv.append("--distributed")
+        rc = cli.main(argv, spark=spark, out=lines.append)
+        assert rc == 0
+        cent = models.load_ivf_centroids(spark, str(tmp_path / out_dir))
+        assert cent.shape == (4, 16)
+        assert np.allclose(np.linalg.norm(cent, axis=1), 1.0, atol=1e-9)
+    assert any("registered ivf-main v2" in l for l in lines)
+    from binancedatapipeline_spark.warehouse import Warehouse
+
+    cur = models.resolve_model(Warehouse(spark, wh_root), "ivf-main")
+    assert cur["version"] == 2 and cur["model_kind"] == "ivf_centroids"
