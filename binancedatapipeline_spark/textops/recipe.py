@@ -118,6 +118,13 @@ def prepare_training_corpus(
     moment (curate's internal kernel cache plus the current
     boundary). Call ``RecipeResult.release()`` after consuming the
     corpus to drop the last one."""
+    if quality_model is not None and "quality_model" in (curate_kwargs or {}):
+        raise ValueError(
+            "prepare_training_corpus: pass quality_model either as the "
+            "recipe stage (this function's argument, audit-counted) or "
+            "inside curate_kwargs (fused into curate's plan), not both — "
+            "both at once would score and gate twice"
+        )
     audit: list[tuple[str, int]] = [("input", docs.count())]
 
     # no recipe-level persist of the curate output: curate's own

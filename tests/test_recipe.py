@@ -159,3 +159,20 @@ def test_blocklist_rides_curate_kwargs_through_the_recipe(spark):
     # the audit funnel's curate row already excludes the blocked doc
     audit = dict(res.audit)
     assert audit["curate"] == 2
+
+
+def test_quality_model_double_specification_raises(spark):
+    """quality_model via both the recipe stage and curate_kwargs would
+    score and gate twice — refused loudly."""
+    import pytest
+
+    from binancedatapipeline_spark.textops.recipe import (
+        prepare_training_corpus,
+    )
+
+    docs = spark.createDataFrame([(1, "text")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="not both"):
+        prepare_training_corpus(
+            docs, quality_model=object(),
+            curate_kwargs={"quality_model": object()},
+        )
