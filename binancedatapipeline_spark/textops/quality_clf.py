@@ -102,6 +102,14 @@ class QualityClassifier:
             meta = models._read_meta(spark, path)
         except FileNotFoundError:
             # pre-seam layout: params in a meta/ JSON relation
+            fs, _ = models._fs(spark, path)
+            legacy = spark._jvm.org.apache.hadoop.fs.Path(path, "meta")
+            if not fs.exists(legacy):
+                raise FileNotFoundError(
+                    f"QualityClassifier.load: {path} holds neither a "
+                    f"{models.META} sidecar nor a pre-seam meta/ dir — "
+                    "not a saved quality classifier"
+                )
             row = spark.read.json(f"{path}/meta").first()
             params = {
                 "num_features": int(row["num_features"]),

@@ -179,3 +179,8 @@ def test_load_accepts_pre_seam_layout(spark, model_and_eval, tmp_path):
         for r in quality_clf.score_quality(hold, loaded).collect()
     }
     assert a == b
+
+
+def test_load_on_non_model_path_fails_loudly(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="neither"):
+        quality_clf.QualityClassifier.load(spark, str(tmp_path / "nope"))
