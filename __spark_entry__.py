@@ -50,7 +50,10 @@ from binancedatapipeline_spark.textops.dsir import (  # noqa: E402
 from binancedatapipeline_spark.textops.corpus_io import dedup_by_url  # noqa: E402
 from binancedatapipeline_spark.textops.decontam import contamination_hits  # noqa: E402
 from binancedatapipeline_spark.textops.packing import pack_sequences  # noqa: E402
-from binancedatapipeline_spark.textops.sampling import stable_split  # noqa: E402
+from binancedatapipeline_spark.textops.sampling import (  # noqa: E402
+    mixture_sample,
+    stable_split,
+)
 from binancedatapipeline_spark.similarity import (  # noqa: E402
     cosine_topk,
     sq_encode,
@@ -867,6 +870,25 @@ def q_doc_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain mixture down-sampling (the LLaMA/Pile
+    mixture-construction half): keep a stable md5-bucket fraction of
+    each source (100% src0, 50% src1, 25% src2, 10% everything else),
+    aggregated per source. Membership is a pure function of doc_id —
+    identical on every engine and under appends, and the filter is the
+    same pushdown-friendly bucket predicate as doc_stable_split
+    (textops/sampling.py mixture_sample)."""
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_sample(
+        d, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        id_col="doc_id", default_rate=0.1,
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 
@@ -1427,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_stable_split": q_doc_stable_split,
+        "doc_mixture_sample": q_doc_mixture_sample,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_centroid_dist": q_emb_centroid_dist,
         "emb_near_dup": q_emb_near_dup,
@@ -2050,6 +2073,17 @@ WITH b AS (
 SELECT CASE WHEN __b < 80 THEN 'train' WHEN __b < 90 THEN 'val' ELSE 'test' END AS split,
        lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
 FROM b GROUP BY 1, 2
+""",
+        "doc_mixture_sample": """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 10000 AS __b
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM b
+WHERE __b < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                        WHEN 'src2' THEN 2500 ELSE 1000 END
+GROUP BY source
 """,
         "emb_cosine_topk": """
 WITH q AS (
