@@ -119,7 +119,7 @@ def main() -> None:
 
     # Isolated warm probes (round-7 verdict ask #9, first-class now):
     # in-bench samples run ~2x their isolated-warm cost because the
-    # 50-query round-robin churns JVM/GC/code-cache state between
+    # full-registry round-robin churns JVM/GC/code-cache state between
     # consecutive samples of the same query. Probe each query
     # back-to-back (its own state still hot from the pass above) and
     # keep the min — this is the number plan-work should be judged
