@@ -51,6 +51,7 @@ from binancedatapipeline_spark.textops.corpus_io import dedup_by_url  # noqa: E4
 from binancedatapipeline_spark.textops.decontam import contamination_hits  # noqa: E402
 from binancedatapipeline_spark.textops.packing import pack_sequences  # noqa: E402
 from binancedatapipeline_spark.textops.sampling import (  # noqa: E402
+    mixture_oversample,
     mixture_sample,
     stable_split,
 )
@@ -889,6 +890,25 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The up-sampling half of mixture construction: src0 at rate 2.5
+    emits every doc twice plus a stable md5-chosen half a third time;
+    src1 at 1.25 adds a quarter extra copy; everything else 1.0
+    (textops/sampling.py mixture_oversample — one explode, no shuffle,
+    deterministic across engines). Aggregated per source over the
+    emitted copies."""
+    d = _t(spark, sf_dir, "documents")
+    out = mixture_oversample(
+        d, "source", {"src0": 2.5, "src1": 1.25},
+        id_col="doc_id", default_rate=1.0,
+    )
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
 # ---------------------------------------------------------------- embeddings
 
 
@@ -1450,6 +1470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_stable_split": q_doc_stable_split,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "doc_mixture_oversample": q_doc_mixture_oversample,
         "emb_cosine_topk": q_emb_cosine_topk,
         "emb_centroid_dist": q_emb_centroid_dist,
         "emb_near_dup": q_emb_near_dup,
@@ -2084,6 +2105,24 @@ FROM b
 WHERE __b < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                         WHEN 'src2' THEN 2500 ELSE 1000 END
 GROUP BY source
+""",
+        "doc_mixture_oversample": """
+WITH b AS (
+  SELECT *, ('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT % 10000 AS __b
+  FROM documents
+), c AS (
+  SELECT *,
+         (CASE source WHEN 'src0' THEN 2 ELSE 1 END
+          + CASE WHEN __b < (CASE source WHEN 'src0' THEN 5000
+                                         WHEN 'src1' THEN 2500 ELSE 0 END)
+                 THEN 1 ELSE 0 END) AS n_copies
+  FROM b
+), e AS (
+  SELECT source, doc_id, n_chars, unnest(range(0, n_copies)) AS copy_idx FROM c
+)
+SELECT source, count(*) AS n_rows, count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM e GROUP BY source
 """,
         "emb_cosine_topk": """
 WITH q AS (
