@@ -349,3 +349,43 @@ def test_tfidf_single_pass_plan(spark):
     assert after - before == set()  # no persist side effect
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1, plan  # tokenized exactly once
+
+
+def test_mixture_sample_matches_independent_reference(spark):
+    """Randomized cross-implementation differential: mixture_sample's
+    kept set must equal a hashlib-computed reference (same md5 →
+    56-bit → mod bucket math, written independently of Spark) for
+    arbitrary rates including the 0 / 1 / >1 / negative edges."""
+    import hashlib
+    import random
+
+    from binancedatapipeline_spark.textops.sampling import mixture_sample
+
+    rng = random.Random(17)
+    domains = [f"d{i}" for i in range(6)]
+    rows = [(i, domains[i % 6]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+
+    def ref_bucket(doc_id: int, buckets: int = 10_000) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:14], 16) % buckets
+
+    for trial in range(5):
+        rates = {
+            d: rng.choice([0.0, 1.0, 1.7, -0.3, rng.random()])
+            for d in rng.sample(domains, 4)
+        }
+        default = rng.random()
+        got = {
+            r["doc_id"]
+            for r in mixture_sample(
+                df, "domain", rates, id_col="doc_id", default_rate=default
+            ).collect()
+        }
+        expect = set()
+        for i, d in rows:
+            rate = rates.get(d, default)
+            keep = int(round(min(max(rate, 0.0), 1.0) * 10_000))
+            if ref_bucket(i) < keep:
+                expect.add(i)
+        assert got == expect, (trial, rates, default)
