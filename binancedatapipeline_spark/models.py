@@ -409,6 +409,41 @@ def resolve_model(wh, model_name: str, version: int | None = None) -> dict:
     return r
 
 
+def load_registered(wh, model_name: str, version: int | None = None):
+    """Resolve AND load in one call: the registered row's
+    ``model_kind`` dispatches to the matching typed loader, so
+    ``load_registered(wh, "langid")`` returns the profiles relation
+    (each loader's default form — pass the resolved path to the typed
+    loader yourself for variants like ``collected=True``),
+    ``load_registered(wh, "quality")`` a QualityClassifier,
+    etc. — the one-liner a production job wants. Each loader returns
+    exactly what its typed ``load_*`` returns (tuples included).
+    Unknown kinds (a newer writer's artifact) fail loudly with the
+    kind named."""
+    row = resolve_model(wh, model_name, version=version)
+    spark = wh.spark
+    path = row["path"]
+    loaders = {
+        "langid_profiles": lambda: load_language_profiles(spark, path),
+        "bpe_merges": lambda: load_bpe_merges(spark, path),
+        "unigram_lm": lambda: load_unigram_model(spark, path),
+        "dsir_ratio": lambda: load_dsir_ratio(spark, path),
+        "sq_params": lambda: load_sq_params(spark, path),
+        "ivf_centroids": lambda: load_ivf_centroids(spark, path),
+        "pq_codebooks": lambda: load_pq_codebooks(spark, path),
+        "opq_rotation": lambda: load_opq_rotation(spark, path),
+        "quality_classifier": lambda: load_quality_classifier(spark, path),
+    }
+    kind = row["model_kind"]
+    if kind not in loaders:
+        raise ValueError(
+            f"load_registered: {model_name!r} v{row['version']} holds an "
+            f"unknown artifact kind {kind!r} (registered by a newer "
+            "writer?) — resolve_model() gives the raw path"
+        )
+    return loaders[kind]()
+
+
 # ----------------------------------------------- quality classifier
 
 def save_quality_classifier(model, path: str, overwrite: bool = False) -> dict:

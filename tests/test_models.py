@@ -320,3 +320,35 @@ def test_model_registry_register_resolve_versions(spark, tmp_path):
     # history is an ordinary table: two rows for the name
     hist = wh.read(MODEL_REGISTRY).filter(F.col("model_name") == "langid")
     assert hist.count() == 2
+
+
+def test_load_registered_dispatches_on_kind(spark, tmp_path):
+    """load_registered resolves by name then dispatches to the typed
+    loader for the row's kind — one call from registry to artifact."""
+    from binancedatapipeline_spark.textops.bpe import train_bpe
+    from binancedatapipeline_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    corpus = spark.createDataFrame(
+        [(1, "low lower lowest newer newest")], ["doc_id", "text"]
+    )
+    merges = train_bpe(corpus, num_merges=8)
+    p = str(tmp_path / "bpe")
+    models.save_bpe_merges(spark, merges, p)
+    models.register_model(wh, "bpe", p)
+    assert models.load_registered(wh, "bpe") == merges
+
+    import numpy as np
+
+    cents = np.eye(3, 8, dtype=np.float64)
+    p2 = str(tmp_path / "ivf")
+    models.save_ivf_centroids(spark, cents, p2)
+    models.register_model(wh, "ivf", p2)
+    assert np.array_equal(models.load_registered(wh, "ivf"), cents)
+
+    # unknown kind fails loudly
+    p3 = str(tmp_path / "exotic")
+    models.save_model(spark.range(1), p3, kind="hologram")
+    models.register_model(wh, "holo", p3)
+    with pytest.raises(ValueError, match="hologram"):
+        models.load_registered(wh, "holo")
