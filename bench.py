@@ -100,7 +100,13 @@ def main() -> None:
             except Exception:
                 pass
     samples: dict[str, list[float]] = {name: [] for name in queries}
+    # one probe BEFORE each round-robin pass: the single bracketing
+    # calibration can't see a mid-run co-tenant burst (round-11 sf1
+    # refresh: pass medians 232s vs best 134s with clean bracketing
+    # probes) — per-pass values make that burst visible in-band
+    calib_per_pass: list[float] = []
     for _ in range(repeats):
+        calib_per_pass.append(host_calibration(repeats=1))
         for name, fn in queries.items():
             # drop any persisted intermediates (e.g. the ngram shingle
             # relation) so every timed run pays its own materialization
@@ -158,6 +164,11 @@ def main() -> None:
         # compared as value / host_calibration (round-10 finding:
         # ±24% day swings in the microVM's CPU delivery)
         "host_calibration": calib,
+        # per-pass probes (before each round-robin pass): a pass whose
+        # probe sits far above the others marks a mid-run burst — its
+        # samples are absorbed by the per-query min, and the skew is
+        # now visible in the artifact itself
+        "host_calibration_per_pass": calib_per_pass,
     }
     if isolated:
         out["queries_isolated"] = isolated
