@@ -12,19 +12,23 @@ does not grow with the round count (same discipline as
 operators/components.py; swap for a reliable ``checkpoint`` dir on a
 real cluster).
 
-Scale shape: the edge relation shuffles on src once per round (join
-against the current ranks) and the contributions shuffle on dst once
-per round — 2 edge-sized exchanges × iterations. Everything else in
-the loop is NODE-sized: the dangling node set (pages with no
-outlinks) is invariant across iterations, so it is precomputed once
-and checkpointed, and the per-round dangling-mass term is a semi-join
-of the current ranks against it plus a one-row aggregate BROADCAST
-into the update plan — no edge lineage is ever re-evaluated inside
-the loop (the round-8 form re-derived the out-degree relation from
-raw edges every round), and each round is a single Spark action (the
-checkpoint materialization; round 10 removed the per-round collected
-scalar, halving scheduler round trips). Ranks are one row per node;
-nothing corpus-sized ever reaches the driver.
+Scale shape: ONE edge-sized exchange per round — the contribution
+sum's groupBy(dst). The edge weights are checkpointed
+hash-partitioned by src (localCheckpoint preserves output
+partitioning) and each round's ranks come out of a node-keyed join,
+so the contribution join on src and the update join on node are both
+exchange-free on their checkpointed side. Everything else in the
+loop is NODE-sized: the teleport share and the dangling flag (pages
+with no outlinks — invariant across iterations) ride INSIDE the
+checkpointed ranks relation, so the per-round dangling-mass term is
+a filter + one-row aggregate BROADCAST into the update plan (round
+11; the former shape paid a node-shuffling semi-join against a
+separate dangling set and a join against a separate teleport
+relation every round) — no edge lineage is ever re-evaluated inside
+the loop, and each round is a single Spark action (the checkpoint
+materialization; round 10 removed the per-round collected scalar,
+halving scheduler round trips). Ranks are one row per node; nothing
+corpus-sized ever reaches the driver.
 """
 
 from __future__ import annotations
@@ -131,17 +135,33 @@ def pagerank(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
-        nodes, nodes_ids = tracked(
-            e.select(F.col("src").alias("node"))
-            .unionByName(e.select(F.col("dst").alias("node")))
-            .distinct()
+        # ONE node-keyed state relation instead of the former three
+        # (nodes / tvec / dangling set): `__dang` marks nodes with no
+        # outlinks (max of a has-outlink flag over both endpoint
+        # roles — a single groupBy, where the former shape paid a
+        # union-distinct AND an anti-join against the weight relation).
+        # The flag rides inside the ranks relation through the loop,
+        # so the per-round dangling-mass term is a FILTER over the
+        # already-checkpointed ranks instead of a node-shuffling
+        # semi-join, and the rank update joins ranks itself instead of
+        # a separate teleport relation — two fewer node-sized
+        # exchanges and one fewer setup checkpoint per call.
+        state, state_ids = tracked(
+            e.select(F.col("src").alias("node"), F.lit(1).alias("__has"))
+            .unionByName(
+                e.select(F.col("dst").alias("node"), F.lit(0).alias("__has"))
+            )
+            .groupBy("node")
+            .agg((F.max("__has") == 0).alias("__dang"))
         )
-        n_nodes = nodes.count()
+        n_nodes = state.count()
         if n_nodes == 0:
-            # rebuild the empty result off-checkpoint so the nodes
+            # rebuild the empty result off-checkpoint so the state
             # blocks can be freed before returning
-            schema = nodes.withColumn("rank", F.lit(0.0)).schema
-            free(nodes_ids)
+            schema = (
+                state.select("node").withColumn("rank", F.lit(0.0)).schema
+            )
+            free(state_ids)
             return spark.createDataFrame([], schema)
 
         # the teleport distribution: uniform over all nodes, or uniform
@@ -149,10 +169,10 @@ def pagerank(
         if seeds is not None:
             if not isinstance(seeds, DataFrame):
                 seeds = spark.createDataFrame(
-                    [(s,) for s in seeds], nodes.select("node").schema
+                    [(s,) for s in seeds], state.select("node").schema
                 )
             seed_nodes, _ = tracked(
-                nodes.join(
+                state.select("node").join(
                     seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
                     "node",
                     "left_semi",
@@ -161,27 +181,30 @@ def pagerank(
             n_seeds = seed_nodes.count()
             if n_seeds == 0:
                 raise ValueError("pagerank: no seed appears in the graph")
-            tvec = nodes.join(
+            base = state.join(
                 seed_nodes.withColumn("__t", F.lit(1.0 / n_seeds)), "node", "left"
-            ).select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
+            ).select(
+                "node", F.coalesce("__t", F.lit(0.0)).alias("__t"), "__dang"
+            )
         else:
-            tvec = nodes.withColumn("__t", F.lit(1.0 / n_nodes))
-        tvec, _ = tracked(tvec)
+            base = state.select(
+                "node", F.lit(1.0 / n_nodes).alias("__t"), "__dang"
+            )
 
-        # out-degree-normalized edge weights, fixed across iterations
+        # out-degree-normalized edge weights, fixed across iterations.
+        # The degree join is hinted to SHUFFLE (merge) rather than
+        # broadcast so the checkpointed weights come out
+        # HASH-PARTITIONED BY src — localCheckpoint preserves output
+        # partitioning, and the per-round contribution join on src
+        # then needs no exchange on the edge side (the rank side
+        # arrives node-partitioned from the previous round's
+        # checkpoint for the same reason). Per round, the only
+        # edge-sized exchange left is the contribution sum's
+        # groupBy(dst).
         out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
         w, _ = tracked(
-            e.join(out, "src")
+            e.join(out.hint("merge"), "src")
             .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
-        )
-        # the dangling node SET (no outlinks) is invariant across
-        # iterations: precompute + checkpoint it once, so the per-round
-        # dangling-mass term is node-sized work (semi-join + sum) and no
-        # edge lineage is ever evaluated inside the loop
-        dangling_nodes, _ = tracked(
-            nodes.join(
-                w.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
-            )
         )
         if init_ranks is not None:
             # warm start: previous ranks matched by node, teleport
@@ -209,9 +232,10 @@ def pagerank(
                 .groupBy("node")
                 .agg(F.max("__r0").alias("__r0"))
             )
-            r0 = tvec.join(ir, "node", "left").select(
+            r0 = base.join(ir, "node", "left").select(
                 "node",
                 "__t",
+                "__dang",
                 F.when(F.col("__r0") > 0, F.col("__r0"))
                 .otherwise(F.col("__t"))
                 .alias("__r0"),
@@ -221,11 +245,13 @@ def pagerank(
             )
             # checkpoint the normalized start: the caller's init_ranks
             # lineage is arbitrary (a warehouse read, a previous run)
-            # and round 1 reads `ranks` from two subtrees — without a
-            # materialization it would evaluate twice
+            # and round 1 reads `ranks` from several subtrees — without
+            # a materialization it would evaluate repeatedly
             ranks, init_ids = tracked(
                 r0.crossJoin(F.broadcast(tot)).select(
                     "node",
+                    "__t",
+                    "__dang",
                     F.when(
                         F.col("__tot") > 0, F.col("__r0") / F.col("__tot")
                     )
@@ -233,8 +259,18 @@ def pagerank(
                     .alias("rank"),
                 )
             )
+        elif seeds is not None:
+            # the personalized base is a join over two checkpoints and
+            # round 1 reads ranks from three subtrees — materialize it
+            # once (the former shape checkpointed its teleport relation
+            # at exactly this point)
+            ranks, init_ids = tracked(
+                base.withColumn("rank", F.col("__t"))
+            )
         else:
-            ranks = tvec.select("node", F.col("__t").alias("rank"))
+            # uniform start: a pure projection over the state
+            # checkpoint — nothing to materialize
+            ranks = base.withColumn("rank", F.col("__t"))
             init_ids = set()
         # each round's localCheckpoint persists a node-sized block set;
         # without cleanup a 20-iteration run holds 20 of them
@@ -248,7 +284,9 @@ def pagerank(
         prev_ids: set[int] = init_ids
         for it in range(iterations):
             contribs = (
-                w.join(ranks.withColumnRenamed("node", "src"), "src")
+                w.join(
+                    ranks.select(F.col("node").alias("src"), "rank"), "src"
+                )
                 .groupBy(F.col("dst").alias("node"))
                 .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
             )
@@ -256,20 +294,23 @@ def pagerank(
             # spread along the teleport vector. A one-row aggregate
             # broadcast INTO the update plan (not collected): the
             # whole round is then a single action (the checkpoint's
-            # eager materialization) — no per-round driver sync point,
-            # and on a small-job workload half the scheduler round
-            # trips (round 10; the arithmetic is the same IEEE double
-            # expression the collected-scalar form folded, so results
-            # are bit-identical)
+            # eager materialization) — no per-round driver sync point.
+            # The dangling flag rides in the checkpointed ranks, so
+            # this is a filter + sum over node-sized checkpoint blocks
+            # — no join (the former semi-join against a separate
+            # dangling set shuffled the ranks every round).
             dang_mass = (
-                ranks.join(dangling_nodes, "node", "left_semi")
+                ranks.filter(F.col("__dang"))
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
             )
             nxt, nxt_ids = tracked(
-                tvec.join(contribs, "node", "left")
+                ranks.select("node", "__t", "__dang")
+                .join(contribs, "node", "left")
                 .crossJoin(F.broadcast(dang_mass))
                 .select(
                     "node",
+                    "__t",
+                    "__dang",
                     (
                         F.col("__t")
                         * (
@@ -285,7 +326,9 @@ def pagerank(
             if tol is not None:
                 delta = (
                     nxt.join(
-                        ranks.withColumnRenamed("rank", "__prev"), "node", "left"
+                        ranks.select("node", F.col("rank").alias("__prev")),
+                        "node",
+                        "left",
                     )
                     .agg(F.max(F.abs(F.col("rank") - F.coalesce("__prev", F.lit(0.0)))))
                     .first()[0]
@@ -309,6 +352,7 @@ def pagerank(
     # freed here (a caller ranking many graphs in one session would
     # otherwise accumulate every graph's weight relation). The final
     # ranks' own blocks live until the caller passes the result to
-    # operators.release() once it is consumed.
+    # operators.release() once it is consumed (the projection below is
+    # narrow — release() resolves checkpoint leaves through it).
     free(live_ids - prev_ids)
-    return ranks
+    return ranks.select("node", "rank")

@@ -36,13 +36,25 @@ def grouped_percentiles(
     the 100 TB path; rank error ≤ 1/accuracy, memory bounded per
     group.
     """
-    aggs = []
-    for q in quantiles:
-        name = f"p{int(q * 100)}_{value_col}"
-        if exact:
-            expr = F.expr(f"percentile({value_col}, {q})")
-        else:
-            expr = F.expr(f"approx_percentile({value_col}, {q}, {accuracy})")
-        aggs.append(expr.alias(name))
-    aggs.append(F.count(F.lit(1)).alias("n"))
-    return df.groupBy(*group_cols).agg(*aggs)
+    # ONE aggregate buffer for all quantiles (array form): the scalar
+    # form builds one TypedImperativeAggregate buffer PER quantile —
+    # each holding every group value and each sorting it independently
+    # — so k quantiles cost k copies of the group in memory and k
+    # sorts. The array form buffers and sorts the group once and reads
+    # all quantiles off the same sorted run; identical interpolation
+    # arithmetic, identical output columns. Same shape for the
+    # approx_percentile sketch path (one sketch, not k).
+    names = [f"p{int(q * 100)}_{value_col}" for q in quantiles]
+    qarr = ", ".join(f"CAST({q!r} AS DOUBLE)" for q in quantiles)
+    if exact:
+        arr = F.expr(f"percentile({value_col}, array({qarr}))")
+    else:
+        arr = F.expr(f"approx_percentile({value_col}, array({qarr}), {accuracy})")
+    out = df.groupBy(*group_cols).agg(
+        arr.alias("__ps"), F.count(F.lit(1)).alias("n")
+    )
+    return out.select(
+        *group_cols,
+        *[F.col("__ps")[i].alias(name) for i, name in enumerate(names)],
+        "n",
+    )

@@ -942,13 +942,34 @@ def parse_blocklist_text(
         if dom:
             rows.append((dom,) if category is None else (dom, category))
     schema = "domain string" if category is None else "domain string, category string"
-    # size the slice count to the list, don't default to one slice per
-    # core: a bare createDataFrame parallelizes even a 2-row list over
-    # defaultParallelism slices, and every slice is a Python-worker
-    # round trip — three small lists unioned made 96-task dim stages,
-    # and a coalesce(1) over them was WORSE (one task draining all 96
-    # pickled slices sequentially, ~16 s for six rows). ~50k rows per
-    # slice keeps even a 4M-entry UT1 list reasonably parallel.
+    if rows and len(rows) <= 10_000:
+        # Inline-VALUES LocalRelation for list-sized dims: a
+        # parallelize()-backed dim re-pickles its rows through a
+        # Python worker on EVERY evaluation, and with_blocked_domain
+        # evaluates the dim lineage once per label shape (one
+        # broadcast build each) plus once for the shapes probe — the
+        # Python round trips, not the corpus, dominated the
+        # blocklist_domains bench row. A LocalRelation evaluates
+        # driver-side (LocalTableScan): the shapes collect runs zero
+        # jobs and each broadcast build is a JVM-only tiny aggregate.
+        def lit(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        if category is None:
+            vals = ", ".join(f"({lit(d)})" for (d,) in rows)
+            return spark.sql(f"SELECT * FROM VALUES {vals} AS t(domain)")
+        vals = ", ".join(f"({lit(d)}, {lit(c)})" for d, c in rows)
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t(domain, category)")
+    if not rows:
+        return spark.createDataFrame([], schema)
+    # big lists: size the slice count to the list, don't default to one
+    # slice per core: a bare createDataFrame parallelizes even a 2-row
+    # list over defaultParallelism slices, and every slice is a
+    # Python-worker round trip — three small lists unioned made
+    # 96-task dim stages, and a coalesce(1) over them was WORSE (one
+    # task draining all 96 pickled slices sequentially, ~16 s for six
+    # rows). ~50k rows per slice keeps even a 4M-entry UT1 list
+    # reasonably parallel.
     n_slices = max(1, min(len(rows) // 50_000 + 1, 32))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(rows, n_slices), schema

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.textops.analysis import tokens_col
-from binancedatapipeline_spark.textops.dedup import _hash64x, _shingle_array
+from binancedatapipeline_spark.textops.dedup import (
+    _hash64x,
+    _shingle_array,
+    _shingle_regex_array,
+)
 
 
 def _doc_shingle_hashes(
@@ -36,11 +40,12 @@ def _doc_shingle_hashes(
     explodes distinct-per-doc, so downstream per-doc counts need no
     extra dedup."""
     return df.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("__toks")
-    ).select(
         id_col,
         F.explode(
-            F.transform(F.array_distinct(_shingle_array(n)), _hash64x)
+            F.transform(
+                F.array_distinct(_shingle_regex_array(n, F.col(text_col))),
+                _hash64x,
+            )
         ).alias("sh_hash"),
     )
 

@@ -112,12 +112,52 @@ def char_ngrams(col, n_values=DEFAULT_N):
     space so word edges produce edge-grams — the Cavnar–Trenkle
     convention). Pure JVM expressions, no explode here, no shuffle.
 
-    Safe and LINEAR for any document length: the padded char array is
-    bound as a lambda VARIABLE (``transform(array(x), ch -> ...)[0]``)
-    — a value by construction, not an expression the interpreter
-    re-evaluates per gram, and not dependent on any optimizer
-    projection behavior (see :func:`_grams_from_chars` for the two
-    measured quadratic traps this avoids)."""
+    Extraction is ONE native ``regexp_extract_all`` per n — a
+    zero-width lookahead ``(?s)(?=(..))`` captures every overlapping
+    n-gram in a single codegen'd expression, replacing the round-8
+    interpreted higher-order-function walk (split to a char array +
+    ``transform`` with a per-element expression-tree evaluation —
+    correct and linear, but the interpreter overhead per gram
+    dominated the langid bench rows). ``(?s)`` keeps ``.`` matching
+    the line/paragraph separators ASCII ``\\s+`` collapsing leaves
+    behind. One measured exception keeps the HOF form alive: after a
+    zero-length lookahead match, ``Matcher.find`` advances by UTF-16
+    CODE UNIT, so a document containing supplementary-plane code
+    points (emoji) would gram at lone-surrogate positions — those
+    rows (detected by one native ``rlike`` over the supplementary
+    range) take the HOF branch instead, whose char-array ``split``
+    walks true code points. Gram multiset therefore identical to the
+    round-8 form on every input (differential-pinned in
+    tests/test_langid.py, including U+2028 and astral-plane code
+    points)."""
+    padded = _padded(col)
+    parts = [
+        F.regexp_extract_all(padded, F.lit("(?s)(?=(" + "." * n + "))"), 1)
+        for n in n_values
+    ]
+    grams = parts[0] if len(parts) == 1 else F.concat(*parts)
+    hof = F.transform(
+        F.array(F.split(padded, "")),
+        lambda ch: _grams_from_chars(ch, n_values),
+    )[0]
+    # the >2 guard mirrors _grams_from_chars: a whitespace-only/empty
+    # source pads to exactly "  ", which must yield NO grams (the
+    # lookahead would otherwise manufacture a "  " bigram)
+    return F.when(
+        padded.rlike("[\\x{10000}-\\x{10FFFF}]"), hof
+    ).otherwise(
+        F.when(F.length(padded) > 2, grams).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def char_ngrams_hof(col, n_values=DEFAULT_N):
+    """The round-8 higher-order-function form of :func:`char_ngrams`
+    (char-array split + bound-value ``transform``): kept as the
+    differential reference for the regex extraction — same gram
+    multiset on every input, including the empty/whitespace edge and
+    non-BMP code points."""
     return F.transform(
         F.array(F.split(_padded(col), "")),
         lambda ch: _grams_from_chars(ch, n_values),
@@ -157,23 +197,27 @@ def _runs_top_k(sg, top_k: int) -> F.Column:
         F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
         F.array(F.size(sg) + 1),
     )
+    # encode the (count desc, gram asc) order as a NATIVE struct sort:
+    # struct ordering is field-by-field ascending, so sorting
+    # (−n, gram) structs with the default comparator is the same total
+    # order as the former lambda comparator — which the interpreter
+    # invoked per COMPARISON (O(k log k) expression-tree evaluations
+    # per document, the hot spot of the row-local profile). The
+    # slice-then-rebuild keeps the public (gram, n) field shape.
     runs = F.zip_with(
         starts,
         ends,
         lambda s, e: F.struct(
+            (s - e).cast("int").alias("nn"),
             F.element_at(sg, s.cast("int")).alias("gram"),
-            (e - s).cast("int").alias("n"),
         ),
     )
-    ranked = F.array_sort(
-        runs,
-        lambda l, r: F.when(l["n"] > r["n"], -1)
-        .when(l["n"] < r["n"], 1)
-        .when(l["gram"] < r["gram"], -1)
-        .when(l["gram"] > r["gram"], 1)
-        .otherwise(0),
+    return F.transform(
+        F.slice(F.array_sort(runs), 1, top_k),
+        lambda r: F.struct(
+            r["gram"].alias("gram"), (-r["nn"]).cast("int").alias("n")
+        ),
     )
-    return F.slice(ranked, 1, top_k)
 
 
 def train_language_profiles(
