@@ -40,8 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from binancedatapipeline_spark.operators.spread import spread
-from binancedatapipeline_spark.textops.analysis import tokens_col
-from binancedatapipeline_spark.textops.dedup import _shingle_array
+from binancedatapipeline_spark.textops.dedup import _shingle_regex_array
 
 HASH_SEED = 4099  # fixed odd prime, same discipline as the MinHash family
 DEFAULT_BUCKETS = 8192
@@ -61,11 +60,14 @@ def hashed_ngram_buckets(
     engine-portable 56-bit md5 hash (the :func:`sampling.hash_bucket`
     / MinHash family scheme), bit-identical in any SQL engine — the
     mode the DuckDB-differential oracle gates."""
-    toks = tokens_col(F.col(text_col))
-    tmp = spread(df).withColumn("__toks", toks)
+    tmp = spread(df)
     grams = None
     for n in range(1, n_max + 1):
-        part = _shingle_array(n, "__toks")
+        # round 11: native regexp_extract_all shingles straight off the
+        # text column (differential-pinned identical to the former
+        # tokens_col + interpreted-HOF _shingle_array walk, incl. the
+        # empty-text [""] case the filter below drops)
+        part = _shingle_regex_array(n, F.col(text_col))
         grams = part if grams is None else F.concat(grams, part)
     # an empty text tokenizes to [""] — drop the empty gram rather
     # than let it pollute one bucket of both distributions
@@ -82,7 +84,7 @@ def hashed_ngram_buckets(
         )
     else:
         raise ValueError(f"bucket_hash must be 'xxhash' or 'md5', got {bucket_hash!r}")
-    return tmp.withColumn("__buckets", hashed).drop("__toks")
+    return tmp.withColumn("__buckets", hashed)
 
 
 def bucket_distribution(

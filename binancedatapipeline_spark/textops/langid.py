@@ -330,8 +330,22 @@ def classify_language(
     if not langs:
         return df.withColumn(output_col, F.lit(None).cast("string")) \
                  .withColumn(f"{output_col}_dist", F.lit(None).cast("bigint"))
-    profiles = df.sparkSession.createDataFrame(
-        prof_rows, "lang string, gram string, rank int"
+    # inline-VALUES LocalRelation, not createDataFrame(list): the
+    # parallelize-backed relation re-pickles its rows through a Python
+    # worker every time the broadcast build evaluates it; a
+    # LocalRelation is driver-side JVM data — zero jobs, zero Python
+    # round trips (round 11; same fix as corpus_io.parse_blocklist_text).
+    # Grams never contain \n/\r (training collapses \s+ to ' '), and
+    # quotes/backslashes are escaped.
+    def _sqlstr(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    vals = ", ".join(
+        f"({_sqlstr(lang)}, {_sqlstr(gram)}, {int(rank)})"
+        for lang, gram, rank in prof_rows
+    )
+    profiles = df.sparkSession.sql(
+        f"SELECT * FROM VALUES {vals} AS t(lang, gram, rank)"
     )
     # the document profile is computed INSIDE each row (run-length +
     # comparator sort over the bound gram array): zero shuffles until

@@ -66,16 +66,31 @@ def _window_hash_array(window: int, toks_col: str = "__toks") -> F.Column:
 def _window_occurrences(
     df: DataFrame, id_col: str, text_col: str, window: int
 ) -> DataFrame:
-    """(id, pos, h): every window occurrence, 1-based positions."""
-    toks = tokens_col(F.col(text_col))
+    """(id, pos, h): every window occurrence, 1-based positions.
+
+    Round 11: windows come from the native ``regexp_extract_all``
+    shingle kernel (``_shingle_regex_raw`` — empty array for
+    documents shorter than ``window``, exactly the
+    ``_window_hash_array`` contract), and the xxhash64 moves AFTER
+    the posexplode, where it runs as a codegen'd per-row projection
+    instead of an interpreted per-element lambda. Hash input strings
+    are identical (differential-pinned in tests/test_round11_opts.py
+    against the HOF reference kernel)."""
+    from binancedatapipeline_spark.textops.dedup import _shingle_regex_raw
+
     return (
         spread(df.select(id_col, text_col))
-        .withColumn("__toks", toks)
         .select(
-            id_col, F.posexplode(_window_hash_array(window)).alias("pos0", "h")
+            id_col,
+            F.posexplode(
+                _shingle_regex_raw(window, F.col(text_col))
+            ).alias("pos0", "__sh"),
         )
-        .withColumn("pos", F.col("pos0") + 1)
-        .drop("pos0")
+        .select(
+            F.col(id_col),
+            (F.col("pos0") + 1).alias("pos"),
+            F.xxhash64(F.col("__sh"), F.lit(SPAN_SEED)).alias("h"),
+        )
     )
 
 
@@ -124,16 +139,35 @@ def duplicate_spans(
     keeps one copy of the passage, it does not erase it from the
     corpus."""
     occ = _window_occurrences(df, id_col, text_col, window)
-    counts = occ.groupBy("h").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ"),
+    # Per-hash repeat count and canonical first occurrence as WINDOW
+    # aggregates over one hash-partitioned pass (round 11). The former
+    # shape aggregated counts separately and joined them back to occ:
+    # that tokenized + window-hashed the corpus TWICE (Catalyst does
+    # not dedupe the shared occ subtree across the self-join), ran the
+    # min(struct) through a pair of corpus-sorted SortAggregates
+    # (struct buffers are not hash-aggregable), and — the scale
+    # defect — put the repeated-hash relation on the BROADCAST side,
+    # which is corpus-sized in the worst case and capped at 8 GB.
+    # Here: ONE corpus scan, ONE exchange of (id, pos, h) on h, one
+    # hash-only sort; both aggregates share the single Window exec.
+    # Identical dup multiset, pinned by the unchanged oracle. Skew
+    # note: a pathologically hot window hash serializes its partition
+    # in either shape (the old broadcast join merely hid it until the
+    # broadcast cap); salting is deliberately not applied because the
+    # canonical-first filter needs the whole hash group together.
+    w = Window.partitionBy("h")
+    dup = (
+        occ.withColumn("__n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__first", F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+        )
+        .filter(F.col("__n") >= 2)
     )
-    dup = occ.join(counts.filter(F.col("n") >= 2), "h")
     if keep_first:
         dup = dup.filter(
             ~(
-                (F.col(id_col) == F.col("first_occ")[id_col])
-                & (F.col("pos") == F.col("first_occ")["pos"])
+                (F.col(id_col) == F.col("__first")[id_col])
+                & (F.col("pos") == F.col("__first")["pos"])
             )
         )
     return _merge_windows_to_spans(dup, id_col, window)

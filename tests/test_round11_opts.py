@@ -185,3 +185,29 @@ def test_blocklist_empty_list(spark):
     df = parse_blocklist_text(spark, "# only comments\n\n")
     assert df.count() == 0
     assert df.columns == ["domain"]
+
+
+def test_window_occurrences_match_hof_reference(spark):
+    """The regex+post-explode window-hash kernel produces the exact
+    (id, pos, h) multiset of the HOF reference (_window_hash_array
+    over tokens_col), including short docs (zero windows), empty and
+    NULL text."""
+    from binancedatapipeline_spark.textops.spans import (
+        _window_hash_array,
+        _window_occurrences,
+    )
+
+    df = _text_df(spark)
+    for window in (2, 3, 8):
+        got = _window_occurrences(df, "id", "text", window)
+        ref = (
+            df.withColumn("__toks", tokens_col(F.col("text")))
+            .select(
+                "id",
+                F.posexplode(_window_hash_array(window)).alias("pos0", "h"),
+            )
+            .select("id", (F.col("pos0") + 1).alias("pos"), "h")
+        )
+        g = sorted(map(tuple, got.select("id", "pos", "h").collect()))
+        r = sorted(map(tuple, ref.collect()))
+        assert g == r, f"window={window}"
