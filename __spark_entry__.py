@@ -1271,24 +1271,31 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two sizing choices, both mirrored in the oracle: training fits on
     the stable quarter of the corpus (``doc_id % 4 == 0`` — labeled
     data is always a subset in the real deployment), and the input is
-    repartitioned to the session's core count because the test corpus
-    is ONE small parquet file (interpreted higher-order-function gram
-    work would otherwise run single-core; a 100 TB input arrives
-    pre-partitioned, so the operator itself rightly never forces a
-    shuffle — measured 9.0 s → 3.0 s at sf0.1)."""
+    ``spread()`` to the session's core count because the test corpus
+    is ONE small parquet file (the gram kernel would otherwise run
+    single-core; measured 9.0 s → 3.0 s at sf0.1). spread, not a bare
+    repartition (round 11): at 100 TB the input arrives
+    pre-partitioned and the guard makes the shuffle a provable no-op
+    instead of a corpus-sized round-robin exchange.
+
+    Round 11: the query returns classify_language_SCORES — the
+    (doc_id, lang_id, lang_id_dist) relation itself — instead of
+    classify_language's re-attaching left join, whose only effect
+    here was a second corpus scan + id exchange + SortMergeJoin
+    feeding a projection that dropped every re-attached column.
+    Output identical (one row per doc_id, gramless docs NULL) —
+    oracle-checked."""
     from binancedatapipeline_spark.textops.langid import (
-        classify_language,
+        classify_language_scores,
         train_language_profiles,
     )
 
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread(_t(spark, sf_dir, "documents"))
     profiles = train_language_profiles(
         docs.filter(F.col("doc_id") % 4 == 0),
         lang_col="lang", text_col="text", top_k=200,
     )
-    out = classify_language(
+    out = classify_language_scores(
         docs, profiles, id_col="doc_id", text_col="text", top_k=200
     )
     return out.select("doc_id", "lang_id", "lang_id_dist")

@@ -263,7 +263,7 @@ def collect_profiles(profiles) -> list:
     return [(lang, gram, int(rank)) for lang, gram, rank in profiles]
 
 
-def classify_language(
+def classify_language_scores(
     df: DataFrame,
     profiles: DataFrame | list,
     id_col: str = "doc_id",
@@ -274,7 +274,26 @@ def classify_language(
     output_col: str = "lang_id",
     max_chars: int | None = 4000,
 ) -> DataFrame:
-    """Add ``output_col``: the language whose profile is nearest to
+    """The score relation behind :func:`classify_language`:
+    ``(id_col, output_col, output_col_dist)`` with exactly ONE row per
+    distinct non-NULL ``id_col`` of ``df`` — including documents that
+    produce no n-grams (classified NULL with NULL distance, same
+    convention as the joined form).
+
+    This is the whole classification when the caller only needs the
+    per-document verdict (the registry's ``doc_langid`` query): the
+    round-11 measurement showed :func:`classify_language`'s
+    re-attaching left join costing a second corpus scan, a round-robin
+    + hash exchange of the id column and a SortMergeJoin with two
+    sorts — none of which the verdict needs (guide §2.4: remove
+    shuffles outright). Zero-gram documents stay representable because
+    the explode is ``posexplode_outer``: an empty top-k array emits one
+    NULL-gram row, the profile join misses it, and the argmin is
+    guarded by ``__dg > 0`` so those ids surface with NULL lang/dist
+    instead of an all-miss tie. Everything else (gram kernel, distance
+    fold, argmin) is byte-identical to the joined form.
+
+    ``output_col`` is the language whose profile is nearest to
     the document's own ranked n-gram profile by out-of-place distance
     (``Σ |doc_rank − profile_rank|``, ``miss_penalty`` — default
     ``top_k`` — for document grams a profile lacks). NULL for
@@ -328,8 +347,13 @@ def classify_language(
     prof_rows = collect_profiles(profiles)
     langs = sorted({lang for lang, _, _ in prof_rows})
     if not langs:
-        return df.withColumn(output_col, F.lit(None).cast("string")) \
-                 .withColumn(f"{output_col}_dist", F.lit(None).cast("bigint"))
+        return (
+            df.select(id_col)
+            .filter(F.col(id_col).isNotNull())
+            .distinct()
+            .withColumn(output_col, F.lit(None).cast("string"))
+            .withColumn(f"{output_col}_dist", F.lit(None).cast("bigint"))
+        )
     # inline-VALUES LocalRelation, not createDataFrame(list): the
     # parallelize-backed relation re-pickles its rows through a Python
     # worker every time the broadcast build evaluates it; a
@@ -351,19 +375,21 @@ def classify_language(
     # comparator sort over the bound gram array): zero shuffles until
     # the BOUNDED top_k-per-doc explode below — and the doc's gram
     # count rides the exploded rows (`__doc_grams`), so no second
-    # branch ever re-reads the corpus. Zero-gram documents produce no
-    # exploded rows at all, fall out of the scoring entirely, and
-    # classify to NULL via the final left join (a size-0 row would
-    # distance-0-tie every language and pick the first).
+    # branch ever re-reads the corpus. Zero-gram documents keep ONE
+    # NULL-gram row through posexplode_outer (so every id reaches the
+    # aggregate) and classify to NULL via the `__dg > 0` argmin guard
+    # (a size-0 row would otherwise distance-0-tie every language and
+    # pick the first).
     exploded = (
-        df.select(
+        df.filter(F.col(id_col).isNotNull())
+        .select(
             F.col(id_col),
             _row_top_grams(char_ngrams(text, n_values), top_k).alias("__top"),
         )
         .select(
             id_col,
             F.size("__top").alias("__doc_grams"),
-            F.posexplode("__top").alias("__pos", "__pg"),
+            F.posexplode_outer("__top").alias("__pos", "__pg"),
         )
         .select(
             id_col,
@@ -400,15 +426,52 @@ def classify_language(
         for i, lang in enumerate(langs)
     ])
     # struct ordering is field-by-field: min by (distance, lang) IS
-    # the deterministic argmin — no window, no second shuffle
-    best = agg.select(
-        id_col, F.array_min(dists).alias("__b")
+    # the deterministic argmin — no window, no second shuffle. The
+    # `__dg > 0` guard keeps the zero-gram convention: no grams means
+    # no evidence, classify NULL (those rows exist here only because
+    # of posexplode_outer).
+    return agg.select(
+        id_col,
+        F.when(F.col("__dg") > 0, F.array_min(dists)).alias("__b"),
     ).select(
         id_col,
         F.col("__b.lang").alias(output_col),
         F.col("__b.d").alias(f"{output_col}_dist"),
     )
-    return df.join(best, id_col, "left")
+
+
+def classify_language(
+    df: DataFrame,
+    profiles: DataFrame | list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = DEFAULT_TOP_K,
+    n_values=DEFAULT_N,
+    miss_penalty: int | None = None,
+    output_col: str = "lang_id",
+    max_chars: int | None = 4000,
+) -> DataFrame:
+    """Add ``output_col`` / ``output_col_dist`` to ``df``: every
+    original row and column, plus the per-document verdict from
+    :func:`classify_language_scores` (see there for semantics and the
+    plan shape) re-attached by a left join on ``id_col``. Documents
+    with no n-grams — and rows with a NULL id, which can never match a
+    join key — come back NULL. Callers that only need the verdict
+    relation should use :func:`classify_language_scores` directly and
+    skip this join (one corpus scan and one id-keyed merge join
+    cheaper)."""
+    scores = classify_language_scores(
+        df,
+        profiles,
+        id_col=id_col,
+        text_col=text_col,
+        top_k=top_k,
+        n_values=n_values,
+        miss_penalty=miss_penalty,
+        output_col=output_col,
+        max_chars=max_chars,
+    )
+    return df.join(scores, id_col, "left")
 
 
 def classify_language_paragraphs(
