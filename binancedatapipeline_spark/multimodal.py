@@ -556,7 +556,11 @@ def decode_and_featurize(
                 "mean_intensity": means,
             })
 
-    return media.mapInPandas(kernel, out_schema)
+    # project to exactly the kernel's inputs before the Python
+    # boundary: mapInPandas is opaque to Catalyst, so without the
+    # select every other column of `media` would be read, transposed
+    # to Arrow and shipped to the worker for nothing (guide §4.1)
+    return media.select(id_col, content_col).mapInPandas(kernel, out_schema)
 
 
 def sample_frames(

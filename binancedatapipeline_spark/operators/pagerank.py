@@ -135,6 +135,27 @@ def pagerank(
             .filter(F.col("src") != F.col("dst"))
             .distinct()
         )
+        # out-degree-normalized edge weights, fixed across iterations —
+        # checkpointed FIRST (round 11): the node state below derives
+        # from the checkpointed weights instead of re-evaluating the
+        # edge lineage, so the scan + distinct exchange behind `e` runs
+        # once per call, not once per setup checkpoint (guide §2.4 —
+        # the two setup jobs used to each execute `e` from scratch;
+        # exchange reuse cannot cross Spark actions).
+        # The degree join is hinted to SHUFFLE (merge) rather than
+        # broadcast so the checkpointed weights come out
+        # HASH-PARTITIONED BY src — localCheckpoint preserves output
+        # partitioning, and the per-round contribution join on src
+        # then needs no exchange on the edge side (the rank side
+        # arrives node-partitioned from the previous round's
+        # checkpoint for the same reason). Per round, the only
+        # edge-sized exchange left is the contribution sum's
+        # groupBy(dst).
+        out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+        w, _ = tracked(
+            e.join(out.hint("merge"), "src")
+            .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
+        )
         # ONE node-keyed state relation instead of the former three
         # (nodes / tvec / dangling set): `__dang` marks nodes with no
         # outlinks (max of a has-outlink flag over both endpoint
@@ -145,23 +166,27 @@ def pagerank(
         # already-checkpointed ranks instead of a node-shuffling
         # semi-join, and the rank update joins ranks itself instead of
         # a separate teleport relation — two fewer node-sized
-        # exchanges and one fewer setup checkpoint per call.
+        # exchanges and one fewer setup checkpoint per call. Built
+        # from the checkpointed weights, whose edge SET is exactly
+        # `e`'s (the inner degree join keeps every distinct edge), so
+        # node set and has-outlink flags are unchanged.
         state, state_ids = tracked(
-            e.select(F.col("src").alias("node"), F.lit(1).alias("__has"))
+            w.select(F.col("src").alias("node"), F.lit(1).alias("__has"))
             .unionByName(
-                e.select(F.col("dst").alias("node"), F.lit(0).alias("__has"))
+                w.select(F.col("dst").alias("node"), F.lit(0).alias("__has"))
             )
             .groupBy("node")
             .agg((F.max("__has") == 0).alias("__dang"))
         )
         n_nodes = state.count()
         if n_nodes == 0:
-            # rebuild the empty result off-checkpoint so the state
-            # blocks can be freed before returning
+            # rebuild the empty result off-checkpoint so every block
+            # this call persisted (weights AND state) can be freed
+            # before returning
             schema = (
                 state.select("node").withColumn("rank", F.lit(0.0)).schema
             )
-            free(state_ids)
+            free(set(live_ids))
             return spark.createDataFrame([], schema)
 
         # the teleport distribution: uniform over all nodes, or uniform
@@ -191,21 +216,6 @@ def pagerank(
                 "node", F.lit(1.0 / n_nodes).alias("__t"), "__dang"
             )
 
-        # out-degree-normalized edge weights, fixed across iterations.
-        # The degree join is hinted to SHUFFLE (merge) rather than
-        # broadcast so the checkpointed weights come out
-        # HASH-PARTITIONED BY src — localCheckpoint preserves output
-        # partitioning, and the per-round contribution join on src
-        # then needs no exchange on the edge side (the rank side
-        # arrives node-partitioned from the previous round's
-        # checkpoint for the same reason). Per round, the only
-        # edge-sized exchange left is the contribution sum's
-        # groupBy(dst).
-        out = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-        w, _ = tracked(
-            e.join(out.hint("merge"), "src")
-            .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
-        )
         if init_ranks is not None:
             # warm start: previous ranks matched by node, teleport
             # share for nodes new to this graph (departed nodes drop

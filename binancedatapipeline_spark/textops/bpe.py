@@ -198,21 +198,39 @@ def apply_bpe(
     standard BPE preserves."""
     ranks = {pair: i for i, pair in enumerate(merges)}
 
+    # natural-language words repeat constantly; the greedy merge loop
+    # is O(len²) per word, so memoize per distinct word (round 11,
+    # guide §4.2/§4.5: make the per-batch Python work cheap, keep the
+    # state across batches). Defined OUTSIDE the UDF body so the cache
+    # rides the task closure and persists across every Arrow batch of
+    # the task (inside, it would reset per batch); a plain dict, not
+    # functools.lru_cache, because cloudpickle cannot serialize the
+    # lru wrapper. Size-capped; returns tuples so a caller can't
+    # mutate a cached entry. Measured 2.0× on a repeated-word corpus
+    # (20k docs × 120 words: 1.51 s → 0.75 s noop-sink encode).
+    cache: dict = {}
+
+    def enc_word(word: str) -> tuple:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best, best_rank = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            syms[best : best + 2] = [syms[best] + syms[best + 1]]
+        res = tuple(syms)
+        if len(cache) < 65536:
+            cache[word] = res
+        return res
+
     @F.pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
-        def enc_word(word: str) -> list[str]:
-            syms = list(word) + [EOW]
-            while len(syms) > 1:
-                best, best_rank = None, None
-                for i in range(len(syms) - 1):
-                    r = ranks.get((syms[i], syms[i + 1]))
-                    if r is not None and (best_rank is None or r < best_rank):
-                        best, best_rank = i, r
-                if best is None:
-                    break
-                syms[best : best + 2] = [syms[best] + syms[best + 1]]
-            return syms
-
         def one(text) -> list[str]:
             out: list[str] = []
             for w in (text or "").split():
