@@ -111,9 +111,14 @@ def main() -> None:
             # drop any persisted intermediates (e.g. the ngram shingle
             # relation) so every timed run pays its own materialization
             spark.catalog.clearCache()
+            # label the jobs so a Spark UI / event-log reading of a
+            # bench run maps stages back to queries (guide §1.5);
+            # thread-local, cleared after the run, zero timing effect
+            spark.sparkContext.setJobDescription(f"bench: {name}")
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
+            spark.sparkContext.setJobDescription(None)
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name, runs in samples.items():
@@ -140,12 +145,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_ISOLATED", "1") != "0":
         for name, fn in queries.items():
             spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"bench isolated: {name}")
             runs = []
             for _ in range(2):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.perf_counter() - t0)
             isolated[name] = round(min(runs), 4)
+            spark.sparkContext.setJobDescription(None)
 
     # calibration measured AFTER the timed passes (same host window as
     # the samples it normalizes; measuring before would still be fine,
