@@ -1151,7 +1151,9 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-seen day, distinct
-    active users per day-offset."""
+    active users per day-offset. RETIRED from the driver registry in
+    round 12 (50-slot restoration) — stays DuckDB-diff-tested verbatim
+    in tests/test_retired_queries.py and timed by bench.py."""
     ev = _t(spark, sf_dir, "events")
     # collapse raw events to each user's distinct-day set first (one
     # shuffle, map-side partial collect_set bounded by calendar days),
@@ -1172,7 +1174,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by: the order id carrying each priority's extreme
-    price (deterministic argmax without a sort)."""
+    price (deterministic argmax without a sort). RETIRED from the
+    driver registry in round 12 (50-slot restoration) — stays
+    DuckDB-diff-tested verbatim in tests/test_retired_queries.py and
+    timed by bench.py."""
     o = _t(spark, sf_dir, "orders")
     # argmax as max-of-struct: lexicographic struct ordering carries the
     # key along with the extremum in one partial-agg-friendly pass; the
@@ -1435,8 +1440,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # predicates through full_outer's day-count filter-free variant)
     # for host_pagerank, gating the iterative graph family (damped
     # power iteration with dangling-mass redistribution) end to end
-    # against a DuckDB recursive-CTE oracle. All retired queries stay
-    # DuckDB-diff-tested verbatim in tests/test_retired_queries.py.
+    # against a DuckDB recursive-CTE oracle. Round 12 retired
+    # cohort_retention (cohort-day bucketing — the identical
+    # collect_set/explode/datediff aggregate machinery stays
+    # oracle-gated through funnel's per-user event-array collapse and
+    # sessionize's date arithmetic) and arg_max (max_by-as-max-of-
+    # struct — the same lexicographic-struct extremum machinery stays
+    # oracle-gated through topk_per_group and the funnel array mins)
+    # after the interrupted round-10/11 build pushed the registry to
+    # 52 entries and silently dropped its LAST two rows out of the
+    # driver's 50-row verification window: 50 registered = every
+    # registered query hard-verified, per this comment's own contract.
+    # All retired queries stay DuckDB-diff-tested verbatim in
+    # tests/test_retired_queries.py, and the two round-12 retirees
+    # also stay TIMED by bench.py (its queries dict is additive-only).
     return {
         "pricing_summary": q_pricing_summary,
         "filtered_projection": q_filtered_projection,
@@ -1488,8 +1505,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "window_range_frame": q_window_range_frame,
         "funnel": q_funnel,
-        "cohort_retention": q_cohort_retention,
-        "arg_max": q_arg_max,
     }
 
 
@@ -2291,30 +2306,6 @@ fp AS (
 SELECT v.user_id, v.first_view, fc.first_click, fp.first_purchase
 FROM v LEFT JOIN fc ON v.user_id = fc.user_id
 LEFT JOIN fp ON v.user_id = fp.user_id
-""",
-        "cohort_retention": """
-WITH fd AS (
-  SELECT user_id, min(ts)::DATE AS cohort_day FROM events GROUP BY user_id
-)
-SELECT fd.cohort_day, datediff('day', fd.cohort_day, e.ts::DATE) AS day_offset,
-       count(DISTINCT e.user_id) AS n_users
-FROM events e JOIN fd ON e.user_id = fd.user_id
-GROUP BY 1, 2
-""",
-        "arg_max": """
-WITH r AS (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
-  FROM orders
-)
-SELECT o_orderpriority,
-       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_order,
-       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_order,
-       round(max(o_totalprice), 6) AS max_price
-FROM r GROUP BY o_orderpriority
 """,
         "scalar_subquery": """
 SELECT o_orderkey, o_orderpriority, round(o_totalprice, 6) AS o_totalprice

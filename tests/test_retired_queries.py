@@ -15,7 +15,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("supplier", "lineitem", "documents", "events"):
+    for t in ("supplier", "lineitem", "documents", "events", "orders"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     yield c
     c.close()
@@ -179,6 +179,64 @@ def test_retired_groupby_having_matches_duckdb(spark, con):
 SELECT user_id, event_type, count(*) AS n,
        round((sum(value::DECIMAL(18,2)))::DOUBLE / count(*), 6) AS avg_value
 FROM events GROUP BY user_id, event_type HAVING count(*) >= 10
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_retired_cohort_retention_matches_duckdb(spark, con):
+    # retired in round 12 (50-slot restoration after the interrupted
+    # build round grew the registry to 52 and pushed the last two
+    # entries out of the driver's verification window); oracle SQL
+    # kept verbatim from the round-11 registry. The collect_set/
+    # explode/datediff aggregate machinery stays oracle-gated through
+    # funnel and sessionize
+    got = _rows(entry_mod.q_cohort_retention(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH fd AS (
+  SELECT user_id, min(ts)::DATE AS cohort_day FROM events GROUP BY user_id
+)
+SELECT fd.cohort_day, datediff('day', fd.cohort_day, e.ts::DATE) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN fd ON e.user_id = fd.user_id
+GROUP BY 1, 2
+"""
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_retired_arg_max_matches_duckdb(spark, con):
+    # retired in round 12 (same 50-slot restoration); oracle SQL kept
+    # verbatim from the round-11 registry. The lexicographic-struct
+    # extremum machinery stays oracle-gated through topk_per_group
+    # and funnel's array mins
+    got = _rows(entry_mod.q_arg_max(spark, SF))
+    exp = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey DESC) AS rmin
+  FROM orders
+)
+SELECT o_orderpriority,
+       max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_price_order,
+       max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_price_order,
+       round(max(o_totalprice), 6) AS max_price
+FROM r GROUP BY o_orderpriority
 """
             ).fetchall(),
         )
