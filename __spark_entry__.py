@@ -1289,7 +1289,10 @@ def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     here was a second corpus scan + id exchange + SortMergeJoin
     feeding a projection that dropped every re-attached column.
     Output identical (one row per doc_id, gramless docs NULL) —
-    oracle-checked."""
+    oracle-checked. Equivalence to the oracle's one-row-per-documents-
+    row shape rests on documents.doc_id being a unique, non-NULL key
+    of the corpus — which the generators guarantee and
+    tests/test_round12_opts.py asserts at the oracle-check scale."""
     from binancedatapipeline_spark.textops.langid import (
         classify_language_scores,
         train_language_profiles,

@@ -211,4 +211,3 @@ def test_window_occurrences_match_hof_reference(spark):
         g = sorted(map(tuple, got.select("id", "pos", "h").collect()))
         r = sorted(map(tuple, ref.collect()))
         assert g == r, f"window={window}"
-
