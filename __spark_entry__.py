@@ -976,7 +976,11 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from binancedatapipeline_spark.similarity import cosine_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = cosine_near_dup_pairs(emb, threshold=0.3, block_col="label")
+    # kernel="arrow" (round 12): the block pair space is scored as 64
+    # vectorized rank-1 NumPy updates instead of Σ|block|² interpreted
+    # HOF folds — bit-identical scores (fold-order adds), only
+    # survivors cross back to the JVM (guide §4.2)
+    out = cosine_near_dup_pairs(emb, threshold=0.3, block_col="label", kernel="arrow")
     return out.select("id_a", "id_b", _r6("cosine").alias("cosine"))
 
 

@@ -52,26 +52,306 @@ def _norm(a: str) -> F.Column:
     )
 
 
-def cosine_topk(
+# ------------------------------------------------------- arrow kernels
+#
+# Round 12 (guide §4.2): the brute-force scorers' per-row HOF folds are
+# the measured CPU floor of the embedding family — the expression
+# interpreter walks 64 array slots per (row × query) at ~20 ns/slot.
+# These kernels hand whole Arrow batches to NumPy instead, looping
+# SEQUENTIALLY over dimensions and vectorizing across rows, which is
+# exactly the fold's left-to-right double-add order — so the scores are
+# BIT-IDENTICAL to the JVM plan (differential-pinned in
+# tests/test_round12_opts.py, oracle hash-verified at three SFs). Each
+# family keeps its JVM path selectable (`kernel="jvm"`) both as the
+# differential reference and for callers that cannot cross the Python
+# boundary (pure-JVM deployments, streaming plans).
+
+
+def _py_fold_norm(vec) -> float | None:
+    """Row-at-a-time reference of _norm's fold: None iff the array is
+    NULL or contains a NULL slot, else sqrt of the left-to-right sum."""
+    import math
+
+    if vec is None:
+        return None
+    acc = 0.0
+    for x in vec:
+        if x is None:
+            return None
+        x = float(x)
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def _py_fold_dot(a, b) -> float | None:
+    """Row-at-a-time reference of _dot's zip_with+aggregate fold: None
+    on length mismatch (zip_with pads with NULL) or any NULL slot."""
+    if a is None or b is None or len(a) != len(b):
+        return None
+    acc = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        acc += float(x) * float(y)
+    return acc
+
+
+class _SparkDivideByZero(ArithmeticError):
+    """Raised by the Arrow kernels when a cosine denominator is
+    exactly zero under ANSI mode — the same query-failing outcome as
+    the JVM plan's [DIVIDE_BY_ZERO] (Spark's ``/`` is NOT IEEE: zero
+    divisor errors under ANSI and yields NULL otherwise; only the
+    exception type differs, surfaced as a PythonException)."""
+
+
+def _spark_div(x: float, y: float, ansi: bool) -> float | None:
+    """Spark SQL double division semantics: NULL inputs propagate
+    before the zero check (callers handle that), y == 0 errors under
+    ANSI / returns NULL otherwise, NaN/Inf divisors follow IEEE."""
+    import numpy as np
+
+    if y == 0.0:
+        if ansi:
+            raise _SparkDivideByZero(
+                "[DIVIDE_BY_ZERO] cosine denominator is zero (ANSI mode)"
+            )
+        return None
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(np.float64(x) / np.float64(y))
+
+
+def _session_ansi(df: DataFrame) -> bool:
+    return str(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true")).lower() == "true"
+
+
+def _arrow_topk_scores(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    corpus_id: str = "vec_id",
-    corpus_vec: str = "embedding",
-    query_id: str = "query_id",
-    query_vec: str = "query_vec",
-) -> DataFrame:
-    """Exact top-k neighbors per query vector: (query_id, vec_id,
-    cosine, rank). Queries are broadcast; the corpus is scanned once."""
+    q_rows: list,
+    k: int,
+    corpus_id: str,
+    vec_col: str,
+    out_schema,
+    decode_params=None,
+):
+    """The shared mapInArrow scorer behind cosine_topk/sq_topk's
+    ``kernel="arrow"`` path: emits (query_id, corpus_id, cosine) rows,
+    locally pruned to the ≤k best per query PER BATCH under the exact
+    global order (cosine DESC with Spark's NaN-greatest/NULLs-last
+    semantics, then id ASC) — an exact map-side prune, like partial
+    aggregation: any row dropped here is dominated by ≥k emitted rows
+    of the same query, so the downstream row_number window sees every
+    possible top-k member while shuffling O(k·batches) rows instead of
+    O(|corpus|·|queries|).
+
+    ``decode_params=(mins, scales)`` reconstructs SQ8 codes on the fly
+    (x̂[d] = mins[d] + code·scales[d], the sq_decode arithmetic verbatim)
+    so the float vectors are never materialized, mirroring the JVM
+    decode-in-scan plan."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(out_schema)
+    ansi = _session_ansi(corpus)
+    import math
+
+    # Driver-side query prep: python-float vectors + fold-order norms
+    # (left-to-right adds — Python floats ARE IEEE doubles).
+    qprep = []
+    for qid, qv in q_rows:
+        if qv is None or any(v is None for v in qv):
+            qprep.append((qid, None, None))
+        else:
+            vec = [float(v) for v in qv]
+            acc = 0.0
+            for v in vec:
+                acc += v * v
+            qprep.append((qid, vec, math.sqrt(acc)))
+    kk = max(int(k), 0)
+    mins_scales = (
+        ([float(v) for v in decode_params[0]], [float(v) for v in decode_params[1]])
+        if decode_params is not None
+        else None
+    )
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or not qprep or kk == 0:
+                continue
+            ids = batch.column(0)
+            vecs = batch.column(1)
+            lens = pc.fill_null(pc.list_value_length(vecs), -1).to_numpy(
+                zero_copy_only=False
+            )
+            flat = pc.list_flatten(vecs)
+            uniform = (
+                vecs.null_count == 0
+                and flat.null_count == 0
+                and n > 0
+                and (lens == lens[0]).all()
+            )
+            # id sort key: numeric ids sort natively; anything else is
+            # dense-ranked driver-side per batch (Python's total order on
+            # str equals Spark's UTF8 binary order: both are code-point)
+            ids_key = None
+            if ids.null_count == 0:
+                try:
+                    cand = ids.to_numpy(zero_copy_only=False)
+                    if cand.dtype.kind in "iuf":
+                        ids_key = cand
+                except (pa.ArrowInvalid, ValueError, TypeError):
+                    pass
+            if ids_key is None:
+                ids_py = ids.to_pylist()
+                uniq = sorted({v for v in ids_py if v is not None})
+                pos = {v: i + 1 for i, v in enumerate(uniq)}
+                # NULL ids sort FIRST under Spark's ASC (rank 0); a
+                # dense rank preserves the order exactly (Python str <
+                # is code-point order, same as Spark's UTF8 binary)
+                ids_key = np.fromiter(
+                    (0 if v is None else pos[v] for v in ids_py),
+                    dtype=np.int64,
+                    count=n,
+                )
+
+            if uniform:
+                L = int(lens[0])
+                X = flat.to_numpy(zero_copy_only=False)
+                if mins_scales is not None:
+                    dim = len(mins_scales[0])
+                    if L > dim:
+                        uniform = False  # out-of-range decode: slow path
+                if uniform:
+                    X = X.astype(np.float64, copy=False).reshape(n, L)
+                    cn = np.zeros(n)
+                    live = [
+                        (j, np.zeros(n))
+                        for j, (qid, qv, qn) in enumerate(qprep)
+                        if qv is not None and len(qv) == L
+                    ]
+                    if mins_scales is not None:
+                        mns, scs = mins_scales
+                        for d in range(L):
+                            col = mns[d] + X[:, d] * scs[d]
+                            cn += col * col
+                            for j, acc in live:
+                                acc += col * qprep[j][1][d]
+                    else:
+                        for d in range(L):
+                            col = X[:, d]
+                            cn += col * col
+                            for j, acc in live:
+                                acc += col * qprep[j][1][d]
+                    cn = np.sqrt(cn)
+                    dots = {j: acc for j, acc in live}
+                    for j, (qid, qv, qn) in enumerate(qprep):
+                        if j in dots:
+                            # Spark's `/` is NOT IEEE: a zero divisor
+                            # errors under ANSI and yields NULL
+                            # otherwise (NaN/Inf divisors follow IEEE)
+                            with np.errstate(divide="ignore", invalid="ignore"):
+                                denom = cn * qn
+                                cos = dots[j] / denom
+                            zero = denom == 0.0
+                            if zero.any() and ansi:
+                                raise _SparkDivideByZero(
+                                    "[DIVIDE_BY_ZERO] cosine denominator is "
+                                    "zero (ANSI mode)"
+                                )
+                            nullflag = zero.astype(np.float64)
+                            neg = np.where(
+                                zero, 0.0, np.where(np.isnan(cos), -np.inf, -cos)
+                            )
+                        else:
+                            # query NULL/NULL-slot or length mismatch:
+                            # every cosine is NULL (zip_with padding)
+                            cos = None
+                            zero = None
+                            nullflag = np.ones(n)
+                            neg = np.zeros(n)
+                        sel = np.lexsort((ids_key, neg, nullflag))[:kk]
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(
+                                    [qid] * len(sel), type=arrow_schema.field(0).type
+                                ),
+                                ids.take(pa.array(sel, type=pa.int64())).cast(
+                                    arrow_schema.field(1).type
+                                ),
+                                pa.array(
+                                    [None] * len(sel)
+                                    if cos is None
+                                    else [
+                                        None if zero[i] else float(cos[i])
+                                        for i in sel
+                                    ],
+                                    type=arrow_schema.field(2).type,
+                                ),
+                            ],
+                            schema=arrow_schema,
+                        )
+                    continue
+
+            # slow path (ragged lengths / NULL rows or slots): per-row
+            # Python folds — exact by construction, rare by data shape
+            rows = vecs.to_pylist()
+            for qid, qv, qn in qprep:
+                cos_list = []
+                for vec in rows:
+                    if qv is None:
+                        cos_list.append(None)
+                        continue
+                    if mins_scales is not None and vec is not None:
+                        mns, scs = mins_scales
+                        if len(vec) > len(mns):
+                            cos_list.append(None)
+                            continue
+                        vec = [
+                            None if c is None else mns[i] + float(c) * scs[i]
+                            for i, c in enumerate(vec)
+                        ]
+                    cn_i = _py_fold_norm(vec)
+                    dot_i = _py_fold_dot(vec, qv)
+                    cos_list.append(
+                        None
+                        if cn_i is None or dot_i is None
+                        else _spark_div(dot_i, cn_i * qn, ansi)
+                    )
+                nullflag = np.array([1.0 if c is None else 0.0 for c in cos_list])
+                neg = np.array(
+                    [
+                        0.0
+                        if c is None
+                        else (-np.inf if np.isnan(c) else -c)
+                        for c in cos_list
+                    ]
+                )
+                sel = np.lexsort((ids_key, neg, nullflag))[:kk]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([qid] * len(sel), type=arrow_schema.field(0).type),
+                        ids.take(pa.array(sel, type=pa.int64())).cast(
+                            arrow_schema.field(1).type
+                        ),
+                        pa.array(
+                            [cos_list[i] for i in sel],
+                            type=arrow_schema.field(2).type,
+                        ),
+                    ],
+                    schema=arrow_schema,
+                )
+
+    return corpus.select(corpus_id, vec_col).mapInArrow(score, schema=out_schema)
+
+
+def _rank_topk(scored: DataFrame, k: int, query_id: str, corpus_id: str) -> DataFrame:
+    """Deterministic top-k rank over a (query_id, corpus_id, cosine)
+    relation — the shared tail of both scorer kernels."""
     from pyspark.sql import Window
 
-    # per-vector norms computed once per side, not once per pair
-    c = corpus.withColumn("__cn", _norm(corpus_vec))
-    q = queries.withColumn("__qn", _norm(query_vec))
-    joined = c.crossJoin(F.broadcast(q))
-    scored = joined.withColumn(
-        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
-    )
     w = Window.partitionBy(query_id).orderBy(
         F.col("cosine").desc(), F.col(corpus_id).asc()
     )
@@ -82,12 +362,242 @@ def cosine_topk(
     )
 
 
+def _topk_out_schema(corpus, queries, corpus_id, query_id):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [
+            StructField(query_id, queries.schema[query_id].dataType, True),
+            StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+
+def _resolve_kernel(kernel: str, *dfs: DataFrame) -> str:
+    if kernel == "auto":
+        return "jvm" if any(d.isStreaming for d in dfs) else "arrow"
+    if kernel not in ("arrow", "jvm"):
+        raise ValueError(f"kernel must be 'auto', 'arrow' or 'jvm', got {kernel!r}")
+    return kernel
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    kernel: str = "auto",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector: (query_id, vec_id,
+    cosine, rank). The corpus is scanned once; the query set is small
+    by contract (it is held whole on every executor under BOTH
+    kernels — broadcast by the JVM plan, closure-captured by the
+    Arrow plan).
+
+    ``kernel="arrow"`` (the batch default via ``"auto"``; round 12,
+    guide §4.2) scores whole Arrow batches in NumPy — vectorized
+    across rows, SEQUENTIAL across dimensions, so every double add
+    happens in the fold's order and the scores are bit-identical to
+    the JVM expression plan (differential-pinned in
+    tests/test_round12_opts.py). Each batch also pre-prunes to its
+    local top-k under the exact output order, so the rank window
+    shuffles O(k·batches) rows instead of |corpus|·|queries|.
+    ``kernel="jvm"`` keeps the pure-expression broadcast-crossJoin
+    plan: the differential reference, and the only choice inside
+    streaming plans (mapInArrow needs a batch query-side collect)."""
+    kernel = _resolve_kernel(kernel, corpus, queries)
+    if kernel == "arrow":
+        q_rows = [
+            (r[0], None if r[1] is None else list(r[1]))
+            for r in queries.select(query_id, query_vec).collect()
+        ]
+        scored = _arrow_topk_scores(
+            corpus,
+            q_rows,
+            k,
+            corpus_id,
+            corpus_vec,
+            _topk_out_schema(corpus, queries, corpus_id, query_id),
+        )
+        return _rank_topk(scored, k, query_id, corpus_id)
+
+    # per-vector norms computed once per side, not once per pair
+    c = corpus.withColumn("__cn", _norm(corpus_vec))
+    q = queries.withColumn("__qn", _norm(query_vec))
+    joined = c.crossJoin(F.broadcast(q))
+    scored = joined.withColumn(
+        "cosine", _dot(corpus_vec, query_vec) / (F.col("__cn") * F.col("__qn"))
+    )
+    return _rank_topk(scored, k, query_id, corpus_id)
+
+
+def _near_dup_pairs_arrow(
+    corpus: DataFrame,
+    threshold: float,
+    block_col: str,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The ``kernel="arrow"`` path of cosine_near_dup_pairs: one
+    applyInArrow kernel per block computes the block's pair-space
+    cosines as 64 vectorized rank-1 updates (one per dimension, in
+    dimension order — each G[i,j] accumulates x_i[d]·x_j[d] left to
+    right, the _dot fold's exact add order) instead of Σ|block|²
+    interpreted HOF folds, and only survivors cross back to the JVM.
+    Row-chunked so memory is O(chunk·|block|), never |block|².
+
+    Exactly replicates the join plan's semantics: NULL ids / NULL
+    vectors / NULL slots never pair (their cosine would be NULL, which
+    fails ``>= threshold``), only same-length vectors pair (zip_with
+    pads mismatched lengths with NULL), equal ids never pair (strict
+    ``id_a < id_b``), NaN cosines SURVIVE the threshold (Spark orders
+    NaN above every double), and a zero denominator follows Spark's
+    non-IEEE division — [DIVIDE_BY_ZERO] under ANSI, NULL (dropped)
+    otherwise. Differential-pinned against the join kernel in
+    tests/test_round12_opts.py."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("id_a", corpus.schema[id_col].dataType, True),
+            StructField("id_b", corpus.schema[id_col].dataType, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+    thr = float(threshold)
+    ansi = _session_ansi(corpus)
+
+    def block_pairs(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        empty = arrow_schema.empty_table()
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        ids_arr = tbl.column(1).combine_chunks()
+        vecs_arr = tbl.column(2).combine_chunks()
+        ids_ok = ids_arr.is_valid().to_numpy(zero_copy_only=False)
+        lens = pc.fill_null(pc.list_value_length(vecs_arr), -1).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(vecs_arr)
+        clean = vecs_arr.null_count == 0 and flat.null_count == 0
+        if clean:
+            rows_ok = ids_ok.copy()
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            vec_py = None
+        else:
+            vec_py = vecs_arr.to_pylist()
+            rows_ok = ids_ok & np.fromiter(
+                (
+                    v is not None and all(x is not None for x in v)
+                    for v in vec_py
+                ),
+                dtype=bool,
+                count=n,
+            )
+            vals = starts = None
+
+        ids_np = None
+        if ids_arr.null_count == 0:
+            try:
+                cand = ids_arr.to_numpy(zero_copy_only=False)
+                if cand.dtype.kind in "iuf":
+                    ids_np = cand
+            except (pa.ArrowInvalid, ValueError, TypeError):
+                pass
+        ids_py = None if ids_np is not None else ids_arr.to_pylist()
+
+        sel_a: list = []
+        sel_b: list = []
+        out_cos: list = []
+        for L in np.unique(lens[rows_ok]):
+            L = int(L)
+            idx = np.flatnonzero(rows_ok & (lens == L))
+            g = len(idx)
+            if g < 2:
+                continue
+            if clean:
+                X = vals[starts[idx][:, None] + np.arange(L)[None, :]] if L else np.zeros((g, 0))
+            else:
+                X = np.array(
+                    [vec_py[i] for i in idx], dtype=np.float64
+                ).reshape(g, L)
+            # dense id rank: equal ids share a rank, so the strict
+            # rank comparison reproduces strict id_a < id_b exactly
+            if ids_np is not None:
+                rank = np.unique(ids_np[idx], return_inverse=True)[1]
+            else:
+                uniq = sorted({ids_py[i] for i in idx})
+                pos = {v: r for r, v in enumerate(uniq)}
+                rank = np.fromiter((pos[ids_py[i]] for i in idx), dtype=np.int64, count=g)
+            nn = np.zeros(g)
+            for d in range(L):
+                col = X[:, d]
+                nn += col * col
+            na = np.sqrt(nn)
+            C = 512
+            for c0 in range(0, g, C):
+                ce = min(c0 + C, g)
+                acc = np.zeros((ce - c0, g))
+                for d in range(L):
+                    acc += X[c0:ce, d][:, None] * X[:, d][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    denom = na[c0:ce, None] * na[None, :]
+                    cos = acc / denom
+                pair_ok = rank[None, :] > rank[c0:ce, None]
+                # Spark's `/` is NOT IEEE: a zero denominator errors
+                # under ANSI and yields NULL otherwise (NULL fails the
+                # >= threshold). NaN/Inf denominators follow IEEE, and
+                # NaN cosines DO survive (Spark orders NaN greatest).
+                zero = denom == 0.0
+                if ansi and bool((pair_ok & zero).any()):
+                    raise _SparkDivideByZero(
+                        "[DIVIDE_BY_ZERO] cosine denominator is zero (ANSI mode)"
+                    )
+                mask = pair_ok & ~zero & ((cos >= thr) | np.isnan(cos))
+                ii, jj = np.nonzero(mask)
+                if len(ii):
+                    sel_a.extend((idx[c0 + ii]).tolist())
+                    sel_b.extend((idx[jj]).tolist())
+                    out_cos.extend(cos[ii, jj].tolist())
+        if not sel_a:
+            return empty
+        return pa.table(
+            [
+                ids_arr.take(pa.array(sel_a, type=pa.int64())).cast(
+                    arrow_schema.field(0).type
+                ),
+                ids_arr.take(pa.array(sel_b, type=pa.int64())).cast(
+                    arrow_schema.field(1).type
+                ),
+                pa.array(out_cos, type=arrow_schema.field(2).type),
+            ],
+            schema=arrow_schema,
+        )
+
+    sel = corpus.select(block_col, id_col, vec_col).filter(
+        F.col(block_col).isNotNull()
+    )
+    return sel.groupBy(block_col).applyInArrow(block_pairs, schema=out_schema)
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,
     block_col: str | None = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "jvm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold).
@@ -98,7 +608,22 @@ def cosine_near_dup_pairs(
     coarse LSH bucket). Pass ``block_col=None`` for the exact
     all-pairs form (small corpora only), or pre-compute a bucket with
     ``with_lsh_bucket`` and block on that for ANN-grade recall at
-    scale. Columns: id_a, id_b, cosine."""
+    scale. Columns: id_a, id_b, cosine.
+
+    ``kernel="arrow"`` (round 12, guide §4.2) scores each block's pair
+    space as per-dimension vectorized rank-1 updates in NumPy — bit-
+    identical to this join plan (see _near_dup_pairs_arrow) and far
+    off the HOF interpreter's per-pair floor; it needs a non-None
+    ``block_col`` and a batch (non-streaming) corpus. The default
+    stays "jvm": the streaming/incremental dedup paths require a pure
+    JVM plan, and many-tiny-block callers (IVF cells) would pay one
+    kernel invocation per near-empty block."""
+    if kernel not in ("jvm", "arrow"):
+        raise ValueError(f"kernel must be 'jvm' or 'arrow', got {kernel!r}")
+    if kernel == "arrow":
+        if block_col is None:
+            raise ValueError("kernel='arrow' requires a block_col")
+        return _near_dup_pairs_arrow(corpus, threshold, block_col, id_col, vec_col)
     from binancedatapipeline_spark.operators.spread import spread
 
     # norms are per-vector, not per-pair: compute them once on each
@@ -1191,15 +1716,35 @@ def sq_topk(
     code_col: str = "sq_code",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Top-k over the SQ-compressed corpus: decode-on-the-fly into
-    the exact cosine_topk plan. The scan reads 1 byte/dim instead of
-    4 and stays whole-stage-codegen JVM end to end — the float
-    vectors are never stored, only reconstructed per-row inside the
-    scan stage. Returns (query_id, vec_id, cosine, rank)."""
+    the exact cosine_topk scoring. The scan reads 1 byte/dim instead
+    of 4 and the float vectors are never stored — the JVM kernel
+    reconstructs them per-row inside the scan stage; the Arrow kernel
+    (batch default, round 12) reconstructs per-dimension columns in
+    NumPy with the identical ``min + code·scale`` arithmetic, so both
+    kernels score bit-identically (differential-pinned).
+    Returns (query_id, vec_id, cosine, rank)."""
+    kernel = _resolve_kernel(kernel, encoded, queries)
+    if kernel == "arrow":
+        q_rows = [
+            (r[0], None if r[1] is None else list(r[1]))
+            for r in queries.select(query_id, query_vec).collect()
+        ]
+        scored = _arrow_topk_scores(
+            encoded,
+            q_rows,
+            k,
+            corpus_id,
+            code_col,
+            _topk_out_schema(encoded, queries, corpus_id, query_id),
+            decode_params=params,
+        )
+        return _rank_topk(scored, k, query_id, corpus_id)
     recon = sq_decode(encoded, params, code_col=code_col, out="__sq_vec")
     return cosine_topk(
         recon, queries, k=k,
         corpus_id=corpus_id, corpus_vec="__sq_vec",
-        query_id=query_id, query_vec=query_vec,
+        query_id=query_id, query_vec=query_vec, kernel="jvm",
     )

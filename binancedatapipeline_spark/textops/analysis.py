@@ -138,6 +138,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     k: int = 3,
     min_df: int = 1,
+    df_mode: str = "broadcast",
 ) -> DataFrame:
     """Top-``k`` characteristic terms per document by smoothed TF-IDF:
     ``tf * (ln((1 + N) / (1 + df)) + 1)`` (the sklearn-style smooth
@@ -160,9 +161,30 @@ def tfidf_top_terms(
     its tf rows in one window partition — the same concentration the
     old df aggregate had on that key, one sort deeper. ``min_df`` > 1
     drops hapax noise (pruned after the window; the count IS the
-    window)."""
+    window).
+
+    ``df_mode`` (round 12, guide §3.2/§2.4) picks how the per-term
+    document frequency re-attaches to the tf relation:
+
+    - ``"broadcast"`` (default): df is a term-keyed aggregate OVER the
+      tf relation, broadcast-joined back. The aggregate's input is
+      served from the tf aggregate's own shuffle files (the two
+      branches share one canonicalized Exchange → ReusedExchange; the
+      corpus is still tokenized exactly once — plan-pinned in
+      tests/test_round12_opts.py), its output is vocabulary-sized and
+      partially aggregated map-side, and the big tf relation is never
+      sorted by term. Replaces the window's full-tf-relation
+      exchange+sort with a vocab-sized exchange + broadcast
+      (before/after evidence in OPTIMIZATION_r12.md). Right whenever
+      the vocabulary fits a broadcast.
+    - ``"window"``: the round-10 single-pass form — df as a window
+      count over the term-partitioned tf relation. No driver-held
+      vocabulary relation at all: the unbounded-vocabulary fallback.
+    """
     from pyspark.sql import Window
 
+    if df_mode not in ("broadcast", "window"):
+        raise ValueError(f"df_mode must be 'broadcast' or 'window', got {df_mode!r}")
     toks = tokens_col(F.lower(F.col(text_col)))
     tf = (
         df.select(F.col(id_col), F.explode(toks).alias("term"))
@@ -173,20 +195,38 @@ def tfidf_top_terms(
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("__n")
     )
-    wt = Window.partitionBy("term")
-    scored = (
-        tf.withColumn("__df", F.count(F.lit(1)).over(wt))
-        .filter(F.col("__df") >= min_df)
-        .join(F.broadcast(n_docs), F.lit(True))
-        .withColumn(
-            "tfidf",
-            F.col("tf")
-            * (
-                F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df")))
-                + F.lit(1.0)
-            ),
-        )
+    tfidf_expr = F.col("tf") * (
+        F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df"))) + F.lit(1.0)
     )
+    if df_mode == "broadcast":
+        # df == the tf relation's per-term row count, but written as
+        # sum(when(tf > 0, 1)) — tf is always ≥ 1 so the value is
+        # identical to count(*), and referencing tf is a deliberate
+        # column-pruning barrier: with count(*) Catalyst prunes the
+        # count from this branch's partial aggregate, the two
+        # branches' exchanges stop canonicalizing equal, ReuseExchange
+        # dies, and the corpus is tokenized TWICE (measured: Generate
+        # ×2, no ReusedExchange). With the guard the df branch is
+        # served from the tf aggregate's own shuffle files
+        # (plan-pinned in tests/test_textops_pipeline.py).
+        dfc = tf.groupBy("term").agg(
+            F.sum(F.when(F.col("tf") > 0, 1)).alias("__df")
+        )
+        if min_df > 1:
+            dfc = dfc.filter(F.col("__df") >= min_df)
+        scored = (
+            tf.join(F.broadcast(dfc), "term")
+            .join(F.broadcast(n_docs), F.lit(True))
+            .withColumn("tfidf", tfidf_expr)
+        )
+    else:
+        wt = Window.partitionBy("term")
+        scored = (
+            tf.withColumn("__df", F.count(F.lit(1)).over(wt))
+            .filter(F.col("__df") >= min_df)
+            .join(F.broadcast(n_docs), F.lit(True))
+            .withColumn("tfidf", tfidf_expr)
+        )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         scored.withColumn("term_rank", F.row_number().over(w))

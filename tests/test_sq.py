@@ -63,6 +63,10 @@ def test_out_of_range_vectors_clamp(spark, vectors):
 
 
 def test_sq_scan_is_jvm_only(spark, vectors):
+    """The kernel="jvm" reference path must stay a pure-expression
+    plan (no Python evaluation nodes): it is the differential anchor
+    the round-12 Arrow kernel is pinned against, and the fallback for
+    deployments that cannot cross the Python boundary."""
     df, x = vectors
     params = sim.train_sq_params(df)
     enc = sim.sq_encode(df, params).drop("embedding")
@@ -70,13 +74,36 @@ def test_sq_scan_is_jvm_only(spark, vectors):
         [(0, x[0].tolist())], "query_id long, query_vec array<double>"
     )
     plan = (
-        sim.sq_topk(enc, queries, params, k=5)
+        sim.sq_topk(enc, queries, params, k=5, kernel="jvm")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sq_arrow_kernel_is_single_scan_map(spark, vectors):
+    """The batch-default Arrow kernel scores in one MapInArrow over
+    the encoded scan — no crossJoin, no per-row Python (round 12,
+    guide §4.2); row-identical to the JVM path (pinned adversarially
+    in tests/test_round12_opts.py, and here on the happy path)."""
+    df, x = vectors
+    params = sim.train_sq_params(df)
+    enc = sim.sq_encode(df, params).drop("embedding")
+    queries = spark.createDataFrame(
+        [(0, x[0].tolist())], "query_id long, query_vec array<double>"
+    )
+    arrow = sim.sq_topk(enc, queries, params, k=5)  # auto → arrow on batch
+    plan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    got = sorted(tuple(r) for r in arrow.collect())
+    exp = sorted(
+        tuple(r)
+        for r in sim.sq_topk(enc, queries, params, k=5, kernel="jvm").collect()
+    )
+    assert got == exp
 
 
 def test_sq_roundtrip_bound_property(spark):

@@ -325,12 +325,14 @@ FROM scored QUALIFY rnk <= 3
 
 
 def test_tfidf_single_pass_plan(spark):
-    """Round-10 replan: document frequency is a window count over the
-    tf relation, so the corpus is tokenized exactly ONCE (one Generate
-    in the executed plan — the old diamond ran two) and the call has
-    no persist side effect (no cache handle to manage; the old
-    materialize_tf/cache_registry contract is gone WITH the diamond).
-    Measured 0.79s vs 0.95/0.97s at sf0.1 for identical output."""
+    """The corpus is tokenized exactly ONCE in every df_mode, and the
+    call has no persist side effect (no cache handle to manage; the
+    old materialize_tf/cache_registry contract is gone since round
+    10). Round 12: the default broadcast mode re-derives df from the
+    tf aggregate's own shuffle files — the final plan must show a
+    ReusedExchange and a single Generate (the sum(when) pruning
+    barrier in analysis.py is what keeps the two branches'
+    exchanges canonically equal)."""
     from binancedatapipeline_spark.textops.analysis import tfidf_top_terms
 
     docs = spark.createDataFrame(
@@ -340,15 +342,19 @@ def test_tfidf_single_pass_plan(spark):
         int(k)
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
-    out = tfidf_top_terms(docs, k=2)
-    assert out.count() > 0
+    for mode, want_reuse in (("broadcast", True), ("window", False)):
+        out = tfidf_top_terms(docs, k=2, df_mode=mode)
+        assert len(out.collect()) > 0  # execute THIS plan so AQE finalizes
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        assert final.count("Generate") == 1, (mode, plan)  # tokenized once
+        if want_reuse:
+            assert "ReusedExchange" in final, (mode, plan)
     after = {
         int(k)
         for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     }
     assert after - before == set()  # no persist side effect
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Generate") == 1, plan  # tokenized exactly once
 
 
 def test_mixture_sample_matches_independent_reference(spark):
