@@ -224,3 +224,80 @@ def test_tfidf_broadcast_mode_matches_window_mode(spark):
         got = _canon(tfidf_top_terms(docs, k=3, min_df=min_df, df_mode="broadcast"))
         exp = _canon(tfidf_top_terms(docs, k=3, min_df=min_df, df_mode="window"))
         assert got == exp and len(got) > 0, min_df
+
+
+def test_token_and_quality_counts_match_split_forms(spark):
+    """with_tokens/with_quality round-12 rewrite: regexp_count passes
+    must reproduce the old materializing forms (collapse → trim →
+    split → size, strip → length) integer-for-integer on whitespace,
+    unicode, digit and punctuation edges — including the split('')
+    → [''] → 1 empty-text artifact and NULL propagation."""
+    from binancedatapipeline_spark.textops.analysis import (
+        tokens_col,
+        with_quality,
+        with_tokens,
+    )
+
+    rows = [
+        (1, "plain words here"),
+        (2, ""),
+        (3, "   "),
+        (4, "\t\n\r mixed \t whitespace "),
+        (5, None),
+        (6, "a b"),              # NBSP is NOT \s in Java regex
+        (7, "abc123def 12.5 ,,x__y"), # digit runs, punct, underscores
+        (8, "émigré café ños"),       # non-ASCII letters → punct class
+        (9, "的 是 the and"),          # CJK + markers
+        (10, "!!!"),
+        (11, "one"),
+        (12, "12345"),
+        (13, "a  b   c"),
+        (14, "ends with space "),
+        (15, " starts"),
+        (16, "\t\n"),            # whitespace-only w/ non-space → 2 (!)
+        (17, " \t "),            # spaces trim, tab survives → 2
+        (18, "\ta\t"),           # phantom empty segments both sides
+        (19, "a\t"),
+        (20, ".\t."),
+        (21, "tail newline\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = F.col("text")
+    toks = tokens_col(t)
+    pieces = F.split(
+        F.trim(F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", " $1 ")), r"\s+"
+    )
+    ref = df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens_ref"),
+        F.size(pieces).alias("n_bpe_ref"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias(
+            "n_punct_ref"
+        ),
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).alias("n_alpha_ref"),
+    )
+    got_t = with_tokens(df).select("doc_id", "n_tokens", "n_bpe_ish")
+    got_q = with_quality(df).select(
+        "doc_id", "n_tokens", "punct_ratio", "alpha_ratio", "quality_score",
+        "mean_token_len", "n_chars_calc",
+    )
+    joined = got_t.join(ref, "doc_id").collect()
+    for r in joined:
+        assert r["n_tokens"] == r["n_tokens_ref"], r
+        assert r["n_bpe_ish"] == r["n_bpe_ref"], r
+    # quality ratios re-derived from the reference integers must agree
+    # bit-for-bit (int/int division order unchanged)
+    qref = {
+        r["doc_id"]: r
+        for r in ref.join(df, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("n_punct_ref") / F.greatest(F.length("text"), F.lit(1))).alias("pr"),
+            (F.col("n_alpha_ref") / F.greatest(F.length("text"), F.lit(1))).alias("ar"),
+        )
+        .collect()
+    }
+    for r in got_q.collect():
+        e = qref[r["doc_id"]]
+        assert repr(r["punct_ratio"]) == repr(e["pr"]), r
+        assert repr(r["alpha_ratio"]) == repr(e["ar"]), r
