@@ -104,6 +104,112 @@ def tfidf_broadcast(spark, sf_dir):
     )
 
 
+def _emb(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return e._t(spark, sf_dir, "embeddings")
+
+
+def _emb_queries(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def _mk_cosine(kernel):
+    def fn(spark, sf_dir):
+        from binancedatapipeline_spark.similarity import cosine_topk
+
+        emb = _emb(spark, sf_dir)
+        return cosine_topk(emb, _emb_queries(emb), k=10, kernel=kernel)
+
+    return fn
+
+
+def _mk_sq8(kernel):
+    def fn(spark, sf_dir):
+        from binancedatapipeline_spark.similarity import (
+            sq_encode,
+            sq_topk,
+            train_sq_params,
+        )
+
+        emb = _emb(spark, sf_dir)
+        params = train_sq_params(emb)
+        enc = sq_encode(emb, params).select("vec_id", "sq_code")
+        return sq_topk(enc, _emb_queries(emb), params, k=10, kernel=kernel)
+
+    return fn
+
+
+def _mk_neardup(kernel):
+    def fn(spark, sf_dir):
+        from binancedatapipeline_spark.similarity import cosine_near_dup_pairs
+
+        emb = _emb(spark, sf_dir)
+        return cosine_near_dup_pairs(
+            emb, threshold=0.3, block_col="label", kernel=kernel
+        )
+
+    return fn
+
+
+def lang_guess_current(spark, sf_dir):
+    import __spark_entry__ as e
+    from binancedatapipeline_spark.textops.analysis import with_lang_guess
+
+    d = e._t(spark, sf_dir, "documents")
+    return with_lang_guess(d).select("doc_id", "lang", "lang_guess")
+
+
+def lang_guess_regex(spark, sf_dir):
+    """Candidate: per-language marker hits via one whole-token
+    regexp_count per language instead of tokenize + 5 interpreted
+    HOF filters (value-equal: a hit is a whole \\s-delimited token)."""
+    import __spark_entry__ as e
+    from binancedatapipeline_spark.textops.analysis import LANG_MARKERS
+
+    d = e._t(spark, sf_dir, "documents")
+    langs = sorted(LANG_MARKERS)
+    t = F.lower(F.col("text"))
+    out = d
+    for lang in langs:
+        alts = "|".join(LANG_MARKERS[lang])
+        out = out.withColumn(
+            f"__hits_{lang}",
+            F.regexp_count(t, F.lit(rf"(?<=^|\s)({alts})(?=\s|$)")),
+        )
+    m = F.greatest(*[F.col(f"__hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    for lang in reversed(langs):
+        guess = F.when(F.col(f"__hits_{lang}") == m, F.lit(lang)).otherwise(guess)
+    guess = F.when(m == 0, F.lit("und")).otherwise(guess)
+    return out.withColumn("lang_guess", guess).select("doc_id", "lang", "lang_guess")
+
+
+def token_stats_current(spark, sf_dir):
+    import __spark_entry__ as e
+
+    return e.q_doc_token_stats(spark, sf_dir)
+
+
+def token_stats_split(spark, sf_dir):
+    """The pre-round materializing form (collapse+split+size), kept
+    here as the A/B reference for the regexp_count rewrite."""
+    import __spark_entry__ as e
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+
+    d = e._t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = tokens_col(t)
+    pieces = F.split(
+        F.trim(F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", " $1 ")), r"\s+"
+    )
+    return d.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_bpe_ish", F.size(pieces)
+    ).select("doc_id", "n_tokens", "n_bpe_ish")
+
+
 VARIANTS = {
     "cd_current": cd_current,
     "cd_branch_join": cd_branch_join,
@@ -111,6 +217,16 @@ VARIANTS = {
     "cd_repart_expand": cd_repart_expand,
     "tfidf_window": tfidf_window,
     "tfidf_broadcast": tfidf_broadcast,
+    "cosine_jvm": _mk_cosine("jvm"),
+    "cosine_arrow": _mk_cosine("arrow"),
+    "sq8_jvm": _mk_sq8("jvm"),
+    "sq8_arrow": _mk_sq8("arrow"),
+    "neardup_jvm": _mk_neardup("jvm"),
+    "neardup_arrow": _mk_neardup("arrow"),
+    "lang_guess_current": lang_guess_current,
+    "lang_guess_regex": lang_guess_regex,
+    "token_stats_current": token_stats_current,
+    "token_stats_split": token_stats_split,
 }
 
 
