@@ -648,49 +648,34 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-column distinct-count per group.
 
-    Plan: repartition by the GROUP KEY first, then one distinct +
-    count branch per distinct aggregate, joined on the key. The
-    up-front ``repartition(l_suppkey)`` makes every downstream
-    operator exchange-free: a distinct on (suppkey, value) is
-    satisfied by hash-partitioning on suppkey alone (same suppkey ⇒
-    same partition), so each branch collapses to a single post-shuffle
-    HashAggregate pipeline and the join rides the same partitioning.
-    Round-7 measurement at sf0.1 (7 interleaved passes): 6 stages /
-    4 jobs vs the round-6 per-branch-distinct form's 12 stages /
-    6 jobs, best 0.62s vs 0.68s, median 0.68s vs 0.73s — the win is
-    scheduler overhead, which is exactly what inflated the driver's
-    median (FLAGSHIP "count_distinct floor study"). The single
-    countDistinct(a), countDistinct(b) call stays rejected: its
-    Expand doubles every row (1.05s round-5; 0.77s median even
-    repartition-first in round 7). Nothing materializes per-group
-    value sets — a hot supplier costs CPU, not executor memory (the
-    collect_set formulation stays banned; plan-regression-tested).
+    Round 12 (VERDICT item 6): back to the single two-countDistinct
+    aggregate. The round-7 repartition-first branch-join form was
+    tuned at sf0.1, where the ~0.2-0.3 s/job scheduler floor made its
+    fewer-jobs shape win (0.62 s vs 1.05 s). Re-measured AT SF1 with
+    paired interleaved passes (tools/bench_r12_variants.py, clean
+    calibration): **Expand form 1.63 s vs branch-join 2.95 s best
+    (1.8x)** — and the reason is the scale story, not a constant:
+    the branch form's up-front repartition ships every raw row with
+    NO map-side reduction, while the Expand form's partial distinct
+    aggregate compresses duplicates per map partition BEFORE its one
+    exchange (guide §2.3 "aggregate before you shuffle"; Expand
+    doubles rows map-side only — CPU, not network). sf0.1 pays ~0.45 s
+    back to the job floor (0.63→1.10 s, disclosed in
+    OPTIMIZATION_r12.md); the 100 TB posture wins. Still nothing
+    materializes per-group value sets — the distinct is a pure
+    HashAggregate pair per gid, a hot supplier costs CPU, not
+    executor memory (collect_set stays banned; plan-regression-tested
+    in tests/test_plans_physical.py).
 
-    NULL semantics: each branch keeps null value rows THROUGH the
-    distinct (so a group whose values are all NULL still yields one
-    (suppkey, NULL) row and survives into the join — COUNT(DISTINCT)
-    returns such a group with 0, it does not drop it) and then counts
-    with ``count(col)``, which skips NULLs. Every base-table group
-    therefore appears in BOTH branches and the inner join is exact —
-    no outer join, no extra key scan (differential-tested against
-    null-only groups in tests/test_round6_fixes.py)."""
+    NULL semantics: countDistinct skips NULLs and a group whose
+    values are all NULL yields 0 without dropping the group —
+    identical to the old branch-join form (differential-tested
+    against null-only groups in tests/test_round6_fixes.py)."""
     li = _t(spark, sf_dir, "lineitem")
-    d = li.select("l_suppkey", "l_partkey", "l_orderkey").repartition(
-        F.col("l_suppkey")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
-    parts = (
-        d.select("l_suppkey", "l_partkey")
-        .distinct()
-        .groupBy("l_suppkey")
-        .agg(F.count("l_partkey").alias("n_parts"))
-    )
-    orders = (
-        d.select("l_suppkey", "l_orderkey")
-        .distinct()
-        .groupBy("l_suppkey")
-        .agg(F.count("l_orderkey").alias("n_orders"))
-    )
-    return parts.join(orders, "l_suppkey")
 
 
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -29,48 +29,29 @@ def tokens_col(text: Column) -> Column:
     return F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
 
 
-def _count_or_one(t: Column, pattern: str) -> Column:
-    """``size(split(trim(collapsed), sep))`` counted WITHOUT building
-    the intermediate string or the array (round 12, guide §4.1 /
-    §1.2 per-task work): ``regexp_count`` walks the raw text once and
-    allocates nothing. The split form yields 1 for match-free text
-    (split('') → ['']) and NULL for NULL text — reproduced exactly
-    (regexp_count(NULL) is NULL, and NULL == 0 is NULL → otherwise
-    branch keeps NULL). Differential-pinned against the split forms
-    in tests/test_round12_opts.py."""
-    n = F.regexp_count(t, F.lit(pattern))
-    return F.when(n == 0, F.lit(1)).otherwise(n)
-
-
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add n_tokens (whitespace) and n_bpe_ish (a BPE-flavored count:
     word-boundary pieces + digits + punctuation as separate tokens).
 
-    Counts are regexp_count passes over the raw text (round 12): a
-    whitespace token is a ``\\S+`` run, a BPE-ish piece is an alpha
-    run, a digit run or one non-alnum mark — the exact pieces the old
-    pad-with-spaces + split + size pipeline materialized, minus the
-    two intermediate strings and two string arrays per row.
-
-    The old pieces pipeline (``split(trim(padded), '\\s+')``) had a
-    documented-by-test quirk: Spark ``trim`` strips ONLY 0x20, so text
-    whose leading/trailing whitespace contains a non-space character
-    (tab/newline) kept a phantom empty segment on that side, and
-    whitespace-only text with such a character counted 2. The closed
-    form reproduces it exactly: pieces + leading-phantom +
-    trailing-phantom, with the zero-piece rows special-cased
-    (differential-pinned in tests/test_round12_opts.py)."""
+    MEASURED NEGATIVE (round 12, do not re-attempt): counting these
+    via ``regexp_count`` over the raw text — no collapsed copy, no
+    split arrays — is value-identical (an exact closed form exists
+    even for the trim-only-strips-0x20 phantom-segment quirk, pinned
+    in tests/test_round12_opts.py) but SLOWER at sf1: token counts
+    2.53 vs 2.52 s best / 2.76 vs 2.59 s median, and the same idea on
+    with_quality's char-class counts lost 2× (3.27 vs 1.58 s).
+    Spark's regexp_count evaluates a full Matcher loop per row with
+    no codegen specialization; regexp_replace+length and split+size
+    are simply faster per byte here (tools/bench_r12_variants.py,
+    paired passes, clean calibration)."""
     t = F.col(text_col)
-    p = F.regexp_count(t, F.lit(r"[A-Za-z]+|\d+|[^\sA-Za-z0-9]"))
-    nsw = r"[\t\n\x0B\f\r]"  # java \s minus the space trim() strips
-    lead = F.when(t.rlike(rf"^ *{nsw}"), F.lit(1)).otherwise(F.lit(0))
-    trail = F.when(t.rlike(rf"{nsw} *$"), F.lit(1)).otherwise(F.lit(0))
-    n_bpe = F.when(
-        p == 0,
-        F.when(t.rlike(nsw), F.lit(2)).otherwise(F.lit(1)),
-    ).otherwise(p + lead + trail)
-    return df.withColumn("n_tokens", _count_or_one(t, r"\S+")).withColumn(
-        "n_bpe_ish", n_bpe
+    toks = tokens_col(t)
+    # BPE-ish: count alpha runs, digit runs and punctuation marks
+    pieces = F.split(
+        F.trim(F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", " $1 ")), r"\s+"
+    )
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "n_bpe_ish", F.size(pieces)
     )
 
 
@@ -79,13 +60,13 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha ratio, and a composite score in [0,1]."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    # counting via regexp_count (round 12): same integers as the old
-    # length(regexp_replace(...)) / size(split(...)) forms without
-    # materializing a stripped copy of the text or a token array per
-    # row (differential-pinned in tests/test_round12_opts.py)
-    n_tokens = _count_or_one(t, r"\S+")
-    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    # regexp_replace+length / split+size, NOT regexp_count — the
+    # count-without-materializing rewrite measured 2x SLOWER at sf1
+    # (round 12; see with_tokens' docstring for the numbers)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
     mean_tok = n_alpha / F.greatest(n_tokens, F.lit(1))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))

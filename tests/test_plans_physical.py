@@ -112,18 +112,23 @@ def test_join_composite_key_scans_events_once(spark):
     assert "ReusedExchange" in plan, plan
 
 
-def test_count_distinct_branches_never_materialize_sets(spark):
-    """Each distinct count is its own distinct+count branch (joined on
-    the group key) — no Expand row-doubling at the scan, and never an
-    ObjectHashAggregate materializing per-group value sets (a hot-key
-    OOM at 100 TB). Both branches must stay pure HashAggregates."""
+def test_count_distinct_never_materializes_sets(spark):
+    """Round 12: the query is the single two-countDistinct aggregate —
+    Spark plans it as Expand (gid-tagged row duplication, map-side
+    CPU only) + partial distinct HashAggregates that compress
+    duplicates BEFORE the one exchange. That map-side reduction is
+    why it beat the round-7 repartition-first branch-join 1.8x at sf1
+    (the repartition shipped every raw row). What stays banned is
+    per-group value-set materialization: never ObjectHashAggregate /
+    collect_set (a hot-key OOM at 100 TB), never a join fork."""
     df = entry_mod.queries()["count_distinct"](spark, SF)
     plan = _final_plan(df)
-    assert "Expand" not in plan, plan
+    assert "Expand" in plan, plan  # the two-gid distinct aggregate
     assert "ObjectHashAggregate" not in plan, plan
     assert "collect_set" not in plan, plan
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan  # single aggregate, no branch fork
 
 
 def test_lsh_topk_is_index_probe_not_scan(spark):

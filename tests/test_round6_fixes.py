@@ -16,24 +16,13 @@ from binancedatapipeline_spark.notifications import _clip_escaped, format_alert
 
 def _count_distinct_plan(li):
     """The registry query's plan applied to an arbitrary lineitem-shaped
-    frame (the registry callable is bound to a parquet dir) — the
-    round-7 repartition-first form."""
-    d = li.select("l_suppkey", "l_partkey", "l_orderkey").repartition(
-        F.col("l_suppkey")
+    frame (the registry callable is bound to a parquet dir) — since
+    round 12 the single two-countDistinct aggregate (the sf1-measured
+    winner; see q_count_distinct's docstring)."""
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
     )
-    parts = (
-        d.select("l_suppkey", "l_partkey")
-        .distinct()
-        .groupBy("l_suppkey")
-        .agg(F.count("l_partkey").alias("n_parts"))
-    )
-    orders = (
-        d.select("l_suppkey", "l_orderkey")
-        .distinct()
-        .groupBy("l_suppkey")
-        .agg(F.count("l_orderkey").alias("n_orders"))
-    )
-    return parts.join(orders, "l_suppkey")
 
 
 def test_count_distinct_keeps_null_only_groups(spark):
@@ -91,15 +80,20 @@ def test_count_distinct_matches_duckdb_with_nulls(spark, tmp_path):
 
 
 def test_registry_count_distinct_still_plans_clean(spark, testdata_dir=None):
-    """The NULL fix must not reintroduce Expand / value-set aggs."""
+    """The NULL fix must not reintroduce value-set aggregation. Since
+    round 12 Expand is the DELIBERATE shape (the two-gid distinct
+    aggregate, 1.8x faster at sf1 than the branch-join — see
+    q_count_distinct); what stays banned is materializing per-group
+    value sets."""
     import os
 
     sf = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
     df = entry_mod.queries()["count_distinct"](spark, sf)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" not in plan
+    assert "Expand" in plan
     assert "ObjectHashAggregate" not in plan
+    assert "collect_set" not in plan
 
 
 # ------------------------------------------------------- entity clip

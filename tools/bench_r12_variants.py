@@ -210,6 +210,66 @@ def token_stats_split(spark, sf_dir):
     ).select("doc_id", "n_tokens", "n_bpe_ish")
 
 
+def token_stats_hybrid(spark, sf_dir):
+    """n_tokens via regexp_count, n_bpe_ish via the old split form —
+    isolates which of the two counts the rewrite helps/hurts."""
+    import __spark_entry__ as e
+
+    d = e._t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.regexp_count(t, F.lit(r"\S+"))
+    count_or_one = F.when(n == 0, F.lit(1)).otherwise(n)
+    pieces = F.split(
+        F.trim(F.regexp_replace(t, r"([^\sA-Za-z0-9]|\d+)", " $1 ")), r"\s+"
+    )
+    return d.withColumn("n_tokens", count_or_one).withColumn(
+        "n_bpe_ish", F.size(pieces)
+    ).select("doc_id", "n_tokens", "n_bpe_ish")
+
+
+def quality_count(spark, sf_dir):
+    """Current with_quality (regexp_count char-class counts)."""
+    import __spark_entry__ as e
+
+    return e.q_doc_quality(spark, sf_dir)
+
+
+def quality_replace(spark, sf_dir):
+    """The pre-round with_quality: counts via regexp_replace copies +
+    length and size(split) — the A/B reference."""
+    import __spark_entry__ as e
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+
+    d = e._t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    toks = tokens_col(t)
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    mean_tok = n_alpha / F.greatest(n_tokens, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_tokens / F.lit(200.0), F.lit(1.0)) * 0.4
+        + alpha_ratio * 0.4
+        + (1 - F.least(punct_ratio * 5, F.lit(1.0))) * 0.2
+    )
+    out = (
+        d.withColumn("n_tokens", n_tokens)
+        .withColumn("mean_token_len", mean_tok)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("alpha_ratio", alpha_ratio)
+        .withColumn("quality_score", score)
+    )
+    return out.select(
+        "doc_id", "n_tokens", e._r6(F.col("mean_token_len")).alias("mean_token_len"),
+        e._r6(F.col("punct_ratio")).alias("punct_ratio"),
+        e._r6(F.col("alpha_ratio")).alias("alpha_ratio"),
+        e._r6(F.col("quality_score")).alias("quality_score"),
+    )
+
+
 VARIANTS = {
     "cd_current": cd_current,
     "cd_branch_join": cd_branch_join,
@@ -227,6 +287,9 @@ VARIANTS = {
     "lang_guess_regex": lang_guess_regex,
     "token_stats_current": token_stats_current,
     "token_stats_split": token_stats_split,
+    "token_stats_hybrid": token_stats_hybrid,
+    "quality_count": quality_count,
+    "quality_replace": quality_replace,
 }
 
 
