@@ -181,17 +181,20 @@ def tfidf_top_terms(
     ``df_mode`` (round 12, guide §3.2/§2.4) picks how the per-term
     document frequency re-attaches to the tf relation:
 
-    - ``"broadcast"`` (default): df is a term-keyed aggregate OVER the
-      tf relation, broadcast-joined back. The aggregate's input is
-      served from the tf aggregate's own shuffle files (the two
-      branches share one canonicalized Exchange → ReusedExchange; the
-      corpus is still tokenized exactly once — plan-pinned in
-      tests/test_round12_opts.py), its output is vocabulary-sized and
-      partially aggregated map-side, and the big tf relation is never
-      sorted by term. Replaces the window's full-tf-relation
-      exchange+sort with a vocab-sized exchange + broadcast
-      (before/after evidence in OPTIMIZATION_r12.md). Right whenever
-      the vocabulary fits a broadcast.
+    - ``"broadcast"`` (default): the exploded tokens are hash-
+      partitioned by DOC ID once, up front. That one exchange then
+      feeds everything exchange-free: the tf aggregate plans complete
+      (hash(id) satisfies clustering on (id, term)), the df aggregate
+      is served from the SAME shuffle files (ReusedExchange; the
+      corpus is tokenized exactly once — plan-pinned) and collapses
+      to a vocabulary-sized broadcast, and the per-doc top-k window
+      rides the id partitioning with NO exchange of its own. Net: ONE
+      corpus-sized exchange instead of three, no full-relation sort
+      by term. Trade, measured and won at sf1 (2.16 s vs 2.94 s best,
+      7/7 interleaved passes — OPTIMIZATION_r12.md): the exchange
+      carries raw exploded tokens (no map-side partial-agg
+      compression), which costs less than the tf-sized exchange+sort
+      pair it removes. Right whenever the vocabulary fits a broadcast.
     - ``"window"``: the round-10 single-pass form — df as a window
       count over the term-partitioned tf relation. No driver-held
       vocabulary relation at all: the unbounded-vocabulary fallback.
@@ -201,11 +204,8 @@ def tfidf_top_terms(
     if df_mode not in ("broadcast", "window"):
         raise ValueError(f"df_mode must be 'broadcast' or 'window', got {df_mode!r}")
     toks = tokens_col(F.lower(F.col(text_col)))
-    tf = (
-        df.select(F.col(id_col), F.explode(toks).alias("term"))
-        .filter(F.length("term") > 0)
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term")).filter(
+        F.length("term") > 0
     )
     n_docs = df.select(
         F.count_distinct(F.col(id_col)).alias("__n")
@@ -214,16 +214,21 @@ def tfidf_top_terms(
         F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df"))) + F.lit(1.0)
     )
     if df_mode == "broadcast":
+        tf = (
+            exploded.repartition(F.col(id_col))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
         # df == the tf relation's per-term row count, but written as
         # sum(when(tf > 0, 1)) — tf is always ≥ 1 so the value is
         # identical to count(*), and referencing tf is a deliberate
         # column-pruning barrier: with count(*) Catalyst prunes the
-        # count from this branch's partial aggregate, the two
-        # branches' exchanges stop canonicalizing equal, ReuseExchange
-        # dies, and the corpus is tokenized TWICE (measured: Generate
-        # ×2, no ReusedExchange). With the guard the df branch is
-        # served from the tf aggregate's own shuffle files
-        # (plan-pinned in tests/test_textops_pipeline.py).
+        # tf column out of this branch, the two branches' subtrees
+        # stop canonicalizing equal, ReuseExchange dies, and the
+        # corpus is tokenized TWICE (measured: Generate ×2, no
+        # ReusedExchange). With the guard the df branch is served
+        # from the id-repartition's own shuffle files (plan-pinned in
+        # tests/test_textops_pipeline.py).
         dfc = tf.groupBy("term").agg(
             F.sum(F.when(F.col("tf") > 0, 1)).alias("__df")
         )
@@ -235,6 +240,7 @@ def tfidf_top_terms(
             .withColumn("tfidf", tfidf_expr)
         )
     else:
+        tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
         wt = Window.partitionBy("term")
         scored = (
             tf.withColumn("__df", F.count(F.lit(1)).over(wt))

@@ -104,6 +104,49 @@ def tfidf_broadcast(spark, sf_dir):
     )
 
 
+def tfidf_repart_id(spark, sf_dir):
+    """Candidate: repartition the exploded tokens by doc id BEFORE the
+    tf aggregate — the aggregate then plans complete (no partial, no
+    own exchange) and the per-doc top-k window rides the same
+    hash(id) partitioning, removing the tf-sized window exchange; the
+    df aggregate still reuses the repartition exchange. Trade: the one
+    big exchange carries RAW exploded tokens (no map-side partial-agg
+    compression)."""
+    import __spark_entry__ as e
+    from pyspark.sql import Window
+    from binancedatapipeline_spark.textops.analysis import tokens_col
+
+    d = e._t(spark, sf_dir, "documents")
+    toks = tokens_col(F.lower(F.col("text")))
+    tf = (
+        d.select(F.col("doc_id"), F.explode(toks).alias("term"))
+        .filter(F.length("term") > 0)
+        .repartition(F.col("doc_id"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = d.select(F.count_distinct(F.col("doc_id")).alias("__n"))
+    dfc = tf.groupBy("term").agg(F.sum(F.when(F.col("tf") > 0, 1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(dfc), "term")
+        .join(F.broadcast(n_docs), F.lit(True))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.lit(1) + F.col("__n")) / (F.lit(1) + F.col("__df"))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    out = (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "term_rank")
+    )
+    return out.select(
+        "doc_id", "term", "tf", e._r6(F.col("tfidf")).alias("tfidf"), "term_rank"
+    )
+
+
 def _emb(spark, sf_dir):
     import __spark_entry__ as e
 
@@ -277,6 +320,7 @@ VARIANTS = {
     "cd_repart_expand": cd_repart_expand,
     "tfidf_window": tfidf_window,
     "tfidf_broadcast": tfidf_broadcast,
+    "tfidf_repart_id": tfidf_repart_id,
     "cosine_jvm": _mk_cosine("jvm"),
     "cosine_arrow": _mk_cosine("arrow"),
     "sq8_jvm": _mk_sq8("jvm"),
